@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's default runtime policy.
+  *
+  * The reference system (frankfzw/SCache) ships its data-plane policies as a
+  * forked Spark runtime — shuffle compression (`io/CompressionCodec.scala:54-95`,
+  * lz4 default), Kryo fast-path (`serializer/SerializerManager.scala:73-94`),
+  * balanced reduce placement (`MapOutputTracker.scala:201-210`) and map-output
+  * pre-fetch (`storage/BlockManager.scala:331-352`). In a Spark-native build
+  * every one of those is a configuration default, not code:
+  *
+  *   - lz4 shuffle compression  -> `spark.io.compression.codec=lz4` (Spark default)
+  *   - balanced reduce placement -> AQE coalescing + skew-join splitting
+  *   - shuffle-size prediction   -> AQE exact runtime `MapOutputStatistics`
+  *   - pre-fetch / overlap       -> push-based shuffle on real clusters
+  *     (`spark.shuffle.push.enabled`; a no-op in local mode, left for deploy)
+  *
+  * Scale stance: partition counts here are sized for local[32] test runs; on a
+  * 1000-executor cluster the same code runs with `shufflePartitions` raised to
+  * ~2-4x total cores and AQE coalesces the rest. Nothing in the engine assumes
+  * a partition count.
+  */
+object Engine {
+
+  /** Default shuffle parallelism for the local[32] test harness. */
+  val LocalShufflePartitions = 32
+
+  def session(appName: String = "graft", cores: Int = 0): SparkSession = {
+    val n = if (cores > 0) cores else Runtime.getRuntime.availableProcessors.min(32)
+    configure(SparkSession.builder().master(s"local[$n]"), appName).getOrCreate()
+  }
+
+  /** Apply engine defaults to any builder (used by Verify/Bench which pick
+    * their own master/parallelism from the driver environment). */
+  def configure(b: SparkSession.Builder, appName: String): SparkSession.Builder = b
+    .appName(appName)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // AQE: runtime re-planning from exact per-stage MapStatus sizes — the
+    // productized form of the reference's shuffle-size predictor + balanced
+    // reduce pre-scheduler (SURVEY.md §4 rows 2-3).
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Parquet vectorized scan + pushdown are defaults; pin them explicitly so
+    // a cluster-side conf drift can't silently disable them.
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // Kryo for the few RDD-edge/broadcast paths; SQL rows are Tungsten-encoded
+    // anyway (the reference's Kryo fast-path is moot inside SQL).
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Read shuffle-partition override used by entry points. */
+  def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+}
