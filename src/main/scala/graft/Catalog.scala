@@ -93,4 +93,14 @@ object Catalog {
   /** Load a table with its declared schema from an sf directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  /** Load a table and spread it across all cores. The local testdata ships
+    * one parquet file per table — a single scan partition — which serializes
+    * compute-heavy per-row work (tokenization, hashing, vector folds) onto
+    * one core. On a real deployment the table is thousands of files and the
+    * scan parallelizes naturally; this explicit round-robin repartition is
+    * the local stand-in and costs one tiny shuffle of the small tables it is
+    * used on (documents/embeddings). */
+  def tableSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    table(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

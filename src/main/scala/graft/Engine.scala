@@ -51,6 +51,16 @@ object Engine {
     // Kryo for the few RDD-edge/broadcast paths; SQL rows are Tungsten-encoded
     // anyway (the reference's Kryo fast-path is moot inside SQL).
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // InferFiltersFromGenerate clones the generator's input expression into
+    // an inferred `size(..)>0 AND isnotnull(..)` filter, which predicate
+    // pushdown then drives below the repartition Exchange — re-inlining (and
+    // re-evaluating, single-threaded, O(tokens²)) the whole tokenize+shingle
+    // chain at the scan. Its benefit (skipping empty arrays pre-explode) is
+    // negligible for every generator this engine plans; the cloned-
+    // expression cost is catastrophic. Measured on dd3_minhash_neardup at
+    // sf0.1: 20s -> 2s with the rule excluded.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Read shuffle-partition override used by entry points. */
   def shufflePartitions(spark: SparkSession): Int =

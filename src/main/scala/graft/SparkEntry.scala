@@ -18,10 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++ operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++ operators.TextAnalysis.oracles ++
+      operators.Dedup.oracles ++ operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

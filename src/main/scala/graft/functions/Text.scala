@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level text primitives shared by the dedup / text-analysis /
+  * similarity operators.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs — stays inside whole-stage codegen) and has an exact DuckDB
+  * mirror used by the oracle SQL, so results are bit-identical across
+  * engines:
+  *
+  *   - tokens:  `list_filter(regexp_split_to_array(lower(trim(x)),'\s+'), t -> t <> '')`
+  *   - hash:    `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)` — 60-bit
+  *     positive value from the md5 hex prefix; md5 is identical everywhere,
+  *     unlike murmur/xxhash whose seeds differ per engine.
+  *
+  * The array-fold style (transform/aggregate over token arrays) is the scale
+  * path: it runs entirely map-side inside the scan stage — no explode, no
+  * shuffle — so at 100 TB it costs one pass over the data.
+  */
+object Text {
+
+  /** Whitespace tokens of lowercased text, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Materialize a `_toks` token-array column and spread rows across all
+    * cores. The repartition Exchange is load-bearing twice over: it
+    * parallelizes single-file local scans, AND it is a barrier
+    * CollapseProject cannot cross — downstream expressions reference the
+    * materialized array attribute instead of re-inlining (and re-evaluating)
+    * the tokenize chain per use. Without it, `element_at(tokens(text), i)`
+    * inside a shingle lambda re-tokenizes the whole document per element:
+    * O(tokens²) interpreted work per row. */
+  def withTokens(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("_toks", tokens(col("text")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct word 3-shingles; empty array for texts under 3 tokens. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** 60-bit deterministic hash of a string, identical in Spark and DuckDB:
+    * first 15 hex chars of md5, parsed base-16. */
+  def sharedHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: H(seed || ':' || s) — gives the independent hash
+    * family used for MinHash signatures. */
+  def sharedHash(s: Column, seed: Int): Column =
+    sharedHash(concat(lit(s"$seed:"), s))
+
+  /** Count of tokens that appear in a fixed marker set (lang-id / stopword
+    * scoring). Pure array op, no shuffle. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => lit(w)): _*)))
+
+  // ---- DuckDB mirrors (string builders used by the oracle SQL) ----------
+
+  def sqlTokens(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), t -> t <> '')"
+
+  def sqlShingles3(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) >= 3
+       | THEN list_distinct(list_transform(generate_series(1, len($toksExpr)-2),
+       |   i -> concat_ws(' ', ($toksExpr)[i], ($toksExpr)[i+1], ($toksExpr)[i+2])))
+       | ELSE []::VARCHAR[] END""".stripMargin
+
+  def sqlHash(sExpr: String): String =
+    s"CAST(concat('0x', substr(md5($sExpr), 1, 15)) AS BIGINT)"
+
+  def sqlHash(sExpr: String, seed: Int): String =
+    sqlHash(s"concat('$seed:', $sExpr)")
+
+  def sqlCountIn(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+}

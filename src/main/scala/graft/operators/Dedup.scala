@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Catalog
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over `documents`: exact (hash groupBy),
+  * bag-of-words fingerprint, MinHash+LSH near-dup pairs, and SimHash
+  * bucketing. SURVEY.md §2D "LLM-pipeline ops" row.
+  *
+  * Scale design (the point at 100 TB):
+  *   - exact / fingerprint dedup: one shuffle on a 128-bit digest — the
+  *     digest (16 bytes) is the shuffle key, never the document body.
+  *   - MinHash: signatures are computed map-side as array folds (no explode
+  *     of shingles across rows); only the 16-long signature is shuffled.
+  *     LSH banding turns the O(n²) pair space into per-bucket joins; the
+  *     band self-join shuffles (band, sig) keys, so bucket skew is bounded
+  *     by collision rate, and AQE's skew-join split handles hot buckets.
+  *   - SimHash: one 64-bit value per doc; bucketing is a plain groupBy.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  // 4 bands x 4 rows: P(candidate | jaccard j) = 1-(1-j^4)^4 — steep S-curve:
+  // ~3% at j=0.3 (keeps the candidate set near-linear in corpus size), ~99.3%
+  // at j=0.9 (where the true near-dups live). 8x2 banding floods the verify
+  // stage with ~30% of ALL pairs on overlapping-vocabulary corpora.
+  private val NumBands = 4
+  private val RowsPerBand = NumHashes / NumBands
+  private val JaccardThreshold = 0.7
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Catalog.tableSpread(spark, dir, "documents")
+
+  /** Exact dedup: canonical doc per md5(text). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Bag-of-words dedup: canonical doc per sorted-distinct-token digest
+    * (collapses word-order-only edits — cheap content dedup). */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .groupBy(md5(array_join(array_sort(array_distinct(col("_toks"))), " ")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** MinHash + LSH near-dup pairs, exact-Jaccard verified.
+    *
+    * shingle → base hash (ONE md5 per shingle) → 16 linear-permutation
+    * min-hashes h_j = (a_j·h + b_j) mod p (map-side array folds; the md5 is
+    * the expensive part, so the permutation family keeps signature cost at
+    * one digest per shingle) → 8 bands of 2 → band self-join (candidates) →
+    * exact 3-shingle Jaccard ≥ 0.7 (verify).
+    */
+  private val P = 2147483647L // 2^31-1; a_j·h stays < 2^62, no i64 overflow
+  private def permA(j: Int): Long = (2L * j + 1) * 1000003L % P
+  private def permB(j: Int): Long = j * 999983L % P
+
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val tokenized = Text.withTokens(Catalog.table(spark, dir, "documents"))
+    // Filter on the CHEAP precondition (≥3 tokens ⟺ ≥1 shingle), not on
+    // size(sh) > 0: predicate pushdown would inline the whole shingle
+    // expression into the pre-Exchange scan filter and evaluate it on the
+    // unparallelized side of the shuffle.
+    val withSh = tokenized
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
+
+    // Explode so the md5 runs ONCE per (doc, shingle) row — computing the 16
+    // signatures as array-lambda columns instead lets CollapseProject inline
+    // (and re-evaluate) the tokenize+shingle+digest chain into every column.
+    // The groupBy is a codegen'd hash aggregate with map-side partial mins;
+    // only (doc_id, 16 longs) ever shuffles.
+    val hashed = withSh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), (Text.sharedHash(col("s")) % P).as("h"))
+    val minhashAggs = (0 until NumHashes).map { j =>
+      min((col("h") * permA(j) + permB(j)) % P).as(s"m$j")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+
+    val bandStructs = (0 until NumBands).map { b =>
+      struct((0 until RowsPerBand).map(r =>
+        col(s"m${RowsPerBand * b + r}").as(s"h$r")): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "bsig")))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash over distinct tokens; docs sharing a bucket are
+    * near-dup candidates. Output: doc, simhash, bucket size. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // Explode distinct tokens and hash each ONCE; the 16 bit-sums are then
+    // cheap conditional aggregates in a single codegen'd hash aggregate
+    // (array-fold columns would re-digest every token 16 times).
+    val tokRows = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(array_distinct(col("_toks"))).as("t"))
+      .select(col("doc_id"), Text.sharedHash(col("t")).as("h"))
+    val bitSums = (0 until 16).map { k =>
+      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$k")
+    }
+    val simhash = (0 until 16)
+      .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withHash = tokRows.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+    withHash
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> exactDedup,
+    "dd2_fingerprint_dedup" -> fingerprintDedup,
+    "dd3_minhash_neardup" -> minhashNearDup,
+    "dd4_simhash_buckets" -> simhashBuckets)
+
+  // ---- DuckDB oracles: the same pipeline, generated with the same loops --
+
+  private val Toks = Text.sqlTokens("text")
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dd2_fingerprint_dedup" ->
+      s"""SELECT min(doc_id) AS doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp,
+         |  COUNT(*) AS n_copies
+         |FROM documents
+         |GROUP BY md5(array_to_string(list_sort(list_distinct($Toks)), ' '))
+         |ORDER BY doc_id""".stripMargin,
+    "dd3_minhash_neardup" -> {
+      val mh = (0 until NumHashes).map { j =>
+        s"list_min(list_transform(shh, h -> (h * ${permA(j)} + ${permB(j)}) % $P)) AS m$j"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val hs = (0 until RowsPerBand)
+          .map(r => s"m${RowsPerBand * b + r} AS h$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $hs FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, ${Text.sqlShingles3(Toks)} AS sh FROM documents),
+         |ds AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> ${Text.sqlHash("s")} % $P) AS shh
+         |FROM d WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh,
+         |  $mh
+         |FROM ds),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band
+         |   AND ${(0 until RowsPerBand).map(r => s"a.h$r = b.h$r").mkString(" AND ")}
+         |   AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+         |  CAST(len(sa.sh) + len(sb.sh)
+         |       - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
+         |            JOIN ds sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dd4_simhash_buckets" -> {
+      val bitSums = (0 until 16).map { k =>
+        s"CAST(list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) AS BIGINT) AS b$k"
+      }.mkString(",\n  ")
+      val simhash = (0 until 16)
+        .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(list_distinct($Toks), t -> ${Text.sqlHash("t")}) AS hs
+         |FROM documents),
+         |b AS (SELECT doc_id,
+         |  $bitSums
+         |FROM d),
+         |h AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM b)
+         |SELECT doc_id, simhash,
+         |  COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Catalog
+import graft.Sql.asLong
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed record for an opaque media payload: the multimodal column model.
+  * Image/audio/video travel as `payload: Array[Byte]` (Spark BinaryType)
+  * with typed metadata alongside — never parsed by the engine itself. */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], kind: String,
+  meta: Map[String, String])
+
+/** Output of the (stubbed) decoder: fixed-shape per-record features. */
+case class MediaFeatures(doc_id: Long, byte_len: Long,
+  h0: Double, h1: Double, h2: Double, h3: Double)
+
+/** Multimodal-column operators (SURVEY.md §2D LLM-pipeline row).
+  *
+  * The data model: binary payload column + string metadata map, processed in
+  * partition-local batches. The decode step itself is a clearly marked STUB
+  * (no image/audio codecs ship in this environment — a real deployment swaps
+  * `decodeBatch`'s body for the codec call); everything around it — the
+  * schema, the typed Dataset plumbing, the batch shape, the partition-local
+  * execution — is real and is what matters at 100 TB: payloads never
+  * shuffle, features (a few doubles per record) do.
+  */
+object Multimodal {
+
+  val DecodeBatchSize = 64
+
+  /** documents → typed media records (payload = UTF-8 bytes standing in for
+    * a real image/audio blob). */
+  def toMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/plain").as("kind"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — stands in for image decode / resize / frame-sample.
+    * Deterministic fake: a 4-bucket byte histogram per payload. The batch
+    * signature (Iterator of batches, fixed batch size) mirrors how a real
+    * vectorized codec (or Arrow-batched UDF) would be driven. */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val counts = new Array[Long](4)
+      r.payload.foreach(b => counts((b & 0xff) >> 6) += 1)
+      val n = math.max(r.payload.length, 1).toDouble
+      MediaFeatures(r.doc_id, r.payload.length.toLong,
+        counts(0) / n, counts(1) / n, counts(2) / n, counts(3) / n)
+    }
+
+  /** Partition-local batched feature extraction. */
+  def features(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
+  }
+
+  /** Metadata/plumbing query (oracle-checked): payload length, content
+    * signature, serialized metadata, stub header code. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "documents").select(
+      col("doc_id"),
+      asLong(octet_length(col("text"))).as("byte_len"),
+      substring(md5(col("text")), 1, 8).as("sig8"),
+      concat(lit("{\"lang\":\""), col("lang"), lit("\",\"source\":\""),
+        col("source"), lit("\"}")).as("meta_json"),
+      pmod(Text.sharedHash(substring(col("text"), 1, 16)), lit(256L)).as("header_code"))
+      .orderBy("doc_id")
+
+  /** Full typed decode pipeline (rows-only check: binary explode is not
+    * reasonably expressible in the SQL oracle). */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    features(toMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_meta" -> mediaMeta,
+    "mm2_decode_features" -> decodeFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_meta" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  substr(md5(text), 1, 8) AS sig8,
+         |  concat('{"lang":"', lang, '","source":"', source, '"}') AS meta_json,
+         |  ${Text.sqlHash("substr(text, 1, 16)")} % 256 AS header_code
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

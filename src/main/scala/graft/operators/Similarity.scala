@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Catalog
+import graft.Sql.asLong
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two surfaces (SURVEY.md §2D LLM-pipeline row):
+  *   - brute-force cosine top-k: exact baseline. Probes are broadcast; the
+  *     big side streams once through the scan stage, so cost is
+  *     O(|probes| x N) FLOPs with zero shuffle of the vector table.
+  *   - IVF-style partitioned top-k: `label` plays the role of the coarse
+  *     quantizer cell (nprobe=1). The join is an equi-join on the cell id,
+  *     so at 100 TB each task only scans its cell's vectors — the standard
+  *     ANN partition-pruning shape (a real IVF would add a k-means
+  *     assignment step producing exactly this layout).
+  *
+  * Dot products are computed as ordered folds over the array (elements cast
+  * to double first), which both Spark and the DuckDB oracle evaluate
+  * identically; the reported cosine is rounded to 6 decimals.
+  */
+object Similarity {
+
+  private val ProbeMod = 50
+  private val TopK = 5
+  private val IvfTopK = 3
+
+  private def toD(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Ordered left-fold dot product — deterministic across engines. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame = {
+    val cos = dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("cos", cos)
+      .withColumn("rank", asLong(row_number().over(w)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact brute-force cosine top-k for a deterministic probe subset. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val probes = all.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = all.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("query_id"))
+    topk(pairs, TopK)
+  }
+
+  /** ANN scale path: search only the probe's cell (label = IVF cell id). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val probes = all.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val pairs = all.join(broadcast(probes),
+      col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+    topk(pairs, IvfTopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim1_cosine_topk" -> cosineTopK,
+    "sim2_ivf_topk" -> ivfTopK)
+
+  // DuckDB mirror: same ordered fold via index-transform + list_sum over
+  // doubles, same rank tie-break, same rounding.
+  private val DotAB =
+    "list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * be[i]))"
+
+  private def oracleSql(k: Int, joinCond: String): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, ae, label,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm, label AS qlabel
+       |      FROM n WHERE vec_id % $ProbeMod = 0),
+       |pairs AS (SELECT p.query_id, n.vec_id, p.qnrm, n.nrm,
+       |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
+       |          FROM n JOIN p ON $joinCond n.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+       |             d / (qnrm * nrm) AS cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+       |           FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" -> oracleSql(TopK, ""),
+    "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Catalog
+import graft.Sql.asLong
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline slice (token counting, quality scoring, language-ID,
+  * fingerprinting). Not present in the reference (SURVEY.md §2D last row);
+  * designed per BASELINE.json's LLM-pipeline extension.
+  *
+  * All of these are per-row array computations inside the scan stage — zero
+  * shuffles except the final presentation sort. At 100 TB they are pure
+  * map-side passes that scale linearly with executor count.
+  */
+object TextAnalysis {
+
+  /** documents with a materialized `_toks` array (see Text.withTokens). */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Text.withTokens(Catalog.table(spark, dir, "documents"))
+
+  /** BPE-ish word/number/punct token pattern (same regex engine semantics in
+    * Java and DuckDB's RE2 for this class-only pattern). */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // Per-language marker words for the n-gram/stopword lang-id heuristic.
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "un"))
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      asLong(size(col("_toks"))).as("n_ws_tokens"),
+      asLong(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).as("n_bpe_tokens"),
+      asLong(length(col("text"))).as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    val nTok = size(toks).cast(DoubleType)
+    val stopCnt = Text.countIn(toks, Markers.flatMap(_._2))
+    val punctCnt = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopRatio = stopCnt.cast(DoubleType) / nTok
+    val punctRatio = punctCnt.cast(DoubleType) / length(col("text")).cast(DoubleType)
+    docs(spark, dir).select(
+      col("doc_id"),
+      asLong(size(toks)).as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      (sumTokLen.cast(DoubleType) / nTok).as("avg_token_len"),
+      (least(nTok / lit(100.0), lit(1.0)) * 0.3 + stopRatio * 0.4 +
+        (lit(1.0) - punctRatio) * 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    val scores: Seq[(String, Column)] =
+      Markers.map { case (lang, ws) => lang -> Text.countIn(toks, ws).cast(LongType) }
+    val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
+    // argmax with fixed precedence order (en > de > es > fr), 'und' if all 0
+    val pred = scores.foldRight(lit("und")) { case ((lang, _), els) =>
+      val s = col(s"s_$lang")
+      val others = scores.filter(_._1 != lang).map(o => col(s"s_${o._1}"))
+      when(others.foldLeft(s > 0)((acc, o) => acc && s >= o), lang).otherwise(els)
+    }
+    docs(spark, dir)
+      .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+      .withColumn("pred_lang", pred)
+      .orderBy("doc_id")
+  }
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_full"),
+      md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_content"),
+      substring(md5(col("text")), 1, 8).as("fp8"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count" -> tokenCount,
+    "t2_quality_score" -> qualityScore,
+    "t3_langid" -> langId,
+    "t4_fingerprint" -> fingerprint)
+
+  private val Toks = Text.sqlTokens("text")
+  private val AllMarkers = Markers.flatMap(_._2)
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_obs
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" -> {
+      val stop = Text.sqlCountIn("toks", AllMarkers)
+      s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+         |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |    + (CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "t3_langid" -> {
+      val scoreExprs = Markers.map { case (l, ws) =>
+        s"CAST(${Text.sqlCountIn("toks", ws)} AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val pred = Markers.foldRight("'und'") { case ((lang, _), els) =>
+        val others = Markers.filter(_._1 != lang).map(o => s"s_$lang >= s_${o._1}")
+        s"CASE WHEN s_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang' ELSE $els END"
+      }
+      s"""WITH d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scoreExprs
+         |FROM d)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, $pred AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(text) AS fp_full,
+         |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp_content,
+         |  substr(md5(text), 1, 8) AS fp8
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}
