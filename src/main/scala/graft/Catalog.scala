@@ -64,9 +64,13 @@ object Catalog {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  // events.ts is nanosecond INT64 in the parquet; Spark reads it as a long
+  // (spark.sql.legacy.parquet.nanosAsLong, set in Engine) and
+  // [[normalizeEvents]] converts to a microsecond TimestampType with exact
+  // integer arithmetic (a double division would lose precision above 2^53).
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -93,6 +97,17 @@ object Catalog {
   /** Load a table with its declared schema from an sf directory. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  /** ns-long `ts` → microsecond TimestampType (integer div, no precision
+    * loss). Works on batch and streaming frames alike. */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** events with a proper event-time column. */
+  def eventsNorm(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(table(spark, dir, "events"))
 
   /** Load a table and spread it across all cores. The local testdata ships
     * one parquet file per table — a single scan partition — which serializes

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.{Catalog, Sql}
+import graft.Sql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table (SURVEY.md §2D
+  * streaming row — the reference has only vestigial `StreamBlockId`s,
+  * `storage/BlockId.scala:75-77`; real event streams are new surface).
+  *
+  * The registered queries drive REAL streaming plans (readStream → windowed
+  * agg / stateful map → memory sink) with `Trigger.AvailableNow`, so the
+  * driver's batch-style harness can verify them: the parquet file plays a
+  * bounded stream, the query runs to completion, and the sink table is
+  * returned. On a cluster the same plans run unbounded with checkpointing —
+  * state size is bounded by watermark eviction (tumbling/sliding) or
+  * per-group state (stateful totals), both independent of total stream
+  * length.
+  */
+object StreamingOps {
+
+  private var streamSeq = 0
+  private def nextName(): String = synchronized { streamSeq += 1; s"graft_stream_$streamSeq" }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // the file-stream source requires a directory basePath; glob-filter the
+    // single table file out of the sf directory
+    Catalog.normalizeEvents(
+      spark.readStream.schema(Catalog.events)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = nextName()
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour windows with a 1-hour watermark, APPEND mode: only
+    * windows the watermark has closed are emitted — the late-data-drop
+    * semantics the oracle mirrors with `window_end <= max(ts) - 1h`. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToTable(spark, agg, OutputMode.Append())
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sliding 2-hour windows every hour (batch plan — the window() function
+    * is the same in both modes; this exercises the overlap semantics). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Catalog.eventsNorm(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Per-user session windows with a 30-minute gap (batch session_window;
+    * the oracle reproduces the merge rule with lag + cumulative sum).
+    * Boundary semantics (spec-verified): Spark MERGES events exactly one gap
+    * apart — a new session starts only when the inter-event diff is
+    * STRICTLY greater than the gap. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Catalog.eventsNorm(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      // second-truncated bounds: Spark timestamps are µs while the oracle
+      // engine keeps the parquet's ns — whole-second values compare equal
+      .select(date_trunc("second", col("session_window.start")).as("session_start"),
+        date_trunc("second", col("session_window.end")).as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState. Money is accumulated in exact integer cents inside
+    * the state (doubles would make the final value order-dependent). The
+    * final `groupBy(max)` collapses per-batch update rows from the memory
+    * sink into the final state — counts are monotone, so max = last. */
+  def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    case class E(user_id: Long, cents: Long)
+    val typed = eventsStream(spark, dir)
+      .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+    val updated = typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (uid, n, c)
+      }
+      .toDF("user_id", "n_events", "total_cents")
+    runToTable(spark, updated, OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("total_cents")).as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_tumbling_window" -> tumblingWindow,
+    "s2_sliding_window" -> slidingWindow,
+    "s3_session_windows" -> sessionWindows,
+    "s4_stateful_totals" -> statefulTotals)
+
+  private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "s1_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS n_events, $SumValue AS sum_value
+         |FROM events
+         |GROUP BY date_trunc('hour', ts), event_type
+         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+         |       <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+         |ORDER BY window_start, event_type""".stripMargin,
+    "s2_sliding_window" ->
+      s"""WITH assigned AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, * FROM events
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, * FROM events)
+         |SELECT window_start, COUNT(*) AS n_events, $SumValue AS sum_value
+         |FROM assigned GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "s3_session_windows" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              > INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT date_trunc('second', min(ts)) AS session_start,
+         |  date_trunc('second', max(ts) + INTERVAL 30 MINUTE) AS session_end,
+         |  user_id, COUNT(*) AS n_events, $SumValue AS sum_value
+         |FROM numbered GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
+    "s4_stateful_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalacheck.Gen
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup is idempotent and keeps min doc_id") {
+    val once = Dedup.exactDedup(spark, sf).collect()
+    assert(once.length == 500) // corpus has no exact text dups
+    assert(once.forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
+  test("minhash near-dup pairs are ordered, verified above threshold") {
+    val pairs = Dedup.minhashNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.7)
+    }
+  }
+
+  test("minhash finds a planted near-duplicate") {
+    // construct a tiny corpus in a temp dir: exact structure of documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words with nothing shared at all in any shingle"
+    Seq((0L, base, "en", "s", base.length.toLong),
+      (1L, near, "en", "s", near.length.toLong),
+      (2L, far, "en", "s", far.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashNearDup(spark, tmp).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("simhash of identical token sets is identical") {
+    val rows = Dedup.simhashBuckets(spark, sf).collect()
+    assert(rows.length == 500)
+    // simhash fits in 16 bits
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("simhash"); h >= 0 && h < (1 << 16)
+    })
+  }
+
+  test("dedup(dedup(x)) == dedup(x) on generated corpora (property)") {
+    val gen = Gen.listOfN(30, Gen.oneOf("aa bb cc", "dd ee ff", "gg hh ii"))
+    (1 to 5).foreach { seed =>
+      val texts = gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val d1 = df.dropDuplicates("text")
+      val d2 = d1.dropDuplicates("text")
+      assert(d1.count() == d2.count())
+      assert(d1.count() == texts.distinct.length)
+    }
+  }
+}

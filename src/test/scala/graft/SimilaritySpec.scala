@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force top-k rank 1 matches hand-computed argmax") {
+    val vecs = Catalog.table(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val got = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      val best = (vecs - q).maxBy { case (id, v) => (cosine(vecs(q), v), -id) }._1
+      assert(n == best, s"probe $q: engine=$n brute=$best")
+    }
+  }
+
+  test("ivf top-k only returns same-cell neighbors") {
+    val labels = Catalog.table(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("cosine similarity is bounded and self-excluded") {
+    val rows = Similarity.cosineTopK(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.000001 && c <= 1.000001)
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Multimodal, MediaRecord, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): Seq[String] =
+    Seq(s).toDF("text").select(Text.tokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+
+  test("tokenizer edge cases") {
+    assert(toks("a b  c") == Seq("a", "b", "c"))
+    assert(toks("  leading and trailing  ") == Seq("leading", "and", "trailing"))
+    assert(toks("") == Seq.empty)
+    assert(toks("MiXeD CaSe") == Seq("mixed", "case"))
+  }
+
+  test("shingles3 guard: under 3 tokens yields empty, 3 yields 1") {
+    def sh(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(Text.shingles3(Text.tokens(col("text"))).as("s"))
+        .collect().head.getSeq[String](0)
+    assert(sh("one two") == Seq.empty)
+    assert(sh("one two three") == Seq("one two three"))
+    assert(sh("a b c d").toSet == Set("a b c", "b c d"))
+  }
+
+  test("sharedHash is stable and 60-bit positive") {
+    val h = Seq("abc").toDF("s").select(Text.sharedHash(col("s")).as("h"))
+      .collect().head.getLong(0)
+    assert(h == 648541476951500027L) // = parseHex(md5("abc")[0:15]), cross-checked in DuckDB
+  }
+
+  test("langid scores the marker words") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val pred = r.getAs[String]("pred_lang")
+      assert(Set("en", "de", "es", "fr", "und").contains(pred))
+      if (r.getAs[Long]("s_en") > 0) assert(pred != "und")
+    }
+  }
+
+  test("media decode stub: histogram is a distribution, byte_len exact") {
+    val recs = Seq(
+      MediaRecord(1L, "hello world".getBytes("UTF-8"), "text/plain", Map("k" -> "v")),
+      MediaRecord(2L, Array[Byte](0, 64, -128, -1), "application/octet-stream", Map.empty))
+    val feats = Multimodal.decodeBatch(recs)
+    assert(feats.map(_.doc_id) == Seq(1L, 2L))
+    assert(feats.head.byte_len == 11L)
+    feats.foreach(f => assert(math.abs(f.h0 + f.h1 + f.h2 + f.h3 - 1.0) < 1e-9))
+    // bytes 0,64,-128(=128),-1(=255) land in buckets 0,1,2,3
+    val f2 = feats(1)
+    assert(f2.h0 == 0.25 && f2.h1 == 0.25 && f2.h2 == 0.25 && f2.h3 == 0.25)
+  }
+
+  test("typed media pipeline runs distributed and is deterministic") {
+    val a = Multimodal.decodeFeatures(spark, sf).collect()
+    val b = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(a.length == 500)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+}
