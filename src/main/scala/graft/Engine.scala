@@ -29,7 +29,9 @@ object Engine {
 
   def session(appName: String = "graft", cores: Int = 0): SparkSession = {
     val n = if (cores > 0) cores else Runtime.getRuntime.availableProcessors.min(32)
-    configure(SparkSession.builder().master(s"local[$n]"), appName).getOrCreate()
+    configure(SparkSession.builder().master(s"local[$n]"), appName)
+      .config("spark.sql.shuffle.partitions", n.toString) // not the 200 default
+      .getOrCreate()
   }
 
   /** Apply engine defaults to any builder (used by Verify/Bench which pick

@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.Multimodal.queries ++ streaming.StreamingOps.queries
+      operators.Multimodal.queries ++ operators.Extended.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
-      operators.Multimodal.oracles ++ streaming.StreamingOps.oracles
+      operators.Multimodal.oracles ++ operators.Extended.oracles ++
+      streaming.StreamingOps.oracles
 }

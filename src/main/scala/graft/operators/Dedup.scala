@@ -135,17 +135,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs, blocked by the IVF cell (label): the
+    * semantic-dedup shape — candidate pairs only within a cell, exact
+    * cosine verify. Cosines via the codegen'd vec_dot (bit-identical to the
+    * oracle's ordered fold), so the >= threshold cuts identically. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    def dot(a: String, b: String) = call_function("vec_dot", col(a), col(b))
+    val v = Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"),
+        col("label"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+      col("nrm").as("na"), col("label"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("label"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup,
     "dd2_fingerprint_dedup" -> fingerprintDedup,
     "dd3_minhash_neardup" -> minhashNearDup,
-    "dd4_simhash_buckets" -> simhashBuckets)
+    "dd4_simhash_buckets" -> simhashBuckets,
+    "dd5_embedding_neardup" -> embeddingNearDup)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
 
   private val Toks = Text.sqlTokens("text")
 
   val oracles: Map[String, String] = Map(
+    "dd5_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
+        |n AS (SELECT vec_id, label, ae,
+        |    sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+        |  FROM v),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
+        |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

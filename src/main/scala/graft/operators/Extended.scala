@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Catalog, Sql}
+import graft.Sql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-largest distinct value: a typed [[Aggregator]] (SURVEY.md §2D
+  * UDF/UDAF row). Buffer = (max, second-distinct-max); -Inf sentinels never
+  * collide with real quantities. */
+object SecondMax extends Aggregator[Double, (Double, Double), (Double, Double)] {
+  private val NegInf = Double.NegativeInfinity
+  def zero: (Double, Double) = (NegInf, NegInf)
+  def reduce(b: (Double, Double), x: Double): (Double, Double) = merge(b, (x, NegInf))
+  def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+    val top = math.max(a._1, b._1)
+    val cands = Seq(a._1, a._2, b._1, b._2).filter(_ < top)
+    (top, if (cands.isEmpty) NegInf else cands.max)
+  }
+  def finish(r: (Double, Double)): (Double, Double) = r
+  def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+  def outputEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+}
+
+/** Second wave of SURVEY.md §2D coverage: as-of join, pivot, grouping sets,
+  * JSON scalar functions, non-parquet sources/sinks (CSV/JSON/ORC — no
+  * spark-avro module ships in this environment, Avro is the one gap), HLL
+  * sketch, typed UDAF. */
+object Extended {
+
+  /** As-of join (point-in-time lookup): each event annotated with the most
+    * recent prior-or-same purchase value of the same user. Composed from a
+    * running `last(..., ignoreNulls)` window — no custom operator needed
+    * (SURVEY.md §7.4 preference (a)); at scale this is one shuffle on
+    * user_id, state bounded per partition. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.eventsNorm(spark, dir)
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot: per-user event-type counts (explicit value list keeps the plan
+    * a single pass; missing cells coalesced to 0 to match FILTER counts). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Catalog.table(spark, dir, "events")
+      .groupBy(col("user_id")).pivot("event_type", EventTypes).agg(count(lit(1)))
+    p.select(col("user_id") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Explicit GROUPING SETS via SQL. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.table(spark, dir, "lineitem").createOrReplaceTempView("li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** JSON scalar extraction from the events props payload. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .orderBy("event_id")
+
+  private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val src = Catalog.table(spark, dir, "lineitem")
+      .select(cols.map(col): _*).filter(col("l_orderkey") % 10 === 0)
+    src.write.mode("overwrite").format(format)
+      .option("header", "true").save(s"$tmp/data")
+    val schema = StructType(cols.map(c => Catalog.lineitem(Catalog.lineitem.fieldIndex(c))))
+    spark.read.schema(schema).format(format).option("header", "true").load(s"$tmp/data")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+  }
+
+  /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
+    * re-parse), verified against the parquet oracle. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
+  /** JSON-lines sink+source roundtrip. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "json")
+  /** ORC sink+source roundtrip. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "orc")
+
+  /** HLL sketch distinct counts (approx — rows-only check; the driver
+    * verifies cardinality not hashes, since HLL implementations differ). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** Typed UDAF: max + second-distinct-max of quantity per return flag. */
+  def secondMax(spark: SparkSession, dir: String): DataFrame = {
+    val sm = udaf(SecondMax)
+    Catalog.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sm(col("l_quantity")).as("sm"))
+      .select(col("l_returnflag"), col("sm._1").as("max_qty"), col("sm._2").as("second_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_asof_join" -> asofJoin,
+    "x2_pivot_counts" -> pivotCounts,
+    "x3_grouping_sets" -> groupingSets,
+    "x4_json_extract" -> jsonExtract,
+    "x5_csv_roundtrip" -> csvRoundtrip,
+    "x6_json_roundtrip" -> jsonRoundtrip,
+    "x7_orc_roundtrip" -> orcRoundtrip,
+    "x8_approx_distinct" -> approxDistinct,
+    "x9_second_max" -> secondMax)
+
+  private val RoundtripSql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x1_asof_join" ->
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x2_pivot_counts" ->
+      s"""SELECT user_id,
+         |  ${EventTypes.map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "x4_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x5_csv_roundtrip" -> RoundtripSql,
+    "x6_json_roundtrip" -> RoundtripSql,
+    "x7_orc_roundtrip" -> RoundtripSql,
+    "x9_second_max" ->
+      """WITH m AS (SELECT l_returnflag, MAX(l_quantity) AS max_qty
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT m.l_returnflag, m.max_qty,
+        |  (SELECT MAX(l_quantity) FROM lineitem li
+        |   WHERE li.l_returnflag = m.l_returnflag AND li.l_quantity < m.max_qty) AS second_qty
+        |FROM m ORDER BY m.l_returnflag""".stripMargin)
+}

@@ -31,14 +31,19 @@ object Similarity {
 
   private def toD(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Ordered left-fold dot product — deterministic across engines. */
+  /** Ordered left-fold dot product — deterministic across engines. Uses the
+    * codegen'd [[graft.expr.DoubleVectorDot]] (registered per session);
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` fold it replaces. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
     Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  }
 
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
     val cos = dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))
