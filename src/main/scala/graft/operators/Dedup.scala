@@ -69,9 +69,16 @@ object Dedup {
     // size(sh) > 0: predicate pushdown would inline the whole shingle
     // expression into the pre-Exchange scan filter and evaluate it on the
     // unparallelized side of the shuffle.
+    // Persisted because three arms reuse it (signature explode + both sides
+    // of the Jaccard verify join); recomputing means re-shingling the corpus
+    // per arm. MEMORY_AND_DISK: shingle arrays are ~5x the text size, and at
+    // cluster scale spilling beats recompute for this shape (the reference's
+    // all-or-nothing in-memory stance, SURVEY.md §4.5, maps to exactly this
+    // persist-level decision).
     val withSh = tokenized
       .filter(size(col("_toks")) >= 3)
       .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Explode so the md5 runs ONCE per (doc, shingle) row — computing the 16
     // signatures as array-lambda columns instead lets CollapseProject inline

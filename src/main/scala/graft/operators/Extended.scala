@@ -119,7 +119,51 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** Generator / table-function shape: posexplode tokens to rows, then a
+    * corpus-wide term-frequency top-30. At scale: explode is pipelined in
+    * the scan stage; only (token, partial counts) shuffle. */
+  def tokenExplode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "token")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(30)
+  }
+
+  /** Non-equi-only join → BroadcastNestedLoopJoin (the NLJ row of the §2D
+    * join family; only sane with a broadcast side, which is the point). */
+  def nestedLoopJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Catalog.table(spark, dir, "region")
+    val n = Catalog.table(spark, dir, "nation")
+    n.join(broadcast(r), col("n_regionkey") < col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_larger_regions"))
+      .orderBy("n_name")
+  }
+
+  /** As-of join via the engine's CUSTOM OPERATOR (graft.plans.AsOfJoin:
+    * LogicalPlan + SparkStrategy + sort-merge SparkPlan) — same semantics
+    * as the window composition in x1, but executed by a dedicated physical
+    * operator with O(1) merge state per partition. */
+  def asofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.eventsNorm(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"), col("event_id").as("p_eid"))
+    graft.plans.AsOfJoin.join(ev, purchases,
+        leftTime = "ts", rightTime = "p_ts",
+        leftKey = "user_id", rightKey = "p_user", rightTieBreak = "p_eid")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("p_value").as("asof_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_asof_custom" -> asofCustom,
+    "x10_token_explode" -> tokenExplode,
+    "x11_nested_loop_join" -> nestedLoopJoin,
     "x1_asof_join" -> asofJoin,
     "x2_pivot_counts" -> pivotCounts,
     "x3_grouping_sets" -> groupingSets,
@@ -139,6 +183,22 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x12_asof_custom" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  (SELECT p.value FROM events p
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_value
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    "x10_token_explode" ->
+      s"""WITH d AS (SELECT doc_id, ${graft.functions.Text.sqlTokens("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM d)
+         |SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM e GROUP BY token
+         |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin,
+    "x11_nested_loop_join" ->
+      """SELECT n_name, COUNT(*) AS n_larger_regions
+        |FROM nation, region WHERE n_regionkey < r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "x1_asof_join" ->
       """SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** AS-OF JOIN as a first-class operator — logical node, planner strategy and
+  * physical sort-merge execution (the (c)-tier custom-operator path of
+  * SURVEY.md §7.4; the reference has no relational operators at all, and
+  * vanilla Spark SQL has no as-of join).
+  *
+  * Semantics: for every left row, attach the LAST right row of the same key
+  * group whose time is <= the left row's time (ties broken by the right
+  * tiebreak expression's order); null-extended when no such row exists.
+  *
+  * Scale design: both sides hash-cluster on the key (`ClusteredDistribution`
+  * — EnsureRequirements inserts co-aligned exchanges) and sort within
+  * partitions by (key, time[, tiebreak]). The merge walks each partition
+  * pair ONCE with O(1) state (one buffered right row) — the same cost shape
+  * as a sort-merge join, no window materialization of the right side, no
+  * per-key state accumulation. At 100 TB that is two shuffles + linear
+  * merge, and AQE still handles skewed keys upstream.
+  *
+  * v1 restrictions (checked at construction): key and tiebreak expressions
+  * must be long-typed, time expressions timestamp- or long-typed; inputs
+  * must not contain null keys/times (filter upstream).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftTime: Expression, rightTime: Expression,
+    leftKey: Expression, rightKey: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lt, rt, lk, rk, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lt, rt, lk, rk, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftTime: Expression, rightTime: Expression,
+    leftKey: Expression, rightKey: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTieBreak, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rWidth = right.output.length
+    val outSchema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outSchema, outSchema)
+      val rBuf = rIter.buffered
+      // one-row carry state: last right row still satisfying rts <= lts for
+      // the current key; rows arrive key-sorted so state resets per key
+      var carry: InternalRow = null
+      var carryKey = 0L
+      lIter.map { l =>
+        val lk = lKeyB.eval(l).asInstanceOf[Long]
+        val lt = lTimeB.eval(l).asInstanceOf[Long]
+        if (carry != null && carryKey != lk) carry = null
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val rk = rKeyB.eval(rBuf.head).asInstanceOf[Long]
+          if (rk < lk) { rBuf.next() } // behind: discard
+          else if (rk == lk && rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lt) {
+            carry = rBuf.next().copy() // iterator rows are reused — copy
+            carryKey = rk
+          } else advance = false
+        }
+        val r = if (carry != null && carryKey == lk) carry else nullRight
+        project(joined(l, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfJoin {
+  /** Install the planner strategy (idempotent per session). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** left AS-OF right: latest right row per key with rightTime <= leftTime.
+    * Column names must be unambiguous across the two sides. */
+  def join(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKey: String, rightKey: String,
+      rightTieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(rPlan, rightTieBreak))
+    GraftSqlBridge.ofRows(spark, plan)
+  }
+}
