@@ -72,8 +72,8 @@ object Multimodal {
       pmod(Text.sharedHash(substring(col("text"), 1, 16)), lit(256L)).as("header_code"))
       .orderBy("doc_id")
 
-  /** Full typed decode pipeline (rows-only check: binary explode is not
-    * reasonably expressible in the SQL oracle). */
+  /** Full typed decode pipeline (oracle-checked: for ASCII payloads the
+    * byte histogram reduces to regex byte-class counts in SQL). */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
     features(toMedia(spark, dir)).toDF().orderBy("doc_id")
 
@@ -82,6 +82,18 @@ object Multimodal {
     "mm2_decode_features" -> decodeFeatures)
 
   val oracles: Map[String, String] = Map(
+    // The decode stub's 4-bucket byte histogram is oracle-expressible for
+    // this corpus because the text is pure ASCII (1 byte/char, all < 0x80):
+    // bucket counts become regex byte-class counts; h2/h3 are exactly 0.
+    "mm2_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x3f]')) AS DOUBLE)
+        |    / greatest(octet_length(encode(text)), 1) AS h0,
+        |  CAST(len(regexp_extract_all(text, '[\x40-\x7f]')) AS DOUBLE)
+        |    / greatest(octet_length(encode(text)), 1) AS h1,
+        |  CAST(0.0 AS DOUBLE) AS h2, CAST(0.0 AS DOUBLE) AS h3
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
