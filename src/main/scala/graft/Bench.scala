@@ -10,11 +10,17 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus),
       "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JVM/codegen/parquet-footer/AQE initialization otherwise
+    // lands entirely on whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Catalog.table(spark, sfDir, "lineitem").limit(10).count()
+    } catch { case _: Throwable => }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Extended
+import org.apache.spark.sql.functions._
+
+class ExtendedSpec extends SparkSpec {
+
+  test("pivot cells sum to the user's total event count") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Extended.pivotCounts(spark, sf).collect()
+    val totals = Catalog.table(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(pivoted.nonEmpty)
+    pivoted.foreach { r =>
+      val sum = types.map(t => r.getAs[Long](t)).sum
+      assert(sum == totals(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("csv/json/orc roundtrips agree with the direct parquet aggregation") {
+    val direct = Catalog.table(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Sql.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    for (q <- Seq(Extended.csvRoundtrip _, Extended.jsonRoundtrip _, Extended.orcRoundtrip _)) {
+      val got = q(spark, sf).collect()
+        .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Double]("sum_qty"),
+          r.getAs[Long]("n_lines"))).toSet
+      assert(got == direct)
+    }
+  }
+
+  test("grouping sets produce |flags| + |statuses| + 1 rows") {
+    val li = Catalog.table(spark, sf, "lineitem")
+    val expected = li.select("l_returnflag").distinct.count() +
+      li.select("l_linestatus").distinct.count() + 1
+    assert(Extended.groupingSets(spark, sf).count() == expected)
+  }
+
+  test("second max is strictly below max and both exist in the data") {
+    val qtys = Catalog.table(spark, sf, "lineitem")
+      .select("l_quantity").collect().map(_.getDouble(0)).toSet
+    Extended.secondMax(spark, sf).collect().foreach { r =>
+      val mx = r.getAs[Double]("max_qty"); val snd = r.getAs[Double]("second_qty")
+      assert(snd < mx)
+      assert(qtys.contains(mx) && qtys.contains(snd))
+    }
+  }
+
+  test("token explode top-30 is frequency-sorted and n_docs <= n_occurrences") {
+    val rows = Extended.tokenExplode(spark, sf).collect()
+    assert(rows.length == 30)
+    val freqs = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)))
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
+  }
+}
