@@ -160,7 +160,34 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** Value-based (RANGE) window frame: per customer, orders in the trailing
+    * 90 days — the frame bound is a value offset on event time, not a row
+    * count. Epoch-second longs keep the frame arithmetic engine-agnostic. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
+      .rangeBetween(-90L * 24 * 3600, 0L)
+    Catalog.table(spark, dir, "orders")
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .withColumn("n_orders_90d", count(lit(1)).over(w))
+      .withColumn("sum_price_90d", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_orders_90d"), col("sum_price_90d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (both engines use the (n-1)*p linear
+    * interpolation rule; inputs are 2-decimal doubles so the arithmetic is
+    * identical). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_range_frame" -> rangeFrame,
+    "x14_percentiles" -> percentiles,
     "x12_asof_custom" -> asofCustom,
     "x10_token_explode" -> tokenExplode,
     "x11_nested_loop_join" -> nestedLoopJoin,
@@ -183,6 +210,19 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x13_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_orders_90d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_price_90d
+        |FROM (SELECT *, epoch_us(o_orderdate) // 1000000 AS epoch_s FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+        |             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x14_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x12_asof_custom" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |  (SELECT p.value FROM events p
