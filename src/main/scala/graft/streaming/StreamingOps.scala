@@ -54,14 +54,17 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
-  /** Sliding 2-hour windows every hour (batch plan — the window() function
-    * is the same in both modes; this exercises the overlap semantics). */
-  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
-    Catalog.eventsNorm(spark, dir)
+  /** Sliding 2-hour windows every hour, as a STREAMING aggregation in
+    * complete mode (every window emitted on termination — deterministic,
+    * no watermark cutoff; each event lands in exactly two windows). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToTable(spark, agg, OutputMode.Complete())
       .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy("window_start")
+  }
 
   /** Per-user session windows with a 30-minute gap (batch session_window;
     * the oracle reproduces the merge rule with lag + cumulative sum).
