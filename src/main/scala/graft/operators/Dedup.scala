@@ -63,7 +63,16 @@ object Dedup {
   private def permA(j: Int): Long = (2L * j + 1) * 1000003L % P
   private def permB(j: Int): Long = j * 999983L % P
 
+  // previous invocation's persisted shingle frame — released on the next
+  // call so repeated Verify/Bench runs in one session don't accumulate
+  // cached copies (each is ~5x the corpus text size)
+  private var lastShingleCache: Option[DataFrame] = None
+
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    synchronized {
+      lastShingleCache.foreach(_.unpersist(blocking = false))
+      lastShingleCache = None
+    }
     val tokenized = Text.withTokens(Catalog.table(spark, dir, "documents"))
     // Filter on the CHEAP precondition (≥3 tokens ⟺ ≥1 shingle), not on
     // size(sh) > 0: predicate pushdown would inline the whole shingle
@@ -79,6 +88,7 @@ object Dedup {
       .filter(size(col("_toks")) >= 3)
       .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { lastShingleCache = Some(withSh) }
 
     // Explode so the md5 runs ONCE per (doc, shingle) row — computing the 16
     // signatures as array-lambda columns instead lets CollapseProject inline

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Second-largest distinct value: a typed [[Aggregator]] (SURVEY.md §2D
-  * UDF/UDAF row). Buffer = (max, second-distinct-max); -Inf sentinels never
-  * collide with real quantities. */
-object SecondMax extends Aggregator[Double, (Double, Double), (Double, Double)] {
+  * UDF/UDAF row). Buffer = (max, second-distinct-max) with -Inf sentinels;
+  * finish maps sentinels to SQL NULL (boxed output) — a single-distinct-
+  * value group has no second max, matching the oracle's NULL subquery. */
+object SecondMax extends Aggregator[Double, (Double, Double),
+    (java.lang.Double, java.lang.Double)] {
   private val NegInf = Double.NegativeInfinity
   def zero: (Double, Double) = (NegInf, NegInf)
   def reduce(b: (Double, Double), x: Double): (Double, Double) = merge(b, (x, NegInf))
@@ -19,11 +21,14 @@ object SecondMax extends Aggregator[Double, (Double, Double), (Double, Double)] 
     val cands = Seq(a._1, a._2, b._1, b._2).filter(_ < top)
     (top, if (cands.isEmpty) NegInf else cands.max)
   }
-  def finish(r: (Double, Double)): (Double, Double) = r
+  def finish(r: (Double, Double)): (java.lang.Double, java.lang.Double) = {
+    def orNull(d: Double): java.lang.Double = if (d == NegInf) null else d
+    (orNull(r._1), orNull(r._2))
+  }
   def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
     org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
   def outputEncoder = org.apache.spark.sql.Encoders.tuple(
-    org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+    org.apache.spark.sql.Encoders.DOUBLE, org.apache.spark.sql.Encoders.DOUBLE)
 }
 
 /** Second wave of SURVEY.md §2D coverage: as-of join, pivot, grouping sets,
@@ -77,7 +82,9 @@ object Extended {
       .orderBy("event_id")
 
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+    // fixed per-format location + overwrite mode: repeated runs reuse the
+    // same directory instead of accumulating temp copies
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$format"
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     val src = Catalog.table(spark, dir, "lineitem")
       .select(cols.map(col): _*).filter(col("l_orderkey") % 10 === 0)
@@ -223,11 +230,15 @@ object Extended {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // epoch_us(..) everywhere the engine compares times: Spark sees
+    // µs-truncated timestamps (ns parquet → TimestampType), so the oracle
+    // must compare at the same precision or same-µs events diverge
     "x12_asof_custom" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |  (SELECT p.value FROM events p
-        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
-        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_value
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |     AND epoch_us(p.ts) <= epoch_us(e.ts)
+        |   ORDER BY epoch_us(p.ts) DESC, p.event_id DESC LIMIT 1) AS asof_value
         |FROM events e ORDER BY e.event_id""".stripMargin,
     "x10_token_explode" ->
       s"""WITH d AS (SELECT doc_id, ${graft.functions.Text.sqlTokens("text")} AS toks FROM documents),
@@ -242,7 +253,7 @@ object Extended {
     "x1_asof_join" ->
       """SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
         |FROM events ORDER BY event_id""".stripMargin,
     "x2_pivot_counts" ->

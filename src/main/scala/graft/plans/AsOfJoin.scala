@@ -25,9 +25,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * per-key state accumulation. At 100 TB that is two shuffles + linear
   * merge, and AQE still handles skewed keys upstream.
   *
-  * v1 restrictions (checked at construction): key and tiebreak expressions
-  * must be long-typed, time expressions timestamp- or long-typed; inputs
-  * must not contain null keys/times (filter upstream).
+  * v1 restrictions (enforced in AsOfJoin.join): key and tiebreak columns
+  * must be long-typed, time columns timestamp- or long-typed. Null
+  * semantics follow SQL joins: a null key/time on the left null-extends;
+  * null-keyed right rows match nothing.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -76,26 +77,36 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outSchema, outSchema)
-      val rBuf = rIter.buffered
+      // SQL null semantics: right rows with null key/time can never match —
+      // drop them up front (they sort first under Ascending anyway)
+      val rBuf = rIter.filter(r =>
+        rKeyB.eval(r) != null && rTimeB.eval(r) != null).buffered
       // one-row carry state: last right row still satisfying rts <= lts for
       // the current key; rows arrive key-sorted so state resets per key
       var carry: InternalRow = null
       var carryKey = 0L
       lIter.map { l =>
-        val lk = lKeyB.eval(l).asInstanceOf[Long]
-        val lt = lTimeB.eval(l).asInstanceOf[Long]
-        if (carry != null && carryKey != lk) carry = null
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rk = rKeyB.eval(rBuf.head).asInstanceOf[Long]
-          if (rk < lk) { rBuf.next() } // behind: discard
-          else if (rk == lk && rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lt) {
-            carry = rBuf.next().copy() // iterator rows are reused — copy
-            carryKey = rk
-          } else advance = false
+        val lkRaw = lKeyB.eval(l)
+        val ltRaw = lTimeB.eval(l)
+        if (lkRaw == null || ltRaw == null) {
+          // null key/time matches nothing: null-extend, keep carry state
+          project(joined(l, nullRight))
+        } else {
+          val lk = lkRaw.asInstanceOf[Long]
+          val lt = ltRaw.asInstanceOf[Long]
+          if (carry != null && carryKey != lk) carry = null
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rk = rKeyB.eval(rBuf.head).asInstanceOf[Long]
+            if (rk < lk) { rBuf.next() } // behind: discard
+            else if (rk == lk && rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lt) {
+              carry = rBuf.next().copy() // iterator rows are reused — copy
+              carryKey = rk
+            } else advance = false
+          }
+          val r = if (carry != null && carryKey == lk) carry else nullRight
+          project(joined(l, r))
         }
-        val r = if (carry != null && carryKey == lk) carry else nullRight
-        project(joined(l, r))
       }
     }
   }
@@ -126,10 +137,21 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    def requireType(a: Attribute, ok: org.apache.spark.sql.types.DataType => Boolean,
+        what: String): Attribute = {
+      require(ok(a.dataType), s"as-of $what column '${a.name}' must be " +
+        s"long- or timestamp-typed, got ${a.dataType}")
+      a
+    }
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def keyOk(t: org.apache.spark.sql.types.DataType) = t == LongType
+    def timeOk(t: org.apache.spark.sql.types.DataType) = t == LongType || t == TimestampType
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(rPlan, rightTieBreak))
+      requireType(attr(lPlan, leftTime), timeOk, "time"),
+      requireType(attr(rPlan, rightTime), timeOk, "time"),
+      requireType(attr(lPlan, leftKey), keyOk, "key"),
+      requireType(attr(rPlan, rightKey), keyOk, "key"),
+      requireType(attr(rPlan, rightTieBreak), keyOk, "tiebreak"))
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

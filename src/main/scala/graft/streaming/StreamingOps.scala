@@ -23,7 +23,16 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   private var streamSeq = 0
-  private def nextName(): String = synchronized { streamSeq += 1; s"graft_stream_$streamSeq" }
+  private var lastTable: Option[(SparkSession, String)] = None
+  private def nextName(spark: SparkSession): String = synchronized {
+    // drop the previous invocation's sink table — memory sinks pin their
+    // full result in the driver, and names are never reused
+    lastTable.foreach { case (s, n) => s.catalog.dropTempView(n) }
+    streamSeq += 1
+    val name = s"graft_stream_$streamSeq"
+    lastTable = Some((spark, name))
+    name
+  }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
     // the file-stream source requires a directory basePath; glob-filter the
@@ -33,7 +42,7 @@ object StreamingOps {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = nextName()
+    val name = nextName(spark)
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -85,8 +94,11 @@ object StreamingOps {
   /** Arbitrary stateful processing: running per-user totals via
     * mapGroupsWithState. Money is accumulated in exact integer cents inside
     * the state (doubles would make the final value order-dependent). The
-    * final `groupBy(max)` collapses per-batch update rows from the memory
-    * sink into the final state — counts are monotone, so max = last. */
+    * The memory sink in Update mode keeps one row per user per micro-batch;
+    * the final state is recovered with max(struct(n_events, total_cents)) —
+    * n_events strictly increases across a user's updates, so the
+    * lexicographic struct max selects the LAST update even when
+    * total_cents itself is non-monotone (negative values/refunds). */
   def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     case class E(user_id: Long, cents: Long)
@@ -105,7 +117,9 @@ object StreamingOps {
       .toDF("user_id", "n_events", "total_cents")
     runToTable(spark, updated, OutputMode.Update())
       .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"), max(col("total_cents")).as("total_cents"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        col("last.total_cents").as("total_cents"))
       .orderBy("user_id")
   }
 
@@ -123,8 +137,8 @@ object StreamingOps {
          |  COUNT(*) AS n_events, $SumValue AS sum_value
          |FROM events
          |GROUP BY date_trunc('hour', ts), event_type
-         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-         |       <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+         |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000
+         |       <= (SELECT epoch_ms(max(ts)) - 3600000 FROM events)
          |ORDER BY window_start, event_type""".stripMargin,
     "s2_sliding_window" ->
       s"""WITH assigned AS (
@@ -136,13 +150,14 @@ object StreamingOps {
     "s3_session_windows" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,
-         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-         |              > INTERVAL 30 MINUTE
-         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+         |              > 1800000000
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
          |         THEN 1 ELSE 0 END AS new_session
          |  FROM events),
          |numbered AS (
-         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
          |  FROM flagged)
          |SELECT date_trunc('second', min(ts)) AS session_start,

@@ -44,6 +44,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L) == 1.0) // only 08:00 ≤ 09:00
   }
 
+  test("null left key/time null-extends; null right keys never match") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Some(7L), Some(ts("2024-01-01 12:00:00"))),
+      (2L, None, Some(ts("2024-01-01 12:00:00"))),       // null key
+      (3L, Some(7L), Option.empty[Timestamp]))           // null time
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(7L), ts("2024-01-01 08:00:00"), 1.0, 100L),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 9.0, 101L)) // null key: unmatchable
+      .toDF("p_user", "p_ts", "p_value", "p_eid")
+    val out = AsOfJoin.join(left, right, "ts", "p_ts", "user_id", "p_user", "p_eid")
+      .select(col("event_id"), col("p_value")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
+  test("non-long key type fails fast at construction") {
+    val left = Seq(("k", 1L)).toDF("key", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, left, "ts", "ts", "key", "key", "ts")
+    }
+    assert(e.getMessage.contains("must be"))
+  }
+
   test("unknown column name raises a clear error") {
     val left = Seq((1L, 1L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
