@@ -123,7 +123,49 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Stream-stream inner join: each click joined to same-user purchases
+    * within the following 30 minutes. Both sides carry watermarks + a time
+    * range, so join state is bounded (Spark evicts rows once the other
+    * side's watermark passes the range) — the canonical unbounded-join
+    * pattern. Inner join emits every match regardless of watermark, so the
+    * bounded-input result equals the batch join the oracle runs. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"), col("value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Streaming deduplication: watermarked dropDuplicates on
+    * (user_id, hour) — state evicted as the watermark passes. Output is the
+    * distinct key set (which concrete row survives a dup group is
+    * arrival-order dependent, the key set is not). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "hour_bucket")
+      .select(col("user_id"), col("hour_bucket"))
+    runToTable(spark, deduped, OutputMode.Append())
+      .orderBy("user_id", "hour_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_stream_stream_join" -> streamStreamJoin,
+    "s6_stream_dedup" -> streamDedup,
     "s1_tumbling_window" -> tumblingWindow,
     "s2_sliding_window" -> slidingWindow,
     "s3_session_windows" -> sessionWindows,
@@ -132,6 +174,18 @@ object StreamingOps {
   private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "s5_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, p.value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "s6_stream_dedup" ->
+      """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_bucket
+        |FROM events ORDER BY user_id, hour_bucket""".stripMargin,
     "s1_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  COUNT(*) AS n_events, $SumValue AS sum_value
