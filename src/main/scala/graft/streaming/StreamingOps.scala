@@ -43,8 +43,18 @@ object StreamingOps {
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = nextName(spark)
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    // Stateful streaming cost scales with state-store instances (= shuffle
+    // partitions, fixed at query start). The local event volumes don't
+    // amortize 32 stores x per-batch commits; 8 is plenty here. On a real
+    // cluster this knob follows executor count instead. Restored after
+    // start: the partition count is baked into the query at startup.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prev.toInt).toString)
+      df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
