@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * operator path from SURVEY.md §7.4: a native `Expression` where the
   * built-in combinators can't hit codegen.
   *
-  * Null handling: null if either array is null (BinaryExpression default);
-  * arrays are assumed element-complete (embedding vectors), and the shorter
-  * length guards ragged input.
+  * Null handling matches the fold it replaces exactly: NULL if either array
+  * is null, if the lengths differ (zip_with null-pads the shorter side), or
+  * if any element is null (null propagates through the sum).
   */
 case class DoubleVectorDot(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -69,10 +69,6 @@ object Dedup {
   private var lastShingleCache: Option[DataFrame] = None
 
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    synchronized {
-      lastShingleCache.foreach(_.unpersist(blocking = false))
-      lastShingleCache = None
-    }
     val tokenized = Text.withTokens(Catalog.table(spark, dir, "documents"))
     // Filter on the CHEAP precondition (≥3 tokens ⟺ ≥1 shingle), not on
     // size(sh) > 0: predicate pushdown would inline the whole shingle
@@ -84,11 +80,21 @@ object Dedup {
     // cluster scale spilling beats recompute for this shape (the reference's
     // all-or-nothing in-memory stance, SURVEY.md §4.5, maps to exactly this
     // persist-level decision).
-    val withSh = tokenized
-      .filter(size(col("_toks")) >= 3)
-      .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { lastShingleCache = Some(withSh) }
+    // Release-then-register in ONE synchronized block: a check-then-act
+    // window would let two concurrent callers strand a persisted copy; the
+    // unpersist is guarded because the previous frame may belong to an
+    // already-stopped session.
+    val withSh = synchronized {
+      lastShingleCache.foreach { prev =>
+        try prev.unpersist(blocking = false) catch { case _: Exception => }
+      }
+      val df = tokenized
+        .filter(size(col("_toks")) >= 3)
+        .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastShingleCache = Some(df)
+      df
+    }
 
     // Explode so the md5 runs ONCE per (doc, shingle) row — computing the 16
     // signatures as array-lambda columns instead lets CollapseProject inline

@@ -81,10 +81,14 @@ object Extended {
         get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
       .orderBy("event_id")
 
+  // One unique temp base per JVM (collision-free across concurrent
+  // processes/users, unlike a fixed /tmp name), reused across calls within
+  // the JVM so repeated runs don't accumulate copies.
+  private lazy val roundtripBase: String =
+    java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
-    // fixed per-format location + overwrite mode: repeated runs reuse the
-    // same directory instead of accumulating temp copies
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$format"
+    val tmp = s"$roundtripBase/$format"
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     val src = Catalog.table(spark, dir, "lineitem")
       .select(cols.map(col): _*).filter(col("l_orderkey") % 10 === 0)

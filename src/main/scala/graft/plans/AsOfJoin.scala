@@ -138,20 +138,20 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
     def requireType(a: Attribute, ok: org.apache.spark.sql.types.DataType => Boolean,
-        what: String): Attribute = {
-      require(ok(a.dataType), s"as-of $what column '${a.name}' must be " +
-        s"long- or timestamp-typed, got ${a.dataType}")
+        what: String, accepted: String): Attribute = {
+      require(ok(a.dataType),
+        s"as-of $what column '${a.name}' must be $accepted, got ${a.dataType}")
       a
     }
     import org.apache.spark.sql.types.{LongType, TimestampType}
     def keyOk(t: org.apache.spark.sql.types.DataType) = t == LongType
     def timeOk(t: org.apache.spark.sql.types.DataType) = t == LongType || t == TimestampType
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      requireType(attr(lPlan, leftTime), timeOk, "time"),
-      requireType(attr(rPlan, rightTime), timeOk, "time"),
-      requireType(attr(lPlan, leftKey), keyOk, "key"),
-      requireType(attr(rPlan, rightKey), keyOk, "key"),
-      requireType(attr(rPlan, rightTieBreak), keyOk, "tiebreak"))
+      requireType(attr(lPlan, leftTime), timeOk, "time", "long- or timestamp-typed"),
+      requireType(attr(rPlan, rightTime), timeOk, "time", "long- or timestamp-typed"),
+      requireType(attr(lPlan, leftKey), keyOk, "key", "long-typed"),
+      requireType(attr(rPlan, rightKey), keyOk, "key", "long-typed"),
+      requireType(attr(rPlan, rightTieBreak), keyOk, "tiebreak", "long-typed"))
     GraftSqlBridge.ofRows(spark, plan)
   }
 }

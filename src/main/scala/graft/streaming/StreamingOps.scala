@@ -23,14 +23,18 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   private var streamSeq = 0
-  private var lastTable: Option[(SparkSession, String)] = None
+  private var lastTable: Option[String] = None
   private def nextName(spark: SparkSession): String = synchronized {
     // drop the previous invocation's sink table — memory sinks pin their
-    // full result in the driver, and names are never reused
-    lastTable.foreach { case (s, n) => s.catalog.dropTempView(n) }
+    // full result in the driver, and names are never reused. Dropped via
+    // the CURRENT session (name-only state): holding the previous session
+    // would pin it after stop() and drop against a dead catalog.
+    lastTable.foreach { n =>
+      try spark.catalog.dropTempView(n) catch { case _: Exception => }
+    }
     streamSeq += 1
     val name = s"graft_stream_$streamSeq"
-    lastTable = Some((spark, name))
+    lastTable = Some(name)
     name
   }
 
@@ -73,14 +77,16 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
-  /** Sliding 2-hour windows every hour, as a STREAMING aggregation in
-    * complete mode (every window emitted on termination — deterministic,
-    * no watermark cutoff; each event lands in exactly two windows). */
+  /** Sliding 2-hour windows every hour as a STREAMING aggregation —
+    * watermarked APPEND mode like s1 (each event lands in two windows;
+    * state is watermark-evicted, so the plan runs unbounded). Only windows
+    * the watermark has closed emit; the oracle mirrors the cutoff. */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-    runToTable(spark, agg, OutputMode.Complete())
+    runToTable(spark, agg, OutputMode.Append())
       .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
       .orderBy("window_start")
   }
@@ -160,13 +166,16 @@ object StreamingOps {
   }
 
   /** Streaming deduplication: watermarked dropDuplicates on
-    * (user_id, hour) — state evicted as the watermark passes. Output is the
-    * distinct key set (which concrete row survives a dup group is
-    * arrival-order dependent, the key set is not). */
+    * (user_id, hour). The WATERMARK COLUMN IS PART OF THE DEDUP KEY
+    * (hour_bucket carries the event-time metadata) — that is what lets
+    * Spark evict state for buckets the watermark has passed; a watermark on
+    * a non-key column leaves dedup state unbounded. Output is the distinct
+    * key set (which concrete row survives a dup group is arrival-order
+    * dependent, the key set is not). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(spark, dir)
       .withColumn("hour_bucket", date_trunc("hour", col("ts")))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("hour_bucket", "2 hours")
       .dropDuplicates("user_id", "hour_bucket")
       .select(col("user_id"), col("hour_bucket"))
     runToTable(spark, deduped, OutputMode.Append())
@@ -210,7 +219,10 @@ object StreamingOps {
          |  UNION ALL
          |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, * FROM events)
          |SELECT window_start, COUNT(*) AS n_events, $SumValue AS sum_value
-         |FROM assigned GROUP BY window_start ORDER BY window_start""".stripMargin,
+         |FROM assigned GROUP BY window_start
+         |HAVING epoch_ms(window_start) + 7200000
+         |       <= (SELECT epoch_ms(max(ts)) - 3600000 FROM events)
+         |ORDER BY window_start""".stripMargin,
     "s3_session_windows" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("watermark-keyed streaming dedup drops late duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("user_id", "hour_bucket")
+      .withWatermark("hour_bucket", "1 hour")
+      .dropDuplicates("user_id", "hour_bucket")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+    input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 15:00:00"))) // watermark → 14:00
+    q.processAllAvailable()
+    // duplicate key from 10:00 arrives late (< 14:00 watermark): dropped,
+    // not re-emitted even though its dedup state was evicted
+    input.addData((1L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_test").collect()
+    assert(rows.length == 2) // (1, 10:00) once + (2, 15:00)
+  }
+
   test("session window gap boundary: exactly-gap split, just-under merge") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")),
