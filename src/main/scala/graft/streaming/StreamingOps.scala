@@ -182,7 +182,23 @@ object StreamingOps {
       .orderBy("user_id", "hour_bucket")
   }
 
+  /** Stream-static enrichment join: the event stream joined to the static
+    * customer dimension (broadcast — no stream state at all, the canonical
+    * dimension-enrichment shape), aggregated per market segment. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Catalog.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventsStream(spark, dir)
+      .withColumn("c_custkey", col("user_id") + 1) // synthetic FK: users 0..N-1 ↔ custkeys 1..N
+      .join(broadcast(cust), Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    runToTable(spark, enriched, OutputMode.Complete())
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_stream_static_join" -> streamStaticJoin,
     "s5_stream_stream_join" -> streamStreamJoin,
     "s6_stream_dedup" -> streamDedup,
     "s1_tumbling_window" -> tumblingWindow,
@@ -193,6 +209,10 @@ object StreamingOps {
   private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "s7_stream_static_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events, $SumValue AS sum_value
+         |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s5_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.user_id, p.value
