@@ -28,7 +28,8 @@ object Engine {
   val LocalShufflePartitions = 32
 
   def session(appName: String = "graft", cores: Int = 0): SparkSession = {
-    val n = if (cores > 0) cores else Runtime.getRuntime.availableProcessors.min(32)
+    val n = if (cores > 0) cores
+      else Runtime.getRuntime.availableProcessors.min(LocalShufflePartitions)
     configure(SparkSession.builder().master(s"local[$n]"), appName)
       .config("spark.sql.shuffle.partitions", n.toString) // not the 200 default
       .getOrCreate()

@@ -56,6 +56,15 @@ object Text {
   def sharedHash(s: Column, seed: Int): Column =
     sharedHash(concat(lit(s"$seed:"), s))
 
+  /** Canonical bag-of-words digest: md5 over the sorted distinct tokens.
+    * Single definition shared by dedup + fingerprint operators so the Spark
+    * expression and its SQL mirror can never drift apart. */
+  def contentFingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  def sqlContentFingerprint(toksExpr: String): String =
+    s"md5(array_to_string(list_sort(list_distinct($toksExpr)), ' '))"
+
   /** Count of tokens that appear in a fixed marker set (lang-id / stopword
     * scoring). Pure array op, no shuffle. */
   def countIn(toks: Column, words: Seq[String]): Column =

@@ -46,7 +46,7 @@ object Dedup {
     * (collapses word-order-only edits — cheap content dedup). */
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
     Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .groupBy(md5(array_join(array_sort(array_distinct(col("_toks"))), " ")).as("fp"))
+      .groupBy(Text.contentFingerprint(col("_toks")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
@@ -54,9 +54,9 @@ object Dedup {
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified.
     *
     * shingle → base hash (ONE md5 per shingle) → 16 linear-permutation
-    * min-hashes h_j = (a_j·h + b_j) mod p (map-side array folds; the md5 is
-    * the expensive part, so the permutation family keeps signature cost at
-    * one digest per shingle) → 8 bands of 2 → band self-join (candidates) →
+    * min-hashes h_j = (a_j·h + b_j) mod p (the md5 is the expensive part, so
+    * the permutation family keeps signature cost at one digest per
+    * shingle) → NumBands bands of RowsPerBand → band self-join (candidates) →
     * exact 3-shingle Jaccard ≥ 0.7 (verify).
     */
   private val P = 2147483647L // 2^31-1; a_j·h stays < 2^62, no i64 overflow
@@ -169,6 +169,7 @@ object Dedup {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"),
         col("label"))
       .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+      .filter(col("nrm") > 0) // zero vectors excluded (cosine undefined)
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
       col("nrm").as("na"), col("label"))
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
@@ -195,9 +196,10 @@ object Dedup {
     "dd5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
-        |n AS (SELECT vec_id, label, ae,
+        |n0 AS (SELECT vec_id, label, ae,
         |    sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
         |  FROM v),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
         |      / (a.nrm * b.nrm) AS c
@@ -209,10 +211,10 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dd2_fingerprint_dedup" ->
       s"""SELECT min(doc_id) AS doc_id,
-         |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp,
+         |  ${Text.sqlContentFingerprint(Toks)} AS fp,
          |  COUNT(*) AS n_copies
          |FROM documents
-         |GROUP BY md5(array_to_string(list_sort(list_distinct($Toks)), ' '))
+         |GROUP BY ${Text.sqlContentFingerprint(Toks)}
          |ORDER BY doc_id""".stripMargin,
     "dd3_minhash_neardup" -> {
       val mh = (0 until NumHashes).map { j =>

@@ -84,8 +84,16 @@ object Extended {
   // One unique temp base per JVM (collision-free across concurrent
   // processes/users, unlike a fixed /tmp name), reused across calls within
   // the JVM so repeated runs don't accumulate copies.
-  private lazy val roundtripBase: String =
-    java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+  private lazy val roundtripBase: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-roundtrip")
+    sys.addShutdownHook { // best-effort cleanup so runs don't accumulate in /tmp
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
 
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val tmp = s"$roundtripBase/$format"

@@ -43,6 +43,7 @@ object Similarity {
     Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("nrm") > 0) // zero vectors have no cosine; Divide null vs NaN differs cross-engine
   }
 
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
@@ -92,11 +93,12 @@ object Similarity {
        |n AS (SELECT vec_id, ae, label,
        |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
        |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
        |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm, label AS qlabel
-       |      FROM n WHERE vec_id % $ProbeMod = 0),
+       |      FROM nz WHERE vec_id % $ProbeMod = 0),
        |pairs AS (SELECT p.query_id, n.vec_id, p.qnrm, n.nrm,
        |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
-       |          FROM n JOIN p ON $joinCond n.vec_id <> p.query_id),
+       |          FROM nz n JOIN p ON $joinCond n.vec_id <> p.query_id),
        |ranked AS (SELECT query_id, vec_id AS neighbor_id,
        |             d / (qnrm * nrm) AS cos,
        |             ROW_NUMBER() OVER (PARTITION BY query_id

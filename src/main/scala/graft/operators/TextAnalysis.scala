@@ -49,7 +49,12 @@ object TextAnalysis {
     val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val stopRatio = stopCnt.cast(DoubleType) / nTok
     val punctRatio = punctCnt.cast(DoubleType) / length(col("text")).cast(DoubleType)
-    docs(spark, dir).select(
+    // empty/whitespace-only docs are excluded rather than producing a
+    // divide-by-zero: Spark's Divide yields NULL there but DuckDB yields
+    // NaN — the one arithmetic op whose null semantics differ cross-engine
+    docs(spark, dir)
+      .filter(size(toks) > 0)
+      .select(
       col("doc_id"),
       asLong(size(toks)).as("n_tokens"),
       stopRatio.as("stop_ratio"),
@@ -82,7 +87,7 @@ object TextAnalysis {
     docs(spark, dir).select(
       col("doc_id"),
       md5(col("text")).as("fp_full"),
-      md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_content"),
+      Text.contentFingerprint(toks).as("fp_content"),
       substring(md5(col("text")), 1, 8).as("fp8"))
       .orderBy("doc_id")
   }
@@ -117,7 +122,7 @@ object TextAnalysis {
          |    + (CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
          |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
          |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
     },
     "t3_langid" -> {
       val scoreExprs = Markers.map { case (l, ws) =>
@@ -137,7 +142,7 @@ object TextAnalysis {
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(text) AS fp_full,
-         |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp_content,
+         |  ${Text.sqlContentFingerprint(Toks)} AS fp_content,
          |  substr(md5(text), 1, 8) AS fp8
          |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -146,9 +146,16 @@ object AsOfJoin {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     def keyOk(t: org.apache.spark.sql.types.DataType) = t == LongType
     def timeOk(t: org.apache.spark.sql.types.DataType) = t == LongType || t == TimestampType
+    val lt = requireType(attr(lPlan, leftTime), timeOk, "time", "long- or timestamp-typed")
+    val rt = requireType(attr(rPlan, rightTime), timeOk, "time", "long- or timestamp-typed")
+    // both sides must share one time representation: TimestampType holds
+    // microseconds internally while a raw long may be any unit (this repo
+    // has ns-long and µs-timestamp forms of the same column) — comparing
+    // across representations silently mismatches everything
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share a type, got ${lt.dataType} vs ${rt.dataType}")
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      requireType(attr(lPlan, leftTime), timeOk, "time", "long- or timestamp-typed"),
-      requireType(attr(rPlan, rightTime), timeOk, "time", "long- or timestamp-typed"),
+      lt, rt,
       requireType(attr(lPlan, leftKey), keyOk, "key", "long-typed"),
       requireType(attr(rPlan, rightKey), keyOk, "key", "long-typed"),
       requireType(attr(rPlan, rightTieBreak), keyOk, "tiebreak", "long-typed"))

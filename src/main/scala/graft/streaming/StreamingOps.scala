@@ -117,7 +117,6 @@ object StreamingOps {
     * total_cents itself is non-monotone (negative values/refunds). */
   def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    case class E(user_id: Long, cents: Long)
     val typed = eventsStream(spark, dir)
       .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
       .as[(Long, Long)]
