@@ -18,7 +18,11 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // noop sink materializes every output row exactly as planned —
+      // count() would let the optimizer prune projections and eliminate
+      // sorts (EliminateSorts), understating e.g. the Terasort query to a
+      // bare scan
+      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
