@@ -256,12 +256,16 @@ object Dedup {
       val simhash = (0 until 16)
         .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
         .mkString(" + ")
+      // len(hs) > 0 matches the Spark side's explode, which drops zero-token
+      // docs; without it DuckDB would emit them with simhash 0 (list_sum of
+      // an empty list is NULL, so every CASE falls to ELSE 0)
       s"""WITH d AS (SELECT doc_id,
          |  list_transform(list_distinct($Toks), t -> ${Text.sqlHash("t")}) AS hs
          |FROM documents),
+         |d2 AS (SELECT * FROM d WHERE len(hs) > 0),
          |b AS (SELECT doc_id,
          |  $bitSums
-         |FROM d),
+         |FROM d2),
          |h AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM b)
          |SELECT doc_id, simhash,
          |  COUNT(*) OVER (PARTITION BY simhash) AS bucket_size

@@ -132,7 +132,20 @@ object AsOfJoin {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // Joining a frame with itself (or an unaliased derivative) would put the
+    // same exprIds on both sides of the BinaryNode, making output-attribute
+    // resolution ambiguous — re-alias the right side with fresh exprIds when
+    // any overlap exists (the analyzed-plan analogue of Dataset.join's
+    // self-join dedup).
+    val rPlan0 = right.queryExecution.analyzed
+    val leftIds = lPlan.output.map(_.exprId).toSet
+    val rPlan: LogicalPlan =
+      if (rPlan0.output.exists(a => leftIds.contains(a.exprId)))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlan0)
+      else rPlan0
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

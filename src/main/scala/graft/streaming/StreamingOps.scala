@@ -23,19 +23,9 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   private var streamSeq = 0
-  private var lastTable: Option[String] = None
-  private def nextName(spark: SparkSession): String = synchronized {
-    // drop the previous invocation's sink table — memory sinks pin their
-    // full result in the driver, and names are never reused. Dropped via
-    // the CURRENT session (name-only state): holding the previous session
-    // would pin it after stop() and drop against a dead catalog.
-    lastTable.foreach { n =>
-      try spark.catalog.dropTempView(n) catch { case _: Exception => }
-    }
+  private def nextName(): String = synchronized {
     streamSeq += 1
-    val name = s"graft_stream_$streamSeq"
-    lastTable = Some(name)
-    name
+    s"graft_stream_$streamSeq"
   }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -46,12 +36,15 @@ object StreamingOps {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = nextName(spark)
+    val name = nextName()
     // Stateful streaming cost scales with state-store instances (= shuffle
     // partitions, fixed at query start). The local event volumes don't
     // amortize 32 stores x per-batch commits; 8 is plenty here. On a real
     // cluster this knob follows executor count instead. Restored after
-    // start: the partition count is baked into the query at startup.
+    // start: the partition count is baked into the query at startup (the
+    // set/restore is visible to concurrent queries on the same session for
+    // the duration of start() — acceptable for the sequential Verify/Bench
+    // drivers this runs under).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       spark.conf.set("spark.sql.shuffle.partitions",
@@ -60,7 +53,15 @@ object StreamingOps {
         .queryName(name).trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    spark.table(name)
+    // Materialize eagerly into a LocalRelation and drop the sink view right
+    // away: the returned frame then stays valid however many streaming
+    // queries run afterwards. The memory sink already pins the full result
+    // on the driver, so this copy does not change the memory envelope.
+    val sink = spark.table(name)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    try spark.catalog.dropTempView(name) catch { case _: Exception => }
+    local
   }
 
   /** Tumbling 1-hour windows with a 1-hour watermark, APPEND mode: only
