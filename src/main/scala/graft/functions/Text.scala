@@ -46,6 +46,13 @@ object Text {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Distinct word 2-shingles (bigrams); empty array under 2 tokens. */
+  def shingles2(toks: Column): Column =
+    when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** 60-bit deterministic hash of a string, identical in Spark and DuckDB:
     * first 15 hex chars of md5, parsed base-16. */
   def sharedHash(s: Column): Column =
@@ -74,6 +81,12 @@ object Text {
 
   def sqlTokens(textExpr: String): String =
     s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), t -> t <> '')"
+
+  def sqlShingles2(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) >= 2
+       | THEN list_distinct(list_transform(generate_series(1, len($toksExpr)-1),
+       |   i -> concat_ws(' ', ($toksExpr)[i], ($toksExpr)[i+1])))
+       | ELSE []::VARCHAR[] END""".stripMargin
 
   def sqlShingles3(toksExpr: String): String =
     s"""CASE WHEN len($toksExpr) >= 3

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Catalog, Sql}
+import graft.Sql._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third-wave SURVEY.md §2D coverage: the SQL-subquery surface (correlated
+  * EXISTS / IN / correlated scalar — exercising Catalyst's subquery
+  * decorrelation), the full ranking-window family, and array/map/date scalar
+  * function breadth.
+  *
+  * The subquery queries are deliberately written as SQL text (not DataFrame
+  * combinators): the engine's users write EXISTS/IN, and the point is that
+  * Catalyst DECORRELATES them into the same semi/anti/aggregate-join plans
+  * the DataFrame API produces — q21/q22/q23's physical plans contain no
+  * per-row subquery execution, so they scale like any other join.
+  */
+object Coverage {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(spark, dir, name)
+
+  private def view(spark: SparkSession, dir: String, name: String): String = {
+    val v = s"cov_$name"
+    t(spark, dir, name).createOrReplaceTempView(v)
+    v
+  }
+
+  /** Uncorrelated scalar subquery + correlated EXISTS. Planned as: scalar
+    * subquery executes once (broadcast as a literal), EXISTS becomes a
+    * left-semi hash join on s_suppkey — one shuffle, no row-at-a-time
+    * subquery evaluation. */
+  def q21Exists(spark: SparkSession, dir: String): DataFrame = {
+    val s = view(spark, dir, "supplier"); val l = view(spark, dir, "lineitem")
+    spark.sql(
+      s"""SELECT s_suppkey, s_name, s_acctbal
+         |FROM $s s
+         |WHERE s_acctbal > (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         |                          / COUNT(*) FROM $s)
+         |  AND EXISTS (SELECT 1 FROM $l li
+         |              WHERE li.l_suppkey = s.s_suppkey AND li.l_quantity >= 48)
+         |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** IN + NOT IN subqueries (semi/anti join decorrelation; keys are
+    * non-null, so NOT IN's three-valued-logic trap does not bite). */
+  def q22InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = view(spark, dir, "orders"); val c = view(spark, dir, "customer")
+    val l = view(spark, dir, "lineitem")
+    spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+         |FROM $o
+         |WHERE o_custkey IN (SELECT c_custkey FROM $c WHERE c_mktsegment = 'AUTOMOBILE')
+         |  AND o_orderkey NOT IN (SELECT l_orderkey FROM $l WHERE l_quantity >= 49)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated scalar aggregate subquery: orders more than 2x their
+    * customer's average order value. Decorrelated into a per-customer
+    * aggregate joined back — one aggregation + one join, not N subqueries. */
+  def q23CorrScalar(spark: SparkSession, dir: String): DataFrame = {
+    val o = view(spark, dir, "orders")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $o o
+         |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |                                 / COUNT(*)
+         |                          FROM $o o2 WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Ranking-window family in one pass: lag/lead, dense_rank, ntile,
+    * first_value, percent_rank, cume_dist — all over one window spec, so
+    * the plan is a single sort per partition. */
+  def x15WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        asLong(dense_rank().over(w)).as("drank"),
+        asLong(ntile(4).over(w)).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Array + map scalar functions over per-order line collections. The
+    * collect is deterministic: struct-sorted before any order-sensitive use.
+    * Outputs are scalars (joined strings / elements), never raw arrays —
+    * cross-engine array renderings differ, scalar projections do not. */
+  def x16ArrayMapFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+        .as("lines"))
+      .select(
+        col("l_orderkey"),
+        transform(col("lines"), _.getField("l_linenumber")).as("nums"),
+        transform(col("lines"), _.getField("l_quantity")).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        asLong(size(col("nums"))).as("n_lines"),
+        array_join(col("nums"), ",").as("line_csv"),
+        asLong(element_at(col("nums"), 1)).as("first_line"),
+        array_contains(col("nums"), 3).as("has_line3"),
+        aggregate(col("qtys"), lit(0L), (acc, q) => acc + floor(q).cast(LongType)).as("qty_units"),
+        // map keyed by POSITION: l_linenumber is not unique per order in
+        // this corpus, and Spark rejects duplicate map keys
+        element_at(map_from_arrays(sequence(lit(1), size(col("qtys"))), col("qtys")), 1)
+          .as("first_qty"))
+      .orderBy("l_orderkey")
+
+  /** Date/time scalar breadth: add/diff/truncate/extract. Engine-specific
+    * conventions are aligned explicitly (Spark's dayofweek is 1-based
+    * Sunday; DuckDB's is 0-based — the oracle adds 1); date-valued results
+    * are projected as ISO strings so both engines compare textually. */
+  def x17DateFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2mo"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        asLong(datediff(ts("1998-01-01"), col("o_orderdate"))).as("days_to_98"),
+        asLong(dayofweek(col("o_orderdate"))).as("dow"),
+        asLong(dayofyear(col("o_orderdate"))).as("doy"),
+        asLong(quarter(col("o_orderdate"))).as("qtr"),
+        date_trunc("week", col("o_orderdate")).as("week_start"),
+        asLong(unix_timestamp(col("o_orderdate"))).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_exists_subquery" -> q21Exists,
+    "q22_in_subquery" -> q22InSubquery,
+    "q23_corr_scalar" -> q23CorrScalar,
+    "x15_window_suite" -> x15WindowSuite,
+    "x16_array_map_fns" -> x16ArrayMapFns,
+    "x17_date_fns" -> x17DateFns)
+
+  val oracles: Map[String, String] = Map(
+    "q21_exists_subquery" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier s
+        |WHERE s_acctbal > (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                          / COUNT(*) FROM supplier)
+        |  AND EXISTS (SELECT 1 FROM lineitem li
+        |              WHERE li.l_suppkey = s.s_suppkey AND li.l_quantity >= 48)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_in_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q23_corr_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |                                 / COUNT(*)
+        |                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x15_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x16_array_map_fns" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list(l_linenumber ORDER BY l_linenumber, l_quantity) AS nums,
+        |    list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+        |  FROM lineitem WHERE l_orderkey % 20 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(nums) AS BIGINT) AS n_lines,
+        |  array_to_string(nums, ',') AS line_csv,
+        |  CAST(nums[1] AS BIGINT) AS first_line,
+        |  list_contains(nums, 3) AS has_line3,
+        |  CAST(list_sum(list_transform(qtys, q -> CAST(floor(q) AS BIGINT))) AS BIGINT) AS qty_units,
+        |  list_extract(map_extract(map(generate_series(1, len(qtys)), qtys), 1), 1) AS first_qty
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "x17_date_fns" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT) AS days_to_98,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+}

@@ -158,6 +158,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** n-gram (word-bigram) Jaccard near-dup pairs with cheap-feature
+    * BLOCKING: candidate pairs are generated only within a (lang,
+    * token-length-bucket) block, then verified with exact bigram Jaccard.
+    *
+    * This is the classic blocking-based dedup shape, complementary to dd3's
+    * LSH banding: instead of hashing content into bands, pairs are bounded
+    * by observable features that near-dups must share (language; length
+    * within a bucket). At 100 TB the block key is the shuffle key, block
+    * sizes are data-bounded (lang x length slices the corpus thin), and the
+    * per-block self-join is an equi-join AQE can split on skew. The
+    * bigram-set intersection runs on the native (non-lambda, codegen'd)
+    * array_intersect/array_union kernels. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val NgramThreshold = 0.6
+    val base = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        floor(size(col("_toks")) / lit(16)).cast(LongType).as("len_bucket"),
+        Text.shingles2(col("_toks")).as("bg"))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+      col("len_bucket"), col("bg").as("bg_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang"),
+      col("len_bucket"), col("bg").as("bg_b"))
+    a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
+          size(array_union(col("bg_a"), col("bg_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= NgramThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the IVF cell (label): the
     * semantic-dedup shape — candidate pairs only within a cell, exact
     * cosine verify. Cosines via the codegen'd vec_dot (bit-identical to the
@@ -186,7 +218,8 @@ object Dedup {
     "dd2_fingerprint_dedup" -> fingerprintDedup,
     "dd3_minhash_neardup" -> minhashNearDup,
     "dd4_simhash_buckets" -> simhashBuckets,
-    "dd5_embedding_neardup" -> embeddingNearDup)
+    "dd5_embedding_neardup" -> embeddingNearDup,
+    "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
 
@@ -209,6 +242,20 @@ object Dedup {
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dd6_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+         |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
+         |  ${Text.sqlShingles2("toks")} AS bg
+         |FROM d WHERE len(toks) >= 2),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
+         |  CAST(len(a.bg) + len(b.bg)
+         |       - len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) AS jaccard
+         |  FROM d2 a JOIN d2 b
+         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "dd2_fingerprint_dedup" ->
       s"""SELECT min(doc_id) AS doc_id,
          |  ${Text.sqlContentFingerprint(Toks)} AS fp,

@@ -92,11 +92,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Polynomial rolling hash (Karp-Rabin shape) over the token stream — the
+    * order-SENSITIVE document fingerprint complementing t4's bag-of-words
+    * digest: reordering words changes the rolling hash but not fp_content.
+    * Computed as an ordered left fold `acc = (acc*31 + h(tok)) mod p` — one
+    * map-side pass, no shuffle; the prefix hash (first 8 tokens) is the
+    * locality-sensitive "document head" key used for fast prefix-grouping. */
+  private val RollP = 1000000007L // 2^30-ish prime: acc*31 + h stays < 2^36
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    def roll(toks: Column): Column =
+      aggregate(toks, lit(0L), (acc, t) =>
+        (acc * 31L + pmod(Text.sharedHash(t), lit(RollP))) % RollP)
+    docs(spark, dir).select(
+      col("doc_id"),
+      roll(col("_toks")).as("roll_hash"),
+      roll(slice(col("_toks"), 1, 8)).as("prefix8_hash"),
+      asLong(size(col("_toks"))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> tokenCount,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
-    "t4_fingerprint" -> fingerprint)
+    "t4_fingerprint" -> fingerprint,
+    "t5_rolling_hash" -> rollingHash)
 
   private val Toks = Text.sqlTokens("text")
   private val AllMarkers = Markers.flatMap(_._2)
@@ -144,5 +164,20 @@ object TextAnalysis {
          |  md5(text) AS fp_full,
          |  ${Text.sqlContentFingerprint(Toks)} AS fp_content,
          |  substr(md5(text), 1, 8) AS fp8
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // list_reduce has no init value: prepend 0 so the first step computes
+    // (0*31 + h1) — and an empty token list still folds to 0, matching
+    // Spark's aggregate(empty, 0L, _)
+    "t5_rolling_hash" -> {
+      def roll(toksExpr: String) =
+        s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |  list_transform($toksExpr, t -> ${Text.sqlHash("t")} % 1000000007)),
+           |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  ${roll("toks")} AS roll_hash,
+         |  ${roll("toks[1:8]")} AS prefix8_hash,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM d ORDER BY doc_id""".stripMargin
+    })
 }
