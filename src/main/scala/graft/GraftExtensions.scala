@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Library-grade registration of the engine's custom Catalyst pieces via the
+  * public `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Installs:
+  *   - the as-of join planner strategy ([[graft.plans.AsOfJoinStrategy]]) —
+  *     plans [[graft.plans.AsOfJoinPlan]] nodes to the sort-merge exec;
+  *   - `vec_dot(array<double>, array<double>)` ([[graft.expr.DoubleVectorDot]])
+  *     as a proper registry function with docs, usable from SQL text.
+  *
+  * The per-session imperative registrars (`AsOfJoin.register`,
+  * `VectorExpressions.register`) remain for sessions built without the
+  * extension (e.g. an existing session the caller cannot rebuild); both
+  * paths are idempotent and can coexist.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectFunction(GraftExtensions.VecDot)
+  }
+}
+
+object GraftExtensions {
+  /** (name, info, builder) descriptor for the vec_dot registry entry. */
+  val VecDot: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(
+      classOf[graft.expr.DoubleVectorDot].getName, null, "vec_dot",
+      "vec_dot(a, b) - ordered-fold dot product of two array<double>; " +
+        "NULL on null/ragged input.", ""),
+    exprs => graft.expr.DoubleVectorDot(exprs(0), exprs(1)))
+}

@@ -197,7 +197,49 @@ object StreamingOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Arbitrary stateful processing II: flatMapGroupsWithState emitting
+    * CLOSED 30-minute-gap sessions per user (0..n output rows per group per
+    * batch — the shape mapGroupsWithState cannot express). The still-open
+    * session lives in the group state and is never emitted: that is the
+    * honest unbounded-stream semantics (a session only closes when a later
+    * event proves the gap), and the oracle mirrors it by excluding each
+    * user's last session. State per group is one (start, last, count)
+    * triple — O(users), independent of stream length. Events are ordered
+    * (ts, event_id) within the batch; correctness across multiple batches
+    * additionally assumes batch boundaries respect event order, which the
+    * AvailableNow single-file replay satisfies. */
+  def closedSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val GapUs = 30L * 60 * 1000000
+    val typed = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val sessions = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var open = state.getOption // (startUs, lastUs, n)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          sorted.foreach { r =>
+            open = open match {
+              case Some((s0, l0, n0)) if r._2 - l0 <= GapUs => Some((s0, r._2, n0 + 1))
+              case Some((s0, l0, n0)) =>
+                out += ((uid, s0 / 1000000, l0 / 1000000, n0))
+                Some((r._2, r._2, 1L))
+              case None => Some((r._2, r._2, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "session_start_s", "session_last_s", "n_events")
+    runToTable(spark, sessions, OutputMode.Append())
+      .orderBy("user_id", "session_start_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_closed_sessions" -> closedSessions,
     "s7_stream_static_join" -> streamStaticJoin,
     "s5_stream_stream_join" -> streamStreamJoin,
     "s6_stream_dedup" -> streamDedup,
@@ -209,6 +251,26 @@ object StreamingOps {
   private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "s8_closed_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) // 1000000 AS session_start_s,
+        |    max(us) // 1000000 AS session_last_s, COUNT(*) AS n_events
+        |  FROM numbered GROUP BY user_id, sid),
+        |sel AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess)
+        |SELECT user_id, session_start_s, session_last_s, n_events
+        |FROM sel WHERE sid < max_sid
+        |ORDER BY user_id, session_start_s""".stripMargin,
     "s7_stream_static_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_events, $SumValue AS sum_value
          |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
