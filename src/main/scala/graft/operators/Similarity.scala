@@ -78,9 +78,41 @@ object Similarity {
     topk(pairs, IvfTopK)
   }
 
+  // ---- sim3: random-hyperplane LSH bucketing ------------------------------
+  // 6 deterministic integer hyperplanes, generated driver-side by a fixed
+  // LCG-style mix and embedded as LITERALS in both the Spark plan and the
+  // oracle SQL — bit-identical by construction, no cross-engine hash parity
+  // needed. 6 planes ≈ 64 buckets: at corpus scale the bucket is the shuffle
+  // key and expected bucket size is N/64 — the candidate set per probe is
+  // ~1.5% of brute force, and more planes tighten it further.
+  private val NumPlanes = 6
+  private val Dim = 64
+  private def planeVal(j: Int, i: Int): Long =
+    ((j * Dim + i + 1).toLong * 2654435761L % 2147483647L) % 2001L - 1000L
+  private val Planes: Seq[Array[Double]] =
+    (0 until NumPlanes).map(j => Array.tabulate(Dim)(i => planeVal(j, i).toDouble))
+
+  /** LSH-bucketed ANN: probes search only their sign-signature bucket.
+    * The signature is 6 codegen'd vec_dot sign bits — one map-side pass;
+    * candidate generation is an equi-join on the signature. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val sig = (0 until NumPlanes).map { j =>
+      when(dot(col("e"), typedlit(Planes(j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSig = all.withColumn("sig", sig)
+    val probes = withSig.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val pairs = withSig.join(broadcast(probes),
+      col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+    topk(pairs, IvfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> cosineTopK,
-    "sim2_ivf_topk" -> ivfTopK)
+    "sim2_ivf_topk" -> ivfTopK,
+    "sim3_lsh_topk" -> lshTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -107,7 +139,41 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  private val Sim3Oracle: String = {
+    val planeRows = (0 until NumPlanes).map { j =>
+      s"($j, [${Planes(j).map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |planes AS (SELECT * FROM (VALUES
+       |        $planeRows) p(j, r)),
+       |sigs AS (SELECT nz.vec_id,
+       |          CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(nz.ae)),
+       |                                      i -> nz.ae[i] * p.r[i])) >= 0
+       |                   THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS sig
+       |        FROM nz CROSS JOIN planes p GROUP BY nz.vec_id),
+       |pr AS (SELECT nz.vec_id AS query_id, nz.ae AS qe, nz.nrm AS qnrm, s.sig AS qsig
+       |       FROM nz JOIN sigs s ON nz.vec_id = s.vec_id
+       |       WHERE nz.vec_id % $ProbeMod = 0),
+       |pairs AS (SELECT pr.query_id, nz.vec_id, pr.qnrm, nz.nrm,
+       |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
+       |          FROM nz JOIN sigs s ON nz.vec_id = s.vec_id
+       |                  JOIN pr ON s.sig = pr.qsig AND nz.vec_id <> pr.query_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+       |             d / (qnrm * nrm) AS cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+       |           FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
-    "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "))
+    "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
+    "sim3_lsh_topk" -> Sim3Oracle)
 }
