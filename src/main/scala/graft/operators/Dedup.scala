@@ -177,11 +177,17 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         floor(size(col("_toks")) / lit(16)).cast(LongType).as("len_bucket"),
         Text.shingles2(col("_toks")).as("bg"))
+      .withColumn("n_bg", size(col("bg")))
     val a = base.select(col("doc_id").as("doc_a"), col("lang"),
-      col("len_bucket"), col("bg").as("bg_a"))
+      col("len_bucket"), col("bg").as("bg_a"), col("n_bg").as("na"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"),
-      col("len_bucket"), col("bg").as("bg_b"))
-    a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b"))
+      col("len_bucket"), col("bg").as("bg_b"), col("n_bg").as("nb"))
+    // Length filter (PPJoin-style): J = |∩|/|∪| <= min/max, so any pair with
+    // 5*min(n) < 3*max(n) cannot reach 0.6 — pruned by an integer compare in
+    // the join condition, BEFORE the expensive set intersection runs. Exact:
+    // never removes a qualifying pair.
+    a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b") &&
+        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .withColumn("jaccard",
         size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
           size(array_union(col("bg_a"), col("bg_b"))).cast(DoubleType))
@@ -253,7 +259,8 @@ object Dedup {
          |       - len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) AS jaccard
          |  FROM d2 a JOIN d2 b
          |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-         |   AND a.doc_id < b.doc_id)
+         |   AND a.doc_id < b.doc_id
+         |   AND len(a.bg) * 5 >= len(b.bg) * 3 AND len(b.bg) * 5 >= len(a.bg) * 3)
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "dd2_fingerprint_dedup" ->
