@@ -139,15 +139,138 @@ object Coverage {
         asLong(unix_timestamp(col("o_orderdate"))).as("epoch_s"))
       .orderBy("o_orderkey")
 
+  // One unique external-table/partitioned-data base per JVM (see
+  // Extended.roundtripBase for the rationale), cleaned on shutdown.
+  private lazy val covBase: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-coverage")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
+
+  /** Write `lineitem`/`orders` as bucketed external tables (8 buckets on the
+    * join key, sorted within buckets) and return them as catalog reads.
+    * Exposed for the spec, which asserts the join plans WITHOUT a shuffle. */
+  def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$covBase/li_bucketed").saveAsTable("cov_li_bucketed")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$covBase/ord_bucketed").saveAsTable("cov_ord_bucketed")
+    (spark.table("cov_li_bucketed"), spark.table("cov_ord_bucketed"))
+  }
+
+  /** Co-partitioned (bucketed) join — the Spark-native form of the
+    * reference's co-registered shuffle placement
+    * (`MapOutputTracker.scala:219-255`, SURVEY.md §2A row 3): both tables
+    * are pre-hashed into 8 aligned buckets on the join key, so the join
+    * plans with NO Exchange on either side (asserted in ExtensionsSpec) —
+    * at 100 TB this is the difference between re-shuffling two fact tables
+    * per query and never shuffling them at all. */
+  def x18BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Partitioned write + partition-pruned read: orders land in one
+    * directory per o_orderstatus; the status predicate then prunes entire
+    * partitions at planning time (the scan never opens non-F files) — the
+    * standard large-table layout lever, visible as `PartitionFilters` in
+    * the scan node. */
+  def x19PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"$covBase/orders_parted"
+    t(spark, dir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(root)
+    spark.read.parquet(root)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Statistical aggregates computed DETERMINISTICALLY: variance/stddev/
+    * correlation derived from exact DECIMAL component sums (S1, S2, cross
+    * products) with the final double arithmetic written identically in both
+    * engines — the built-in streaming stddev/corr are float-order-dependent
+    * and can never hash-match across engines. Still one partial+final
+    * aggregation pass at scale. */
+  def q24Stats(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+    val agg = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("s1"),
+        sum(q * q).cast(DoubleType).as("s2"),
+        sum(p).cast(DoubleType).as("sp"),
+        sum(p * p).cast(DoubleType).as("sp2"),
+        sum(q * p).cast(DoubleType).as("sqp"))
+    val n = col("n").cast(DoubleType)
+    // derived statistics rounded to 9 decimals: the component sums are
+    // exact, but the composed double arithmetic can differ by 1 ULP across
+    // engines (same policy as the 6-decimal cosine rounding)
+    agg.select(
+      col("l_returnflag"), col("n"),
+      round(col("s1") / n, 9).as("mean_qty"),
+      round((col("s2") - col("s1") * col("s1") / n) / (n - 1), 9).as("var_qty"),
+      round(sqrt((col("s2") - col("s1") * col("s1") / n) / (n - 1)), 9).as("stddev_qty"),
+      round((col("sqp") - col("s1") * col("sp") / n) /
+        sqrt((col("s2") - col("s1") * col("s1") / n) *
+          (col("sp2") - col("sp") * col("sp") / n)), 9).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exists_subquery" -> q21Exists,
     "q22_in_subquery" -> q22InSubquery,
     "q23_corr_scalar" -> q23CorrScalar,
+    "q24_stats" -> q24Stats,
     "x15_window_suite" -> x15WindowSuite,
     "x16_array_map_fns" -> x16ArrayMapFns,
-    "x17_date_fns" -> x17DateFns)
+    "x17_date_fns" -> x17DateFns,
+    "x18_bucketed_join" -> x18BucketedJoin,
+    "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q24_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp2,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(s1 / CAST(n AS DOUBLE), 9) AS mean_qty,
+        |  round((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 9) AS var_qty,
+        |  round(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 9) AS stddev_qty,
+        |  round((sqp - s1 * sp / CAST(n AS DOUBLE)) /
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) *
+        |      (sp2 - sp * sp / CAST(n AS DOUBLE))), 9) AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "x18_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x19_partition_pruning" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_exists_subquery" ->
       """SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier s

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CoverageSpec extends SparkSpec {
+
+  test("bucketed co-partitioned join plans without any shuffle exchange") {
+    val (li, ord) = operators.Coverage.bucketedTables(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the assertion really exercises bucketing (AQE
+      // would otherwise just broadcast the small side at this SF)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val df = operators.Coverage.x19PartitionPruning(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    // the status predicate must land in PartitionFilters, not a row filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("o_orderstatus"), s"expected partition pruning:\n$scan")
+  }
+
+  test("as-of join re-aliases an exprId-overlapping right side (self-join)") {
+    val ev = Catalog.eventsNorm(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // same analyzed plan on both sides — without the fresh-alias Project the
+    // BinaryNode's output would contain duplicate exprIds
+    val joined = graft.plans.AsOfJoin.join(ev, ev,
+      leftTime = "ts", rightTime = "ts",
+      leftKey = "user_id", rightKey = "user_id", rightTieBreak = "event_id")
+    assert(joined.columns.length == 6)
+    val rows = joined.collect()
+    assert(rows.length == ev.count())
+    // every left row matches at least itself (same key, time <= time), so
+    // the null-extended right side must never appear; the matched right row
+    // shares the left row's user and does not postdate it
+    rows.foreach { r =>
+      assert(!r.isNullAt(4), s"self as-of join null-extended: $r")
+      assert(r.getLong(1) == r.getLong(4))
+      assert(!r.getTimestamp(5).after(r.getTimestamp(2)))
+    }
+  }
+
+  test("n-gram length filter is exact (never drops a qualifying pair)") {
+    import spark.implicits._
+    // pairs straddling the 5*min >= 3*max boundary: sizes (3,5) pass the
+    // filter, (2,5) cannot reach J=0.6 and are correctly prunable
+    val docs = Seq(
+      (1L, "a b c d e f"),          // 5 bigrams
+      (2L, "a b c d"),              // 3 bigrams, subset → J = 3/5 = 0.6
+      (3L, "a b x"),                // 2 bigrams, J vs doc1 = 1/6 < 0.6
+      (4L, "a b c d e f")           // duplicate of 1 → J = 1.0
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    docs.createOrReplaceTempView("cov_docs_tmp")
+    val toks = graft.functions.Text.tokens(col("text"))
+    val bg = graft.functions.Text.shingles2(toks)
+    val base = docs.select(col("doc_id"), bg.as("bg"))
+    val exact = base.as("a").join(base.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
+          size(array_union(col("a.bg"), col("b.bg"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) at exactly J=0.6 and (1,4)/(2,?) survive; the filter in dd6 must
+    // keep exactly these pairs among same-bucket docs
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 4L)))
+    // the prunable pair really is below threshold
+    assert(!exact.contains((1L, 3L)))
+    // filter exactness: 5*min>=3*max holds for every qualifying pair
+    exact.foreach { case (a, b) =>
+      val sizes = base.filter(col("doc_id").isin(a, b))
+        .select(size(col("bg"))).collect().map(_.getInt(0))
+      assert(5 * sizes.min >= 3 * sizes.max,
+        s"length filter would wrongly prune qualifying pair ($a,$b)")
+    }
+  }
+}
