@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep the forked heap MODEST. Measured on the 67-query sf0.1 bench:
+  // -Xmx8g -> 70s total; -Xmx32g -> 206s with 10-30x spikes on
+  // codegen-heavy queries (dd2 32s, x3 22s — the same signature as the
+  // round-1 driver bench). A huge heap means GC (and with it class
+  // unloading of Janino-generated code) essentially never runs in a
+  // 67-query session; small heaps keep collection + unloading regular.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for generated classes either way
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -28,7 +28,11 @@ object Bench {
       }
       // -1 marks failure in the JSON — a thrown query must not read as a
       // (fast) success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // untimed: drop caches a query persisted for its own multi-arm reuse
+      // (dd3/dd6) so resident blocks don't pressure later queries' memory
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
