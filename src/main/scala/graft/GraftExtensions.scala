@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.VecDot)
+    ext.injectFunction(GraftExtensions.SortedIntersectCount)
   }
 }
 
@@ -43,4 +44,16 @@ object GraftExtensions {
       "vec_dot(a, b) - ordered-fold dot product of two array<double>; " +
         "NULL on null/ragged input.", ""),
     exprs => graft.expr.DoubleVectorDot(exprs(0), exprs(1)))
+
+  /** (name, info, builder) descriptor for sorted_intersect_count. */
+  val SortedIntersectCount: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(
+      classOf[graft.expr.SortedLongIntersectCount].getName, null,
+      "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - two-pointer intersection count of two " +
+        "ascending-sorted array<bigint>; NULL on null input.", ""),
+    exprs => graft.expr.SortedLongIntersectCount(exprs(0), exprs(1)))
 }
