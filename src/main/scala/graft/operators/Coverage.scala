@@ -231,7 +231,56 @@ object Coverage {
       .orderBy("l_returnflag")
   }
 
+  /** LEFT OUTER join preserving zero-match rows + two-level aggregation
+    * (TPC-H Q13 shape): orders-per-customer distribution INCLUDING
+    * customers with no qualifying orders — count(o_orderkey) counts
+    * non-null matches only, which is the outer-join-specific semantics an
+    * inner join cannot express. */
+  def q25OuterCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+
+  /** Keep-latest dedup (the production "latest record per key" pattern):
+    * row_number over (key, time desc, tiebreak desc) = 1. One shuffle on
+    * the key; at scale this is the standard CDC-compaction plan. */
+  def q26KeepLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Catalog.eventsNorm(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        asLong(unix_micros(col("ts"))).as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
+  /** FULL OUTER join with coalesced sides: per-nation supplier vs customer
+    * counts where either side may be absent (suppliers filtered to positive
+    * balances). Exercises null-extension on BOTH sides. */
+  def x20FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier").filter(col("s_acctbal") > 3000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 8000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    s.join(c, col("s_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_outer_counts" -> q25OuterCounts,
+    "q26_keep_latest" -> q26KeepLatest,
+    "x20_full_outer" -> x20FullOuter,
     "q21_exists_subquery" -> q21Exists,
     "q22_in_subquery" -> q22InSubquery,
     "q23_corr_scalar" -> q23CorrScalar,
@@ -243,6 +292,31 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q25_outer_counts" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "q26_keep_latest" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "x20_full_outer" ->
+      """WITH s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers
+        |           FROM supplier WHERE s_acctbal > 3000 GROUP BY s_nationkey),
+        |c AS (SELECT c_nationkey, COUNT(*) AS n_customers
+        |      FROM customer WHERE c_acctbal > 8000 GROUP BY c_nationkey)
+        |SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  COALESCE(n_customers, 0) AS n_customers
+        |FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q24_stats" ->
       """WITH a AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

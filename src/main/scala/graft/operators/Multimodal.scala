@@ -77,11 +77,44 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
     features(toMedia(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Frame sampling over the opaque payload: up to 4 fixed-stride 16-byte
+    * windows per record (the video-frame-sample / audio-chunk shape),
+    * digested per frame. Pure partition-local typed flatMap — payload bytes
+    * never shuffle, only (doc_id, frame_idx, 8-char digest) rows do. A real
+    * deployment replaces the digest with the decoded frame's features. */
+  val FrameStride = 256
+  val FrameLen = 16
+  val MaxFrames = 4
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    toMedia(spark, dir).flatMap { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until MaxFrames).iterator
+        .takeWhile(k => k.toLong * FrameStride + FrameLen <= r.payload.length)
+        .map { k =>
+          val frame = java.util.Arrays.copyOfRange(
+            r.payload, k * FrameStride, k * FrameStride + FrameLen)
+          val sig = md.digest(frame).map("%02x".format(_)).mkString.substring(0, 8)
+          (r.doc_id, k.toLong, sig)
+        }
+    }.toDF("doc_id", "frame_idx", "sig8")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta" -> mediaMeta,
-    "mm2_decode_features" -> decodeFeatures)
+    "mm2_decode_features" -> decodeFeatures,
+    "mm3_frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
+    // frame windows expressed as substr over the ASCII corpus (1 byte/char,
+    // same bytes the Spark side slices from the binary payload)
+    "mm3_frame_sample" ->
+      s"""SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |  substr(md5(substr(text, k * $FrameStride + 1, $FrameLen)), 1, 8) AS sig8
+         |FROM documents, generate_series(0, ${MaxFrames - 1}) t(k)
+         |WHERE k * $FrameStride + $FrameLen <= length(text)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // The decode stub's 4-bucket byte histogram is oracle-expressible for
     // this corpus because the text is pure ASCII (1 byte/char, all < 0x80):
     // bucket counts become regex byte-class counts; h2/h3 are exactly 0.
