@@ -43,7 +43,8 @@ object GraftExtensions {
       classOf[graft.expr.DoubleVectorDot].getName, null, "vec_dot",
       "vec_dot(a, b) - ordered-fold dot product of two array<double>; " +
         "NULL on null/ragged input.", ""),
-    exprs => graft.expr.DoubleVectorDot(exprs(0), exprs(1)))
+    graft.expr.VectorExpressions.binaryBuilder("vec_dot",
+      graft.expr.DoubleVectorDot))
 
   /** (name, info, builder) descriptor for sorted_intersect_count. */
   val SortedIntersectCount: (FunctionIdentifier, ExpressionInfo,
@@ -55,5 +56,6 @@ object GraftExtensions {
       "sorted_intersect_count",
       "sorted_intersect_count(a, b) - two-pointer intersection count of two " +
         "ascending-sorted array<bigint>; NULL on null input.", ""),
-    exprs => graft.expr.SortedLongIntersectCount(exprs(0), exprs(1)))
+    graft.expr.VectorExpressions.binaryBuilder("sorted_intersect_count",
+      graft.expr.SortedLongIntersectCount))
 }

@@ -89,10 +89,12 @@ case class DoubleVectorDot(left: Expression, right: Expression)
   * verify stage evaluates this once per candidate pair, so the constant
   * factor is the whole stage.
   *
-  * Contract: inputs are ascending-sorted arrays of non-null longs (the
-  * caller sorts after hashing). NULL array → NULL; duplicate values count
-  * per matched pair of runs' minimum (inputs here are distinct-element
-  * sets, where it is exactly |∩|).
+  * Contract: inputs are ascending-sorted arrays (the caller sorts after
+  * hashing; `array_sort` places NULL elements last). NULL array → NULL;
+  * NULL elements match nothing — since they sort last, the merge stops at
+  * the first one, which is exact under null-never-equals semantics.
+  * Duplicate values count per matched pair of runs' minimum (inputs here
+  * are distinct-element sets, where it is exactly |∩|).
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -116,11 +118,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < n && j < m) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
-      else { c += 1; i += 1; j += 1 }
+    var done = false
+    while (!done && i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) done = true // nulls sort last; no further matches
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -135,6 +141,7 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { break; } // nulls sort last
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }
@@ -149,14 +156,25 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Builder with a real arity error instead of an IndexOutOfBounds from
+    * exprs(1) when SQL text passes the wrong argument count. */
+  def binaryBuilder(name: String, f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+        "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    f(exprs(0), exprs(1))
+  }
+
   /** Register the engine's custom expressions in the session's function
     * registry (idempotent); callers then use `expr("vec_dot(a, b)")` /
     * `call_function`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DoubleVectorDot(exprs(0), exprs(1)), "built-in")
+      "vec_dot", binaryBuilder("vec_dot", DoubleVectorDot), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
-      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+      binaryBuilder("sorted_intersect_count", SortedLongIntersectCount), "built-in")
   }
 }

@@ -52,16 +52,20 @@ object StreamingOps {
       df.writeStream.outputMode(mode).format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
     // Materialize eagerly into a LocalRelation and drop the sink view right
     // away: the returned frame then stays valid however many streaming
     // queries run afterwards. The memory sink already pins the full result
-    // on the driver, so this copy does not change the memory envelope.
-    val sink = spark.table(name)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    try spark.catalog.dropTempView(name) catch { case _: Exception => }
-    local
+    // on the driver, so this copy does not change the memory envelope. The
+    // drop sits in a finally so a failed query cannot leak its sink view
+    // (and the rows it pins) for the session lifetime.
+    try {
+      q.awaitTermination()
+      val sink = spark.table(name)
+      spark.createDataFrame(
+        java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    } finally {
+      try spark.catalog.dropTempView(name) catch { case _: Exception => }
+    }
   }
 
   /** Tumbling 1-hour windows with a 1-hour watermark, APPEND mode: only

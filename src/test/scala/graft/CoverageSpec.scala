@@ -14,8 +14,15 @@ class CoverageSpec extends SparkSpec {
       val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       joined.collect() // finalize the adaptive plan
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
+      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)" —
+      // the node name is just "Exchange", so match the rendered form a
+      // broken bucketing would actually produce
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle either side:\n$plan")
+      // and the join really is there (guards against the assertion going
+      // vacuous if the plan shape changes)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
