@@ -54,6 +54,12 @@ object Engine {
     // Kryo for the few RDD-edge/broadcast paths; SQL rows are Tungsten-encoded
     // anyway (the reference's Kryo fast-path is moot inside SQL).
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // The reference ships lz4-compressed shuffle as a forked-runtime policy
+    // (`io/CompressionCodec.scala:54-95`, `SerializerManager.scala:96-105`);
+    // both are Spark defaults — pinned so conf drift can't diverge from the
+    // documented mechanism mapping (SURVEY.md §4 rows 7-8).
+    .config("spark.io.compression.codec", "lz4")
+    .config("spark.shuffle.compress", "true")
     // InferFiltersFromGenerate clones the generator's input expression into
     // an inferred `size(..)>0 AND isnotnull(..)` filter, which predicate
     // pushdown then drives below the repartition Exchange — re-inlining (and

@@ -72,6 +72,36 @@ object Coverage {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated MIN subquery (TPC-H Q2 shape, lineitem standing in for
+    * partsupp): the cheapest supplier(s) per sampled part. Decorrelates to
+    * a per-part MIN aggregate joined back — the equality compares doubles
+    * DRAWN FROM THE SAME ROWS, so it is exact on both engines. */
+  def q27MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val l = view(spark, dir, "lineitem")
+    spark.sql(
+      s"""SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
+         |FROM $l l
+         |WHERE l_partkey % 40 = 0
+         |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM $l l2
+         |                         WHERE l2.l_partkey = l.l_partkey)
+         |ORDER BY l_partkey, l_suppkey""".stripMargin)
+  }
+
+  /** Global-share HAVING (TPC-H Q11 shape): suppliers whose revenue exceeds
+    * a fixed fraction of the corpus total. The share comparison runs in
+    * EXACT decimal arithmetic (sum * 10000 > 11 * total) — no double
+    * division anywhere near the predicate. */
+  def q28GlobalShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = view(spark, dir, "lineitem")
+    spark.sql(
+      s"""SELECT l_suppkey,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |FROM $l GROUP BY l_suppkey
+         |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 >
+         |       11 * (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM $l)
+         |ORDER BY l_suppkey""".stripMargin)
+  }
+
   /** Ranking-window family in one pass: lag/lead, dense_rank, ntile,
     * first_value, percent_rank, cume_dist — all over one window spec, so
     * the plan is a single sort per partition. */
@@ -300,6 +330,8 @@ object Coverage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_outer_counts" -> q25OuterCounts,
     "q26_keep_latest" -> q26KeepLatest,
+    "q27_min_cost" -> q27MinCost,
+    "q28_global_share" -> q28GlobalShare,
     "x20_full_outer" -> x20FullOuter,
     "q21_exists_subquery" -> q21Exists,
     "q22_in_subquery" -> q22InSubquery,
@@ -312,6 +344,20 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q27_min_cost" ->
+      """SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem l
+        |WHERE l_partkey % 40 = 0
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q28_global_share" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 >
+        |       11 * (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem)
+        |ORDER BY l_suppkey""".stripMargin,
     "q25_outer_counts" ->
       """SELECT n_orders, COUNT(*) AS n_customers FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
