@@ -16,8 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Installs:
   *   - the as-of join planner strategy ([[graft.plans.AsOfJoinStrategy]]) —
   *     plans [[graft.plans.AsOfJoinPlan]] nodes to the sort-merge exec;
+  *   - the [[graft.plans.JaccardLengthPrune]] optimizer rule — injects the
+  *     PPJoin length prune into set-similarity threshold filters;
   *   - `vec_dot(array<double>, array<double>)` ([[graft.expr.DoubleVectorDot]])
-  *     as a proper registry function with docs, usable from SQL text.
+  *     and `sorted_intersect_count(array<bigint>, array<bigint>)`
+  *     ([[graft.expr.SortedLongIntersectCount]]) as proper registry
+  *     functions with docs, usable from SQL text.
   *
   * The per-session imperative registrars (`AsOfJoin.register`,
   * `VectorExpressions.register`) remain for sessions built without the
@@ -28,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
     ext.injectFunction(GraftExtensions.VecDot)
     ext.injectFunction(GraftExtensions.SortedIntersectCount)
   }

@@ -215,6 +215,8 @@ object Dedup {
     // the join condition, BEFORE the intersection count runs. Exact: never
     // removes a qualifying pair. Jaccard via inclusion-exclusion
     // (|∪| = na + nb - |∩|): one intersection count per candidate.
+    // (Written explicitly here; graft.plans.JaccardLengthPrune injects the
+    // same prune automatically for user queries that omit it.)
     val nInt = call_function("sorted_intersect_count", col("bg_a"), col("bg_b"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b") &&
         col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
