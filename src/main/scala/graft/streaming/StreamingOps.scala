@@ -169,6 +169,38 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER join: clicks left-joined to same-user
+    * purchases within 30 minutes. Inner matches emit immediately; a
+    * null-extended row for an unmatched click emits only when the global
+    * watermark passes the click's join window (the engine can then PROVE no
+    * match is coming — until that point "no match yet" is indistinguishable
+    * from "match still in flight"). AvailableNow's trailing no-data
+    * micro-batch flushes the provably-unmatched state; clicks whose window
+    * the final watermark never passes correctly emit nothing, and the
+    * oracle reproduces exactly that cutoff (final watermark = min of the
+    * two sides' max event time, minus the 1h delay). */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"), col("value"))
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** Streaming deduplication: watermarked dropDuplicates on
     * (user_id, hour). The WATERMARK COLUMN IS PART OF THE DEDUP KEY
     * (hour_bucket carries the event-time metadata) — that is what lets
@@ -243,6 +275,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_stream_outer_join" -> streamOuterJoin,
     "s8_closed_sessions" -> closedSessions,
     "s7_stream_static_join" -> streamStaticJoin,
     "s5_stream_stream_join" -> streamStreamJoin,
@@ -255,6 +288,29 @@ object StreamingOps {
   private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // null-extended rows appear only for clicks whose 30-minute window the
+    // final watermark (min of both sides' max ts, minus the 1h delay)
+    // strictly passed — the same eviction rule the engine applies
+    "s9_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
+        |                    (SELECT max(epoch_us(ts)) FROM p)) - 3600000000 AS w)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, p.value
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |UNION ALL
+        |SELECT c.event_id, NULL, c.user_id, NULL
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |        WHERE p.user_id = c.user_id
+        |          AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |  AND epoch_us(c.ts) + 1800000000 < (SELECT w FROM wm)
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     "s8_closed_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
