@@ -15,11 +15,15 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       Catalog.table(spark, sfDir, "lineitem").limit(10).count()
-      // table layouts for the bucketed-join / partition-pruning queries:
-      // built once here so x18/x19 time the read-side plan, not the
-      // one-time write a deployment amortizes
-      operators.Coverage.prepareLayouts(spark, sfDir)
     } catch { case _: Throwable => }
+    // table layouts for the bucketed-join / partition-pruning queries:
+    // built once here so x18/x19 time the read-side plan, not the one-time
+    // write a deployment amortizes. Own catch + log: a silent failure here
+    // would invisibly shift the write cost back into x18/x19's timings.
+    try operators.Coverage.prepareLayouts(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] layout pre-build failed (x18/x19 will pay the write): $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output row exactly as planned —

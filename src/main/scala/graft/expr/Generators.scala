@@ -34,8 +34,12 @@ case class TokenizeGenerator(child: Expression)
     val raw = child.eval(input)
     if (raw == null) Nil
     else {
+      // NOT String.trim/toLowerCase: Java trim strips every char <= 0x20
+      // (incl. control chars SQL trim keeps), and default-locale lowercase
+      // breaks under tr-TR ('I' -> dotless ı). split+filter makes trim
+      // redundant; Locale.ROOT matches SQL lower for this corpus.
       val toks = raw.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       toks.iterator.zipWithIndex.map { case (t, i) =>
         val row = new GenericInternalRow(2)
         row.update(0, i)

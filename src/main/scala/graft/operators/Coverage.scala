@@ -74,16 +74,20 @@ object Coverage {
 
   /** Correlated MIN subquery (TPC-H Q2 shape, lineitem standing in for
     * partsupp): the cheapest supplier(s) per sampled part. Decorrelates to
-    * a per-part MIN aggregate joined back — the equality compares doubles
-    * DRAWN FROM THE SAME ROWS, so it is exact on both engines. */
+    * a per-part MIN aggregate joined back. The aggregate goes through the
+    * standard DECIMAL(12,2) round-trip (CLAUDE.md rule — MIN is
+    * order-independent, but the rule is applied uniformly so this shape
+    * stays safe if the aggregate ever changes); the output column is a raw
+    * source projection. */
   def q27MinCost(spark: SparkSession, dir: String): DataFrame = {
     val l = view(spark, dir, "lineitem")
     spark.sql(
       s"""SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
          |FROM $l l
          |WHERE l_partkey % 40 = 0
-         |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM $l l2
-         |                         WHERE l2.l_partkey = l.l_partkey)
+         |  AND CAST(l_extendedprice AS DECIMAL(12,2)) =
+         |      (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(12,2))) FROM $l l2
+         |       WHERE l2.l_partkey = l.l_partkey)
          |ORDER BY l_partkey, l_suppkey""".stripMargin)
   }
 
@@ -383,8 +387,9 @@ object Coverage {
       """SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
         |FROM lineitem l
         |WHERE l_partkey % 40 = 0
-        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
-        |                         WHERE l2.l_partkey = l.l_partkey)
+        |  AND CAST(l_extendedprice AS DECIMAL(12,2)) =
+        |      (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(12,2))) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
         |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q28_global_share" ->
       """SELECT l_suppkey,

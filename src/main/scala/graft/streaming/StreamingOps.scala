@@ -290,12 +290,16 @@ object StreamingOps {
   val oracles: Map[String, String] = Map(
     // null-extended rows appear only for clicks whose 30-minute window the
     // final watermark (min of both sides' max ts, minus the 1h delay)
-    // strictly passed — the same eviction rule the engine applies
+    // strictly passed — the same eviction rule the engine applies. The
+    // watermark is MILLISECOND-floored (Spark tracks event-time watermarks
+    // in ms), hence the //1000 before the delay subtraction — same reason
+    // s1/s2 use epoch_ms.
     "s9_stream_outer_join" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
-        |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
-        |                    (SELECT max(epoch_us(ts)) FROM p)) - 3600000000 AS w)
+        |wm AS (SELECT (least((SELECT max(epoch_us(ts)) FROM c),
+        |                     (SELECT max(epoch_us(ts)) FROM p)) // 1000 - 3600000)
+        |               * 1000 AS w)
         |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.user_id, p.value
         |FROM c JOIN p
