@@ -331,6 +331,59 @@ object Coverage {
       .orderBy("nationkey")
   }
 
+  /** Widest plan in the registry (TPC-DS-style star): fact ⋈ 6 dimensions
+    * with a rollup — the multi-join shape the reference was benchmarked on
+    * (TPC-DS, `README.md:56-58`). All six dimension joins broadcast; the
+    * only real exchanges are the fact scan's aggregation shuffle. */
+  def q29WideStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") >= ts("1996-01-01"))
+    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) vs plain `=` over a
+    * nullable computed column — the three-valued-logic corner worth its own
+    * verified query. */
+  def x22NullSafeEq(spark: SparkSession, dir: String): DataFrame = {
+    val nullableStatus = when(col("o_orderstatus") =!= "P", col("o_orderstatus"))
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), nullableStatus.as("st"))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("st"), lit("?")).as("status_or_q"),
+        (col("st") <=> lit("F")).as("nse_f"),
+        (col("st") <=> lit(null).cast("string")).as("nse_null"),
+        (col("st") === lit("F")).isNull.as("eq_yields_null"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String-function breadth: regexp_replace, translate, lpad, repeat,
+    * reverse, position, levenshtein — each with a DuckDB twin of identical
+    * semantics. */
+  def x23StringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") % 20 === 0)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        translate(col("p_type"), "AEO", "aeo").as("translated"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_name")).as("reversed"),
+        asLong(instr(col("p_type"), "PROMO")).as("promo_pos"),
+        asLong(levenshtein(col("p_brand"), col("p_type"))).as("lev_brand_type"),
+        repeat(substring(col("p_name"), 1, 3), 2).as("head_twice"))
+      .orderBy("p_partkey")
+
   /** Custom table-valued function (Catalyst Generator) via LATERAL VIEW:
     * [[graft.expr.TokenizeGenerator]] expands each sampled document into
     * (pos, tok) rows inside the scan stage. */
@@ -355,6 +408,9 @@ object Coverage {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_wide_star" -> q29WideStar,
+    "x22_null_safe_eq" -> x22NullSafeEq,
+    "x23_string_fns" -> x23StringFns,
     "x21_custom_tvf" -> x21CustomTvf,
     "q25_outer_counts" -> q25OuterCounts,
     "q26_keep_latest" -> q26KeepLatest,
@@ -372,6 +428,42 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q29_wide_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "x22_null_safe_eq" ->
+      """SELECT o_orderkey,
+        |  COALESCE(st, '?') AS status_or_q,
+        |  st IS NOT DISTINCT FROM 'F' AS nse_f,
+        |  st IS NOT DISTINCT FROM NULL AS nse_null,
+        |  (st = 'F') IS NULL AS eq_yields_null
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END AS st
+        |      FROM orders WHERE o_orderkey % 25 = 0) t
+        |ORDER BY o_orderkey""".stripMargin,
+    "x23_string_fns" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  translate(p_type, 'AEO', 'aeo') AS translated,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  reverse(p_name) AS reversed,
+        |  CAST(strpos(p_type, 'PROMO') AS BIGINT) AS promo_pos,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_brand_type,
+        |  repeat(substr(p_name, 1, 3), 2) AS head_twice
+        |FROM part WHERE p_partkey % 20 = 0
+        |ORDER BY p_partkey""".stripMargin,
     // generate_series cannot take lateral column args in DuckDB; the
     // indexed two-arg lambda + struct unnest expresses the same expansion
     "x21_custom_tvf" ->
