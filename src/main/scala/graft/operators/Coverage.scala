@@ -384,6 +384,23 @@ object Coverage {
         repeat(substring(col("p_name"), 1, 3), 2).as("head_twice"))
       .orderBy("p_partkey")
 
+  /** Plain-text source/sink roundtrip (the line-oriented format §2D's
+    * source row still lacked): part names written as .text lines, read
+    * back, aggregated. p_name is newline-free, so line = row exactly. */
+  def x24TextSource(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"$covBase/part_names_${dirTag(dir)}"
+    synchronized {
+      if (!writtenLayouts.contains(s"text:$dir")) {
+        t(spark, dir, "part").select(col("p_name")).write.mode("overwrite").text(root)
+        writtenLayouts += s"text:$dir"
+      }
+    }
+    spark.read.text(root)
+      .select(substring(col("value"), 1, 1).as("initial"))
+      .groupBy(col("initial")).agg(count(lit(1)).as("n_names"))
+      .orderBy("initial")
+  }
+
   /** Custom table-valued function (Catalyst Generator) via LATERAL VIEW:
     * [[graft.expr.TokenizeGenerator]] expands each sampled document into
     * (pos, tok) rows inside the scan stage. */
@@ -411,6 +428,7 @@ object Coverage {
     "q29_wide_star" -> q29WideStar,
     "x22_null_safe_eq" -> x22NullSafeEq,
     "x23_string_fns" -> x23StringFns,
+    "x24_text_source" -> x24TextSource,
     "x21_custom_tvf" -> x21CustomTvf,
     "q25_outer_counts" -> q25OuterCounts,
     "q26_keep_latest" -> q26KeepLatest,
@@ -428,6 +446,9 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "x24_text_source" ->
+      """SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n_names
+        |FROM part GROUP BY substr(p_name, 1, 1) ORDER BY initial""".stripMargin,
     "q29_wide_star" ->
       """SELECT r_name, n_name, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -101,12 +101,42 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize/downsample stub: a fixed 16-point "thumbnail" of the payload —
+    * byte k of the thumbnail is the payload byte at offset k*len/16 (the
+    * nearest-neighbor downsampling access pattern a real image resize
+    * performs per axis). Partition-local typed map; only (doc_id, 16-byte
+    * signature) rows leave the stage. Records shorter than 16 bytes are
+    * skipped (no full sample exists). */
+  val ThumbPoints = 16
+  def resizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    toMedia(spark, dir).flatMap { r =>
+      val n = r.payload.length
+      if (n < ThumbPoints) None
+      else {
+        val thumb = Array.tabulate(ThumbPoints)(k => r.payload(k * n / ThumbPoints))
+        Some((r.doc_id, thumb.map("%02x".format(_)).mkString))
+      }
+    }.toDF("doc_id", "thumb_hex")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_meta" -> mediaMeta,
     "mm2_decode_features" -> decodeFeatures,
-    "mm3_frame_sample" -> frameSample)
+    "mm3_frame_sample" -> frameSample,
+    "mm4_resize_stub" -> resizeStub)
 
   val oracles: Map[String, String] = Map(
+    // nearest-neighbor sample positions over the ASCII corpus: char at
+    // 1 + (k*len)//16 is the byte the Spark side indexes at k*len/16
+    "mm4_resize_stub" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(0, ${ThumbPoints - 1}),
+         |    k -> printf('%02x', ascii(substr(text, 1 + (k * length(text)) // $ThumbPoints, 1)))),
+         |    '') AS thumb_hex
+         |FROM documents WHERE length(text) >= $ThumbPoints
+         |ORDER BY doc_id""".stripMargin,
     // frame windows expressed as substr over the ASCII corpus (1 byte/char,
     // same bytes the Spark side slices from the binary payload)
     "mm3_frame_sample" ->
