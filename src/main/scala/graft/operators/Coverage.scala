@@ -350,6 +350,24 @@ object Coverage {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Disjunctive join predicate (TPC-H Q19 shape): OR of AND-groups mixing
+    * both sides. Catalyst extracts the common `l_partkey = p_partkey`
+    * conjunct as the equi-join key and keeps the disjunction as a post-join
+    * filter, while per-side conjuncts (quantity/size bounds) are pushed to
+    * the scans — the standard partial-CNF pushdown test. */
+  def q30Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_type") === "PROMO" && col("l_quantity") >= 40)))
+      .agg(count(lit(1)).as("n_lines"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
   /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) vs plain `=` over a
     * nullable computed column — the three-valued-logic corner worth its own
     * verified query. */
@@ -426,6 +444,7 @@ object Coverage {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_wide_star" -> q29WideStar,
+    "q30_disjunctive" -> q30Disjunctive,
     "x22_null_safe_eq" -> x22NullSafeEq,
     "x23_string_fns" -> x23StringFns,
     "x24_text_source" -> x24TextSource,
@@ -464,6 +483,16 @@ object Coverage {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q30_disjunctive" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_type = 'PROMO' AND l_quantity >= 40))""".stripMargin,
     "x22_null_safe_eq" ->
       """SELECT o_orderkey,
         |  COALESCE(st, '?') AS status_or_q,
