@@ -331,10 +331,12 @@ object Coverage {
       .orderBy("nationkey")
   }
 
-  /** Widest plan in the registry (TPC-DS-style star): fact ⋈ 6 dimensions
-    * with a rollup — the multi-join shape the reference was benchmarked on
-    * (TPC-DS, `README.md:56-58`). All six dimension joins broadcast; the
-    * only real exchanges are the fact scan's aggregation shuffle. */
+  /** Widest plan in the registry (TPC-DS-style star): fact ⋈ orders ⋈ 5
+    * dimensions with a rollup — the multi-join shape the reference was
+    * benchmarked on (TPC-DS, `README.md:56-58`). The five true dimensions
+    * carry explicit broadcast hints; lineitem ⋈ orders is fact-to-fact and
+    * correctly shuffles on the order key at scale (locally AQE may
+    * broadcast it — either plan is right for its size). */
   def q29WideStar(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") >= ts("1996-01-01"))
     li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -439,6 +441,7 @@ object Coverage {
   def prepareLayouts(spark: SparkSession, dir: String): Unit = {
     bucketedTables(spark, dir)
     x19PartitionPruning(spark, dir) // builds the partitioned copy; plan unused
+    x24TextSource(spark, dir) // builds the text layout; plan unused
     ()
   }
 
