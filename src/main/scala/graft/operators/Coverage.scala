@@ -352,6 +352,31 @@ object Coverage {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Two-nation volume shipping (TPC-H Q7 shape): supplier nation and
+    * customer nation must form one of two ordered pairs — a disjunctive
+    * CROSS-table predicate over a 4-way join, grouped by year. Both nation
+    * dims broadcast; the fact-side joins shuffle on their keys. */
+  def q31VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val sn = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val cn = t(spark, dir, "nation").select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        asLong(year(col("l_shipdate"))).as("l_year"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Disjunctive join predicate (TPC-H Q19 shape): OR of AND-groups mixing
     * both sides. Catalyst extracts the common `l_partkey = p_partkey`
     * conjunct as the equi-join key and keeps the disjunction as a post-join
@@ -448,6 +473,7 @@ object Coverage {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_wide_star" -> q29WideStar,
     "q30_disjunctive" -> q30Disjunctive,
+    "q31_volume_shipping" -> q31VolumeShipping,
     "x22_null_safe_eq" -> x22NullSafeEq,
     "x23_string_fns" -> x23StringFns,
     "x24_text_source" -> x24TextSource,
@@ -486,6 +512,22 @@ object Coverage {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q31_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        |GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q30_disjunctive" ->
       """SELECT COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

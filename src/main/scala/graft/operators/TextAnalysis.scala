@@ -111,7 +111,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Characteristic character-bigrams per language for the n-gram profile
+  // scorer (t6) — chosen for high frequency in one language and rarity in
+  // the others, over lowercased text.
+  private val CharNgrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ng"),
+    "de" -> Seq("ch", "ei", "un"),
+    "es" -> Seq("os", "la", "ue"),
+    "fr" -> Seq("es", "le", "ou"))
+
+  /** Language ID via CHARACTER n-gram frequency profiles — the n-gram
+    * heuristic proper, complementing t3's stopword scorer: counts of
+    * characteristic char-bigrams per language over the raw lowercased text
+    * (substring occurrence counting, `(len - len(remove(s, g))) / len(g)`,
+    * identical in both engines), argmax with fixed precedence. Pure
+    * map-side scalar work, zero shuffles before the presentation sort. */
+  def ngramLangId(spark: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    def occurrences(g: String): Column =
+      (length(low) - length(replace(low, lit(g), lit("")))) / g.length
+    val scores = CharNgrams.map { case (lang, gs) =>
+      lang -> gs.map(occurrences).reduce(_ + _).cast(LongType)
+    }
+    val scoreCols = scores.map { case (l, c) => c.as(s"g_$l") }
+    val pred = scores.foldRight(lit("und")) { case ((lang, _), els) =>
+      val s = col(s"g_$lang")
+      val others = scores.filter(_._1 != lang).map(o => col(s"g_${o._1}"))
+      when(others.foldLeft(s > 0)((acc, o) => acc && s >= o), lang).otherwise(els)
+    }
+    Catalog.tableSpread(spark, dir, "documents")
+      .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+      .withColumn("pred_lang", pred)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6_ngram_langid" -> ngramLangId,
     "t1_token_count" -> tokenCount,
     "t2_quality_score" -> qualityScore,
     "t3_langid" -> langId,
@@ -122,6 +157,23 @@ object TextAnalysis {
   private val AllMarkers = Markers.flatMap(_._2)
 
   val oracles: Map[String, String] = Map(
+    "t6_ngram_langid" -> {
+      val scoreExprs = CharNgrams.map { case (l, gs) =>
+        val sum = gs.map(g =>
+          s"(length(lower(text)) - length(replace(lower(text), '$g', ''))) / ${g.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS g_$l"
+      }.mkString(",\n  ")
+      val pred = CharNgrams.foldRight("'und'") { case ((lang, _), els) =>
+        val others = CharNgrams.filter(_._1 != lang).map(o => s"g_$lang >= g_${o._1}")
+        s"CASE WHEN g_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang' ELSE $els END"
+      }
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scoreExprs
+         |FROM documents)
+         |SELECT doc_id, lang, g_en, g_de, g_es, g_fr, $pred AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "t1_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($Toks) AS BIGINT) AS n_ws_tokens,

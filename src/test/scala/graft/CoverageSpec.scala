@@ -36,6 +36,18 @@ class CoverageSpec extends SparkSpec {
         .contains("o_orderstatus"), s"expected partition pruning:\n$scan")
   }
 
+  test("scan-level predicate pushdown reaches the parquet reader") {
+    val df = operators.Relational.q1PricingSummary(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the shipdate filter must appear in PushedFilters on the scan node,
+    // not only as a post-scan Filter
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"expected l_shipdate pushed to the scan:\n$plan")
+    // and column pruning: the read schema carries only the 7 needed columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
   test("as-of join re-aliases an exprId-overlapping right side (self-join)") {
     val ev = Catalog.eventsNorm(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
