@@ -250,7 +250,22 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
+    * lowercased, whitespace runs collapsed to single spaces, trimmed — so
+    * case- and spacing-only variants collapse to one canonical doc. The
+    * first normalization stage every production text-dedup pipeline runs
+    * before hashing; same single-shuffle-on-digest shape as dd1. */
+  def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    docs(spark, dir)
+      .groupBy(md5(canon).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd7_canonical_dedup" -> canonicalDedup,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_fingerprint_dedup" -> fingerprintDedup,
     "dd3_minhash_neardup" -> minhashNearDup,
@@ -279,6 +294,13 @@ object Dedup {
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dd7_canonical_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
     "dd6_ngram_jaccard" ->
       // bigrams hashed with the same shared md5-prefix hash as the Spark
       // side, so the intersected sets are identical by construction

@@ -145,7 +145,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Class-only regexes (no engine-specific syntax) so Java and RE2 agree.
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val LongNumPat = "[0-9]{6,}"
+
+  /** PII scan + redaction digest — the scrubbing pass every training-data
+    * pipeline runs: per-doc counts of email-like and long-number-like
+    * spans over the lowercased text, plus the md5 of the REDACTED text
+    * (spans replaced with placeholder tags) proving the rewrite is
+    * deterministic. Map-side scalar work only. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val low = lower(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(low, EmailPat, "<email>"), LongNumPat, "<num>")
+    docs(spark, dir).select(
+      col("doc_id"),
+      asLong(size(regexp_extract_all(low, lit(EmailPat), lit(0)))).as("n_emails"),
+      asLong(size(regexp_extract_all(low, lit(LongNumPat), lit(0)))).as("n_long_nums"),
+      md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_pii_scan" -> piiScan,
     "t6_ngram_langid" -> ngramLangId,
     "t1_token_count" -> tokenCount,
     "t2_quality_score" -> qualityScore,
@@ -157,6 +179,13 @@ object TextAnalysis {
   private val AllMarkers = Markers.flatMap(_._2)
 
   val oracles: Map[String, String] = Map(
+    "t7_pii_scan" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(lower(text), '$LongNumPat')) AS BIGINT) AS n_long_nums,
+         |  md5(regexp_replace(regexp_replace(lower(text), '$EmailPat', '<email>', 'g'),
+         |      '$LongNumPat', '<num>', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t6_ngram_langid" -> {
       val scoreExprs = CharNgrams.map { case (l, gs) =>
         val sum = gs.map(g =>
