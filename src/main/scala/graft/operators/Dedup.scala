@@ -34,22 +34,23 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Catalog.tableSpread(spark, dir, "documents")
 
-  /** Exact dedup: canonical doc per md5(text). */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .groupBy(md5(col("text")).as("fp"))
+  /** Shared digest-dedup shape: canonical (min-id) doc per fingerprint.
+    * dd1/dd2/dd7 differ only in the fingerprint expression. */
+  private def digestDedup(df: DataFrame, fp: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(fp.as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy("doc_id")
 
+  /** Exact dedup: canonical doc per md5(text). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    digestDedup(docs(spark, dir), md5(col("text")))
+
   /** Bag-of-words dedup: canonical doc per sorted-distinct-token digest
     * (collapses word-order-only edits — cheap content dedup). */
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
-    Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .groupBy(Text.contentFingerprint(col("_toks")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("fp"), col("n_copies"))
-      .orderBy("doc_id")
+    digestDedup(Text.withTokens(Catalog.table(spark, dir, "documents")),
+      Text.contentFingerprint(col("_toks")))
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified.
     *
@@ -254,14 +255,20 @@ object Dedup {
     * lowercased, whitespace runs collapsed to single spaces, trimmed — so
     * case- and spacing-only variants collapse to one canonical doc. The
     * first normalization stage every production text-dedup pipeline runs
-    * before hashing; same single-shuffle-on-digest shape as dd1. */
+    * before hashing; same single-shuffle-on-digest shape as dd1.
+    *
+    * The corpus is already lowercase/single-spaced, which would make the
+    * normalization unverifiable (every step a no-op): the digest input is
+    * therefore a deterministically DE-normalized variant — the first 16
+    * chars uppercased and re-joined with doubled spaces — built identically
+    * in the oracle, so the gate exercises case folding, collapse and trim
+    * for real. The whitespace class is written explicitly ([ \t\n\r\f]):
+    * Java's \s matches \x0B where RE2's does not. */
   def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val canon = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    docs(spark, dir)
-      .groupBy(md5(canon).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("fp"), col("n_copies"))
-      .orderBy("doc_id")
+    val messy = concat(upper(substring(col("text"), 1, 16)), lit("  "),
+      col("text"), lit(" "))
+    val canon = trim(regexp_replace(lower(messy), "[ \\t\\n\\r\\f]+", " "))
+    digestDedup(docs(spark, dir), md5(canon))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,13 +301,16 @@ object Dedup {
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-    "dd7_canonical_dedup" ->
-      """SELECT min(doc_id) AS doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-        |  COUNT(*) AS n_copies
-        |FROM documents
-        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |ORDER BY doc_id""".stripMargin,
+    "dd7_canonical_dedup" -> {
+      val messy = "concat(upper(substr(text, 1, 16)), '  ', text, ' ')"
+      val canon = s"md5(trim(regexp_replace(lower($messy), '[ \\t\\n\\r\\f]+', ' ', 'g')))"
+      s"""SELECT min(doc_id) AS doc_id,
+         |  $canon AS fp,
+         |  COUNT(*) AS n_copies
+         |FROM documents
+         |GROUP BY $canon
+         |ORDER BY doc_id""".stripMargin
+    },
     "dd6_ngram_jaccard" ->
       // bigrams hashed with the same shared md5-prefix hash as the Spark
       // side, so the intersected sets are identical by construction

@@ -151,14 +151,24 @@ object TextAnalysis {
 
   /** PII scan + redaction digest — the scrubbing pass every training-data
     * pipeline runs: per-doc counts of email-like and long-number-like
-    * spans over the lowercased text, plus the md5 of the REDACTED text
-    * (spans replaced with placeholder tags) proving the rewrite is
-    * deterministic. Map-side scalar work only. */
+    * spans, plus the md5 of the REDACTED text (spans replaced with
+    * placeholder tags). Map-side scalar work only.
+    *
+    * The corpus itself contains no '@' and no digits, which would make the
+    * whole scan unverifiable (zero matches everywhere): the scanned text is
+    * therefore the document EXTENDED with deterministically synthesized PII
+    * spans — an email and a long id derived from doc_id, plus a second
+    * email on every third doc — built identically in the oracle, so the
+    * match counts vary and the redaction rewrite is exercised for real. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
-    val low = lower(col("text"))
+    val idStr = col("doc_id").cast(org.apache.spark.sql.types.StringType)
+    val synth = concat(col("text"),
+      lit(" contact user"), idStr, lit("@example.org id 77"), idStr, lit("9999"),
+      when(col("doc_id") % 3 === 0, lit(" second@mail.io")).otherwise(lit("")))
+    val low = lower(synth)
     val redacted = regexp_replace(
       regexp_replace(low, EmailPat, "<email>"), LongNumPat, "<num>")
-    docs(spark, dir).select(
+    Catalog.tableSpread(spark, dir, "documents").select(
       col("doc_id"),
       asLong(size(regexp_extract_all(low, lit(EmailPat), lit(0)))).as("n_emails"),
       asLong(size(regexp_extract_all(low, lit(LongNumPat), lit(0)))).as("n_long_nums"),
@@ -179,13 +189,18 @@ object TextAnalysis {
   private val AllMarkers = Markers.flatMap(_._2)
 
   val oracles: Map[String, String] = Map(
-    "t7_pii_scan" ->
+    "t7_pii_scan" -> {
+      val synth = """concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    |    '@example.org id 77', CAST(doc_id AS VARCHAR), '9999',
+                    |    CASE WHEN doc_id % 3 = 0 THEN ' second@mail.io' ELSE '' END)"""
+        .stripMargin
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(lower(text), '$EmailPat')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(lower(text), '$LongNumPat')) AS BIGINT) AS n_long_nums,
-         |  md5(regexp_replace(regexp_replace(lower(text), '$EmailPat', '<email>', 'g'),
+         |  CAST(len(regexp_extract_all(lower($synth), '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(lower($synth), '$LongNumPat')) AS BIGINT) AS n_long_nums,
+         |  md5(regexp_replace(regexp_replace(lower($synth), '$EmailPat', '<email>', 'g'),
          |      '$LongNumPat', '<num>', 'g')) AS redacted_fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "t6_ngram_langid" -> {
       val scoreExprs = CharNgrams.map { case (l, gs) =>
         val sum = gs.map(g =>

@@ -43,9 +43,14 @@ class CoverageSpec extends SparkSpec {
     // not only as a post-scan Filter
     assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
       s"expected l_shipdate pushed to the scan:\n$plan")
-    // and column pruning: the read schema carries only the 7 needed columns
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    // and column pruning: the read schema carries only the needed columns.
+    // The line must EXIST (a missing ReadSchema rendering would otherwise
+    // make the negative check vacuously pass); l_orderkey is lineitem's
+    // first column, so it sits inside the truncated metadata prefix when
+    // not pruned.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.isDefined, s"no ReadSchema line in plan:\n$plan")
+    assert(!readSchema.get.contains("l_orderkey"), s"unpruned scan: ${readSchema.get}")
   }
 
   test("as-of join re-aliases an exprId-overlapping right side (self-join)") {
