@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the §2D UDF/UDAF/Generator row, complementing the scalar Expressions and
   * the typed Aggregator.
   *
-  * Semantics are EXACTLY `Text.tokens` (lower, trim, split on `\s+`, drop
-  * empties) so the DuckDB oracle mirror is the shared one. One input row
+  * Semantics are EXACTLY `Text.tokens` (lower, trim, split on the pinned
+  * `[ \t\n\r\f]+` class, drop empties) so the DuckDB oracle mirror is the
+  * shared one. One input row
   * expands to 0..n output rows inside the scan stage (`GenerateExec` is
   * pipelined — no shuffle, same scale shape as posexplode).
   */
@@ -37,9 +38,11 @@ case class TokenizeGenerator(child: Expression)
       // NOT String.trim/toLowerCase: Java trim strips every char <= 0x20
       // (incl. control chars SQL trim keeps), and default-locale lowercase
       // breaks under tr-TR ('I' -> dotless ı). split+filter makes trim
-      // redundant; Locale.ROOT matches SQL lower for this corpus.
+      // redundant; Locale.ROOT matches SQL lower for this corpus. The split
+      // class is the EXPLICIT [ \t\n\r\f] (not \s): Java's \s matches \x0B
+      // where the oracle's RE2 \s does not — same pin as Text.tokens.
       val toks = raw.asInstanceOf[UTF8String].toString
-        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        .toLowerCase(java.util.Locale.ROOT).split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
       toks.iterator.zipWithIndex.map { case (t, i) =>
         val row = new GenericInternalRow(2)
         row.update(0, i)

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * mirror used by the oracle SQL, so results are bit-identical across
   * engines:
   *
-  *   - tokens:  `list_filter(regexp_split_to_array(lower(trim(x)),'\s+'), t -> t <> '')`
+  *   - tokens:  `list_filter(regexp_split_to_array(lower(trim(x)),'[ \t\n\r\f]+'), t -> t <> '')`
+  *     — the whitespace class is written EXPLICITLY because Java's `\s`
+  *     matches `\x0B` (vertical tab) where RE2's does not; the explicit
+  *     class pins both engines to the same five characters.
   *   - hash:    `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)` — 60-bit
   *     positive value from the md5 hex prefix; md5 is identical everywhere,
   *     unlike murmur/xxhash whose seeds differ per engine.
@@ -23,9 +26,11 @@ import org.apache.spark.sql.types._
   */
 object Text {
 
-  /** Whitespace tokens of lowercased text, empty strings dropped. */
+  /** Whitespace tokens of lowercased text, empty strings dropped. The
+    * explicit `[ \t\n\r\f]` class (not `\s`) keeps the Java and RE2
+    * engines on the same character set — see the object scaladoc. */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(text)), "[ \\t\\n\\r\\f]+"), t => t =!= "")
 
   /** Materialize a `_toks` token-array column and spread rows across all
     * cores. The repartition Exchange is load-bearing twice over: it
@@ -80,7 +85,7 @@ object Text {
   // ---- DuckDB mirrors (string builders used by the oracle SQL) ----------
 
   def sqlTokens(textExpr: String): String =
-    s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '\\s+'), t -> t <> '')"
+    s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
 
   def sqlShingles2(toksExpr: String): String =
     s"""CASE WHEN len($toksExpr) >= 2

@@ -169,7 +169,7 @@ object Coverage {
         asLong(dayofweek(col("o_orderdate"))).as("dow"),
         asLong(dayofyear(col("o_orderdate"))).as("doy"),
         asLong(quarter(col("o_orderdate"))).as("qtr"),
-        date_trunc("week", col("o_orderdate")).as("week_start"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
         asLong(unix_timestamp(col("o_orderdate"))).as("epoch_s"))
       .orderBy("o_orderkey")
 
@@ -694,7 +694,7 @@ object Coverage {
         |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin)

@@ -54,11 +54,22 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified.
     *
-    * shingle → base hash (ONE md5 per shingle) → 16 linear-permutation
-    * min-hashes h_j = (a_j·h + b_j) mod p (the md5 is the expensive part, so
-    * the permutation family keeps signature cost at one digest per
-    * shingle) → NumBands bands of RowsPerBand → band self-join (candidates) →
-    * exact 3-shingle Jaccard ≥ 0.7 (verify).
+    * shingle → base hash (ONE md5 per shingle, then distinct+sorted) → 16
+    * linear-permutation min-hashes h_j = (a_j·h + b_j) mod p (the md5 is the
+    * expensive part, so the permutation family keeps signature cost at one
+    * digest per shingle) → NumBands bands of RowsPerBand → band self-join
+    * (candidates) → exact 3-shingle Jaccard ≥ 0.7 (verify).
+    *
+    * The verify stage operates on the HASHED shingle sets (the dd6 pattern):
+    * each doc carries one sorted array of distinct 60-bit shingle hashes, so
+    * the per-pair Jaccard is a codegen'd two-pointer
+    * `sorted_intersect_count` over primitive longs plus inclusion-exclusion
+    * for the union — never an interpreted set op over full shingle strings,
+    * and the shuffled candidate payload is 8 bytes per shingle instead of
+    * the shingle text. Jaccard over hashed sets equals string-set Jaccard
+    * unless two distinct shingles of one doc collide in the 60-bit hash
+    * (probability ~n²/2⁶¹ per doc — negligible, and BOTH engines hash with
+    * the same md5-prefix so the comparison stays bit-identical either way).
     */
   private val P = 2147483647L // 2^31-1; a_j·h stays < 2^62, no i64 overflow
   private def permA(j: Int): Long = (2L * j + 1) * 1000003L % P
@@ -70,6 +81,7 @@ object Dedup {
   private var lastShingleCache: Option[DataFrame] = None
 
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
     val tokenized = Text.withTokens(Catalog.table(spark, dir, "documents"))
     // Filter on the CHEAP precondition (≥3 tokens ⟺ ≥1 shingle), not on
     // size(sh) > 0: predicate pushdown would inline the whole shingle
@@ -89,22 +101,29 @@ object Dedup {
       lastShingleCache.foreach { prev =>
         try prev.unpersist(blocking = false) catch { case _: Exception => }
       }
+      // shh: sorted distinct 60-bit shingle hashes — ONE md5 per shingle,
+      // hashed+sorted map-side behind the persist barrier. Both the
+      // signature explode and the verify join read this array; the shingle
+      // STRINGS never leave the map stage.
       val df = tokenized
         .filter(size(col("_toks")) >= 3)
-        .select(col("doc_id"), Text.shingles3(col("_toks")).as("sh"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            transform(Text.shingles3(col("_toks")), s => Text.sharedHash(s) % P)))
+            .as("shh"))
+        .withColumn("n_sh", size(col("shh")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lastShingleCache = Some(df)
       df
     }
 
-    // Explode so the md5 runs ONCE per (doc, shingle) row — computing the 16
-    // signatures as array-lambda columns instead lets CollapseProject inline
-    // (and re-evaluate) the tokenize+shingle+digest chain into every column.
-    // The groupBy is a codegen'd hash aggregate with map-side partial mins;
-    // only (doc_id, 16 longs) ever shuffles.
-    val hashed = withSh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), (Text.sharedHash(col("s")) % P).as("h"))
+    // Explode the persisted hash array so each shingle hash feeds the 16
+    // permutations ONCE — computing the signatures as array-lambda columns
+    // instead lets CollapseProject inline (and re-evaluate) the
+    // tokenize+shingle+digest chain into every column. The groupBy is a
+    // codegen'd hash aggregate with map-side partial mins; only
+    // (doc_id, 16 longs) ever shuffles.
+    val hashed = withSh.select(col("doc_id"), explode(col("shh")).as("h"))
     val minhashAggs = (0 until NumHashes).map { j =>
       min((col("h") * permA(j) + permB(j)) % P).as(s"m$j")
     }
@@ -124,12 +143,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // Verify: codegen'd two-pointer intersection over the sorted hash
+    // arrays + inclusion-exclusion union (|∪| = na + nb - |∩|) — one
+    // intersection count per candidate pair, no interpreted set ops. The
+    // PPJoin length prune (J <= min/max, so 10·min(n) >= 7·max(n) at 0.7)
+    // is an integer compare that runs BEFORE the intersection; exact —
+    // never removes a qualifying pair.
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("shh").as("sa"),
+      col("n_sh").as("na"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("shh").as("sb"),
+      col("n_sh").as("nb"))
+    val nInt = call_function("sorted_intersect_count", col("sa"), col("sb"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
+      .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        nInt.cast(DoubleType) / (col("na") + col("nb") - nInt).cast(DoubleType))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -179,9 +207,12 @@ object Dedup {
     graft.expr.VectorExpressions.register(spark)
     val NgramThreshold = 0.6
     // Bigrams are hashed to longs (the SHARED md5-prefix hash, mirrored in
-    // the oracle — identical sets on both engines even under a collision)
-    // and sorted ONCE map-side: the pairwise verify then runs the codegen'd
-    // two-pointer sorted_intersect_count over primitive longs instead of
+    // the oracle — identical arrays on both engines even under a collision),
+    // DISTINCT'd after hashing (so a 60-bit collision between two distinct
+    // bigrams of one doc collapses identically in both engines and the
+    // two-pointer min-run count stays a true set intersection) and sorted
+    // ONCE map-side: the pairwise verify then runs the codegen'd two-pointer
+    // sorted_intersect_count over primitive longs instead of
     // array_intersect building a UTF8String hash set per candidate pair.
     //
     // PERSISTED, for the same two reasons as dd3's shingle frame: (1) both
@@ -200,7 +231,8 @@ object Dedup {
         .filter(size(col("_toks")) >= 2)
         .select(col("doc_id"), col("lang"),
           floor(size(col("_toks")) / lit(16)).cast(LongType).as("len_bucket"),
-          array_sort(transform(Text.shingles2(col("_toks")), t => Text.sharedHash(t)))
+          array_sort(array_distinct(
+            transform(Text.shingles2(col("_toks")), t => Text.sharedHash(t))))
             .as("bg"))
         .withColumn("n_bg", size(col("bg")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -313,10 +345,11 @@ object Dedup {
     },
     "dd6_ngram_jaccard" ->
       // bigrams hashed with the same shared md5-prefix hash as the Spark
-      // side, so the intersected sets are identical by construction
+      // side and list_distinct'd after hashing (mirrors the Spark side's
+      // array_distinct — identical sets even under a 60-bit collision)
       s"""WITH d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
          |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
-         |  list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")}) AS bg
+         |  list_distinct(list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")})) AS bg
          |FROM d WHERE len(toks) >= 2),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
@@ -344,11 +377,14 @@ object Dedup {
           .map(r => s"m${RowsPerBand * b + r} AS h$r").mkString(", ")
         s"SELECT doc_id, $b AS band, $hs FROM sig"
       }.mkString("\n  UNION ALL ")
+      // same hashed-set verify as the Spark side: sorted distinct 60-bit
+      // shingle hashes, set-intersection (exact on distinct lists) +
+      // inclusion-exclusion union, same 10/7 length prune
       s"""WITH d AS (SELECT doc_id, ${Text.sqlShingles3(Toks)} AS sh FROM documents),
-         |ds AS (SELECT doc_id, sh,
-         |  list_transform(sh, s -> ${Text.sqlHash("s")} % $P) AS shh
+         |ds AS (SELECT doc_id,
+         |  list_sort(list_distinct(list_transform(sh, s -> ${Text.sqlHash("s")} % $P))) AS shh
          |FROM d WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh,
+         |sig AS (SELECT doc_id,
          |  $mh
          |FROM ds),
          |bands AS (
@@ -360,11 +396,13 @@ object Dedup {
          |   AND ${(0 until RowsPerBand).map(r => s"a.h$r = b.h$r").mkString(" AND ")}
          |   AND a.doc_id < b.doc_id),
          |j AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-         |  CAST(len(sa.sh) + len(sb.sh)
-         |       - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
+         |  CAST(len(list_filter(sa.shh, x -> list_contains(sb.shh, x))) AS DOUBLE) /
+         |  CAST(len(sa.shh) + len(sb.shh)
+         |       - len(list_filter(sa.shh, x -> list_contains(sb.shh, x))) AS DOUBLE) AS jaccard
          |  FROM cand JOIN ds sa ON cand.doc_a = sa.doc_id
-         |            JOIN ds sb ON cand.doc_b = sb.doc_id)
+         |            JOIN ds sb ON cand.doc_b = sb.doc_id
+         |  WHERE len(sa.shh) * 10 >= len(sb.shh) * 7
+         |    AND len(sb.shh) * 10 >= len(sa.shh) * 7)
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
     },

@@ -19,13 +19,22 @@ import org.apache.spark.sql.types._
   *     ANN partition-pruning shape (a real IVF would add a k-means
   *     assignment step producing exactly this layout).
   *
+  * PROBE-CARDINALITY CONTRACT: the probe set is a FIXED BUDGET of
+  * `ProbeCount` vectors (`vec_id < ProbeCount`), NOT a fraction of the
+  * corpus — |probes| is a constant independent of N. That is what makes
+  * `broadcast(probes)` legitimate (ProbeCount x (64 doubles + ids) ≈ a few
+  * KB at any corpus size) and bounds sim1's exact baseline at O(K·N) FLOPs
+  * rather than O(N²/c). A production query set arrives as its own small
+  * table and replaces the filter; the broadcast stays valid as long as the
+  * query set, not the corpus, bounds it.
+  *
   * Dot products are computed as ordered folds over the array (elements cast
   * to double first), which both Spark and the DuckDB oracle evaluate
   * identically; the reported cosine is rounded to 6 decimals.
   */
 object Similarity {
 
-  private val ProbeMod = 50
+  private val ProbeCount = 10
   private val TopK = 5
   private val IvfTopK = 3
 
@@ -61,7 +70,7 @@ object Similarity {
   /** Exact brute-force cosine top-k for a deterministic probe subset. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") % ProbeMod === 0)
+    val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("query_id"))
     topk(pairs, TopK)
@@ -70,7 +79,7 @@ object Similarity {
   /** ANN scale path: search only the probe's cell (label = IVF cell id). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") % ProbeMod === 0)
+    val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("label").as("qlabel"))
     val pairs = all.join(broadcast(probes),
@@ -101,7 +110,7 @@ object Similarity {
       when(dot(col("e"), typedlit(Planes(j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val withSig = all.withColumn("sig", sig)
-    val probes = withSig.filter(col("vec_id") % ProbeMod === 0)
+    val probes = withSig.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
     val pairs = withSig.join(broadcast(probes),
@@ -127,7 +136,7 @@ object Similarity {
        |      FROM v),
        |nz AS (SELECT * FROM n WHERE nrm > 0),
        |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm, label AS qlabel
-       |      FROM nz WHERE vec_id % $ProbeMod = 0),
+       |      FROM nz WHERE vec_id < $ProbeCount),
        |pairs AS (SELECT p.query_id, n.vec_id, p.qnrm, n.nrm,
        |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
        |          FROM nz n JOIN p ON $joinCond n.vec_id <> p.query_id),
@@ -158,7 +167,7 @@ object Similarity {
        |        FROM nz CROSS JOIN planes p GROUP BY nz.vec_id),
        |pr AS (SELECT nz.vec_id AS query_id, nz.ae AS qe, nz.nrm AS qnrm, s.sig AS qsig
        |       FROM nz JOIN sigs s ON nz.vec_id = s.vec_id
-       |       WHERE nz.vec_id % $ProbeMod = 0),
+       |       WHERE nz.vec_id < $ProbeCount),
        |pairs AS (SELECT pr.query_id, nz.vec_id, pr.qnrm, nz.nrm,
        |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
        |          FROM nz JOIN sigs s ON nz.vec_id = s.vec_id
