@@ -42,13 +42,25 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => }
       name -> elapsed
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted per-query map: deterministic key order makes round-over-round
+    // diffs of the artifact line up textually
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successes only — a failed query's -1 sentinel must not
     // understate the total (failure is reported separately, not as speed)
     val total = results.values.filter(_ >= 0).sum
     val failures = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // full machine-readable artifact: the driver's stdout tail truncates
+    // long runs (r2 lost 24 of 85 per-query entries), so the complete JSON
+    // is also written to bench.json for round-over-round diffing
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench.json write failed: $e")
+    }
     spark.stop()
   }
 }

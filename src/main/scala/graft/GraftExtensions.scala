@@ -33,8 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthPrune)
+    ext.injectOptimizerRule(_ => graft.plans.LshBucketRewrite)
     ext.injectFunction(GraftExtensions.VecDot)
     ext.injectFunction(GraftExtensions.SortedIntersectCount)
+    ext.injectFunction(GraftExtensions.LshCandidatesFn)
   }
 }
 
@@ -63,4 +65,17 @@ object GraftExtensions {
         "ascending-sorted array<bigint>; NULL on null input.", ""),
     graft.expr.VectorExpressions.binaryBuilder("sorted_intersect_count",
       graft.expr.SortedLongIntersectCount))
+
+  /** (name, info, builder) descriptor for the lsh_candidates marker. */
+  val LshCandidatesFn: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) = (
+    FunctionIdentifier("lsh_candidates"),
+    new ExpressionInfo(
+      classOf[graft.expr.LshCandidates].getName, null, "lsh_candidates",
+      "lsh_candidates(a, b) - opt-in ANN candidate marker over two " +
+        "array<double>; true (exact) unless LshBucketRewrite lowers it to " +
+        "a sign-LSH bucket equi-join.", ""),
+    graft.expr.VectorExpressions.binaryBuilder("lsh_candidates",
+      graft.expr.LshCandidates))
 }

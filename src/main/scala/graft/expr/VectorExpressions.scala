@@ -176,5 +176,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       binaryBuilder("sorted_intersect_count", SortedLongIntersectCount), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_candidates", binaryBuilder("lsh_candidates", LshCandidates), "built-in")
   }
 }

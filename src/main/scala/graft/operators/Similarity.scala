@@ -88,18 +88,16 @@ object Similarity {
   }
 
   // ---- sim3: random-hyperplane LSH bucketing ------------------------------
-  // 6 deterministic integer hyperplanes, generated driver-side by a fixed
-  // LCG-style mix and embedded as LITERALS in both the Spark plan and the
-  // oracle SQL — bit-identical by construction, no cross-engine hash parity
-  // needed. 6 planes ≈ 64 buckets: at corpus scale the bucket is the shuffle
-  // key and expected bucket size is N/64 — the candidate set per probe is
-  // ~1.5% of brute force, and more planes tighten it further.
-  private val NumPlanes = 6
-  private val Dim = 64
-  private def planeVal(j: Int, i: Int): Long =
-    ((j * Dim + i + 1).toLong * 2654435761L % 2147483647L) % 2001L - 1000L
-  private val Planes: Seq[Array[Double]] =
-    (0 until NumPlanes).map(j => Array.tabulate(Dim)(i => planeVal(j, i).toDouble))
+  // The fixed hyperplane family lives in graft.expr.RandomHyperplanes
+  // (shared with the LshBucketRewrite optimizer rule, so sim3's hand-written
+  // plan and sim4's rule-derived plan bucket identically) and is embedded as
+  // LITERALS in both the Spark plan and the oracle SQL — bit-identical by
+  // construction, no cross-engine hash parity needed. 6 planes ≈ 64 buckets:
+  // at corpus scale the bucket is the shuffle key and expected bucket size
+  // is N/64 — the candidate set per probe is ~1.5% of brute force, and more
+  // planes tighten it further.
+  private val NumPlanes = graft.expr.RandomHyperplanes.NumPlanes
+  private val Planes: Seq[Array[Double]] = graft.expr.RandomHyperplanes.Planes
 
   /** LSH-bucketed ANN: probes search only their sign-signature bucket.
     * The signature is 6 codegen'd vec_dot sign bits — one map-side pass;
@@ -118,10 +116,30 @@ object Similarity {
     topk(pairs, IvfTopK)
   }
 
+  /** sim4: the NAIVE pair query — no signature column, no equi-key, just
+    * the `lsh_candidates` marker in the join condition — lowered by the
+    * [[graft.plans.LshBucketRewrite]] optimizer rule into the same
+    * sign-LSH bucket equi-join sim3 writes by hand (same
+    * [[graft.expr.RandomHyperplanes]], so the result — and the oracle — is
+    * IDENTICAL to sim3's). Without the rule the marker is literal `true`
+    * and this would be the exact O(K·N) baseline; the spec asserts the
+    * rewritten physical plan contains a hash join and no nested-loop. */
+  def lshRewriteTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.LshBucketRewrite.register(spark)
+    val all = emb(spark, dir)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = all.join(probes,
+      call_function("lsh_candidates", col("e"), col("qe")) &&
+        col("vec_id") =!= col("query_id"))
+    topk(pairs, IvfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ivf_topk" -> ivfTopK,
-    "sim3_lsh_topk" -> lshTopK)
+    "sim3_lsh_topk" -> lshTopK,
+    "sim4_lsh_rewrite" -> lshRewriteTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -184,5 +202,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
-    "sim3_lsh_topk" -> Sim3Oracle)
+    "sim3_lsh_topk" -> Sim3Oracle,
+    // sim4 is sim3's semantics derived by the optimizer rule — same oracle
+    "sim4_lsh_rewrite" -> Sim3Oracle)
 }

@@ -274,7 +274,49 @@ object StreamingOps {
       .orderBy("user_id", "session_start_s")
   }
 
+  /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
+    * aggregation as s1, but written by the streaming engine to a parquet
+    * directory (exactly-once via the sink's commit log + checkpoint) and
+    * read back as a batch table for the oracle compare. This is the
+    * production sink path — the result lands on (distributed) storage, NOT
+    * in driver memory, so unlike the memory-sink harness above nothing
+    * about the result size is driver-bounded; at cluster scale the same
+    * plan runs unbounded with the checkpoint on shared storage and each
+    * micro-batch appending files. File sinks are append-only, which is why
+    * the demo query is the watermark-closing window agg (APPEND emits each
+    * window once, when the watermark proves it complete). */
+  def parquetSinkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-s10")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+    val out = s"$base/out"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    // same state-store-count reasoning as runToTable
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prev.toInt).toString)
+      agg.writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    // batch read-back goes through the sink's _spark_metadata commit log,
+    // so only committed files are visible — the exactly-once contract
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_parquet_sink" -> parquetSinkWindow,
     "s9_stream_outer_join" -> streamOuterJoin,
     "s8_closed_sessions" -> closedSessions,
     "s7_stream_static_join" -> streamStaticJoin,
@@ -286,6 +328,15 @@ object StreamingOps {
     "s4_stateful_totals" -> statefulTotals)
 
   private val SumValue = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+  private val TumblingOracle: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n_events, $SumValue AS sum_value
+       |FROM events
+       |GROUP BY date_trunc('hour', ts), event_type
+       |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000
+       |       <= (SELECT epoch_ms(max(ts)) - 3600000 FROM events)
+       |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // null-extended rows appear only for clicks whose 30-minute window the
@@ -351,14 +402,10 @@ object StreamingOps {
     "s6_stream_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_bucket
         |FROM events ORDER BY user_id, hour_bucket""".stripMargin,
-    "s1_tumbling_window" ->
-      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
-         |  COUNT(*) AS n_events, $SumValue AS sum_value
-         |FROM events
-         |GROUP BY date_trunc('hour', ts), event_type
-         |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000
-         |       <= (SELECT epoch_ms(max(ts)) - 3600000 FROM events)
-         |ORDER BY window_start, event_type""".stripMargin,
+    "s1_tumbling_window" -> TumblingOracle,
+    // identical aggregation to s1 — the sink path changes, the result must
+    // not
+    "s10_parquet_sink" -> TumblingOracle,
     "s2_sliding_window" ->
       s"""WITH assigned AS (
          |  SELECT date_trunc('hour', ts) AS window_start, * FROM events
