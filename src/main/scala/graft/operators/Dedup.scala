@@ -303,7 +303,109 @@ object Dedup {
     digestDedup(docs(spark, dir), md5(canon))
   }
 
+  /** Dedup CLUSTER assignment: connected components over the near-dup pair
+    * graph (dd6's verified pairs), labeling every document with the
+    * smallest doc_id reachable through near-dup edges — the "pick one
+    * canonical doc per duplicate cluster" step a training pipeline runs
+    * AFTER pairwise dedup, which pairwise output alone cannot express
+    * (A~B, B~C must collapse to ONE cluster even when A~C was never a
+    * candidate pair).
+    *
+    * Algorithm: iterative min-label propagation (the join-based formulation
+    * of small-star/large-star CC). Each iteration shuffles only (doc_id,
+    * label) longs plus the edge list — at 100 TB the edge list is the
+    * near-dup graph (orders of magnitude smaller than the corpus) and the
+    * per-iteration cost is one groupBy on doc_id; iteration count is
+    * bounded by component diameter (duplicate clusters are shallow — a
+    * handful of rounds). The driver-side loop is control flow only (a
+    * convergence count per round, never data); each round's labels are
+    * persisted and the previous round's cache is released, so lineage
+    * stays O(1) deep.
+    */
+  // final label frame of the previous dd8 invocation (same lifecycle rules
+  // as lastShingleCache above)
+  private var lastLabelsCache: Option[DataFrame] = None
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    synchronized {
+      lastLabelsCache.foreach { prev =>
+        try prev.unpersist(blocking = false) catch { case _: Exception => }
+      }
+      lastLabelsCache = None
+    }
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    // both directions: label pressure must flow low->high AND high->low
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = Catalog.table(spark, dir, "documents").select(col("doc_id"))
+    var labels = docs.withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      // each doc keeps min(own label, neighbors' labels)
+      val fromNbrs = labels.join(edges, labels("doc_id") === edges("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(fromNbrs)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val improved = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") < col("o.label")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = improved == 0
+    }
+    synchronized { lastLabelsCache = Some(labels) }
+    val out = labels
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+    // materialization safety: the returned frame references the final
+    // persisted labels; callers that hold it past the next dd8 call would
+    // recompute from lineage, which is correct (deterministic fixpoint)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** End-to-end training-data prep PIPELINE, composed from the registry's
+    * own stages — the query a user of this engine actually ships:
+    *
+    *   1. cheap map-side gate: keep docs with ≥ 10 whitespace tokens;
+    *   2. exact dedup: keep the min-doc_id copy per md5(text) digest
+    *      (single shuffle on the 16-byte digest);
+    *   3. near-dup collapse: corpus-wide dd8 cluster ids, keep each
+    *      cluster's minimum SURVIVING member (clusters are computed on the
+    *      full corpus — dedup identity must not depend on which copies
+    *      passed the quality gate);
+    *   4. emit the training-shard manifest (doc_id, lang, n_tokens).
+    *
+    * Stage order is the 100 TB order: selectivity first (filters are free
+    * at scan time), digest dedup second (cheapest shuffle), graph dedup
+    * last (runs on the already-thinned survivor join). */
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val base = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(col("_toks")).cast(LongType).as("n_tokens"), md5(col("text")).as("fp"))
+      .filter(col("n_tokens") >= 10)
+    val exact = base
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+    exact.join(clusters, "doc_id")
+      .withColumn("canon",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pipeline_manifest" -> pipelineManifest,
+    "dd8_dedup_clusters" -> dedupClusters,
     "dd7_canonical_dedup" -> canonicalDedup,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_fingerprint_dedup" -> fingerprintDedup,
@@ -315,6 +417,25 @@ object Dedup {
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
 
   private val Toks = Text.sqlTokens("text")
+
+  // dd6's candidate-pair pipeline as a reusable CTE list (shared by the
+  // dd6 oracle and dd8's connected-components oracle): bigrams hashed with
+  // the same shared md5-prefix hash as the Spark side and list_distinct'd
+  // after hashing (mirrors the Spark side's array_distinct — identical
+  // sets even under a 60-bit collision)
+  private lazy val Dd6PairCtes: String =
+    s"""d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+       |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
+       |  list_distinct(list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")})) AS bg
+       |FROM d WHERE len(toks) >= 2),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
+       |  CAST(len(a.bg) + len(b.bg)
+       |       - len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) AS jaccard
+       |  FROM d2 a JOIN d2 b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |   AND a.doc_id < b.doc_id
+       |   AND len(a.bg) * 5 >= len(b.bg) * 3 AND len(b.bg) * 5 >= len(a.bg) * 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd5_embedding_neardup" ->
@@ -344,23 +465,55 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin
     },
     "dd6_ngram_jaccard" ->
-      // bigrams hashed with the same shared md5-prefix hash as the Spark
-      // side and list_distinct'd after hashing (mirrors the Spark side's
-      // array_distinct — identical sets even under a 60-bit collision)
-      s"""WITH d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
-         |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
-         |  list_distinct(list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")})) AS bg
-         |FROM d WHERE len(toks) >= 2),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
-         |  CAST(len(a.bg) + len(b.bg)
-         |       - len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) AS jaccard
-         |  FROM d2 a JOIN d2 b
-         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-         |   AND a.doc_id < b.doc_id
-         |   AND len(a.bg) * 5 >= len(b.bg) * 3 AND len(b.bg) * 5 >= len(a.bg) * 3)
+      s"""WITH $Dd6PairCtes
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components via recursive transitive closure (graphs this
+    // small close in one CTE); cluster id = min reachable doc_id, matching
+    // the Spark side's min-label-propagation fixpoint exactly
+    "dd8_dedup_clusters" ->
+      s"""WITH RECURSIVE $Dd6PairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |          least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // same cluster CTEs as dd8, then the pipeline stages: token gate,
+    // exact digest dedup (min doc_id per md5), keep each cluster's minimum
+    // surviving member
+    "p1_pipeline_manifest" ->
+      s"""WITH RECURSIVE $Dd6PairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |          least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |tok AS (SELECT doc_id, lang, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |          md5(text) AS fp
+         |        FROM documents),
+         |f AS (SELECT * FROM tok WHERE n_tokens >= 10),
+         |ed AS (SELECT * FROM (SELECT *,
+         |          min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
+         |       WHERE doc_id = keep_id),
+         |j AS (SELECT ed.doc_id, ed.lang, ed.n_tokens, lab.cluster_id
+         |      FROM ed JOIN lab ON ed.doc_id = lab.doc_id)
+         |SELECT doc_id, lang, n_tokens
+         |FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_id) AS canon
+         |      FROM j)
+         |WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
     "dd2_fingerprint_dedup" ->
       s"""SELECT min(doc_id) AS doc_id,
          |  ${Text.sqlContentFingerprint(Toks)} AS fp,

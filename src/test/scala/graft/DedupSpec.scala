@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("dd8 clusters: edge-connected docs share a cluster; id is the min member") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every verified near-dup pair must land in one cluster (including
+    // transitively: A~B, B~C with no A~C edge still collapse)
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member id (the fixpoint's invariant)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid: min member ${members.keys.min}")
+    }
+    // singletons label themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(kv => inPairs(kv._1)).foreach { case (d, c) =>
+      assert(d == c, s"singleton $d got foreign cluster $c")
+    }
+  }
+
   test("dedup(dedup(x)) == dedup(x) on generated corpora (property)") {
     val gen = Gen.listOfN(30, Gen.oneOf("aa bb cc", "dd ee ff", "gg hh ii"))
     (1 to 5).foreach { seed =>
