@@ -18,10 +18,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *     plans [[graft.plans.AsOfJoinPlan]] nodes to the sort-merge exec;
   *   - the [[graft.plans.JaccardLengthPrune]] optimizer rule — injects the
   *     PPJoin length prune into set-similarity threshold filters;
-  *   - `vec_dot(array<double>, array<double>)` ([[graft.expr.DoubleVectorDot]])
-  *     and `sorted_intersect_count(array<bigint>, array<bigint>)`
-  *     ([[graft.expr.SortedLongIntersectCount]]) as proper registry
-  *     functions with docs, usable from SQL text.
+  *   - the [[graft.plans.LshBucketRewrite]] optimizer rule — lowers the
+  *     opt-in `lsh_candidates` marker into a sign-LSH bucket equi-join;
+  *   - `vec_dot(array<double>, array<double>)` ([[graft.expr.DoubleVectorDot]]),
+  *     `sorted_intersect_count(array<bigint>, array<bigint>)`
+  *     ([[graft.expr.SortedLongIntersectCount]]) and
+  *     `lsh_candidates(array<double>, array<double>)`
+  *     ([[graft.expr.LshCandidates]]) as proper registry functions with
+  *     docs, usable from SQL text.
   *
   * The per-session imperative registrars (`AsOfJoin.register`,
   * `VectorExpressions.register`) remain for sessions built without the

@@ -315,7 +315,73 @@ object StreamingOps {
     spark.read.parquet(out).orderBy("window_start", "event_type")
   }
 
+  // events split into 8 files, one per micro-batch (see multiBatchTotals);
+  // built once per (JVM, sf dir)
+  private val splitDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private def eventsMultiFile(spark: SparkSession, dir: String): String =
+    synchronized {
+      splitDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-s11").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(d))
+        }
+        // ORDERED by event time before the split so the 8 files replay in
+        // ascending-time order (file order = alphabetical = range order):
+        // late data across batches would otherwise be watermark-dropped
+        // nondeterministically. repartitionByRange gives contiguous time
+        // ranges per file.
+        Catalog.eventsNorm(spark, dir)
+          .repartitionByRange(8, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+    }
+
+  /** Arbitrary stateful processing under a genuinely MULTI-micro-batch
+    * replay: s4's running per-user cent totals, but the events table is
+    * pre-split into 8 time-ranged files and the file source is throttled to
+    * `maxFilesPerTrigger=1` — so the query executes 8 micro-batches and the
+    * per-group state must survive and accumulate ACROSS batches (the
+    * single-file replays above complete in one batch, which a stateless
+    * fold could fake). Final state recovered exactly as in s4; oracle
+    * shared with s4 — the result must be replay-granularity-invariant. */
+  def multiBatchTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventsMultiFile(spark, dir)
+    // the split files were written from eventsNorm, so ts is ALREADY a
+    // µs timestamp — read with the normalized schema, no second div-1000
+    val normSchema = StructType(Catalog.events.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+    val stream = spark.readStream.schema(normSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val typed = stream
+      .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+    val updated = typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (uid, n, c)
+      }
+      .toDF("user_id", "n_events", "total_cents")
+    runToTable(spark, updated, OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        col("last.total_cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_multibatch_totals" -> multiBatchTotals,
     "s10_parquet_sink" -> parquetSinkWindow,
     "s9_stream_outer_join" -> streamOuterJoin,
     "s8_closed_sessions" -> closedSessions,
@@ -434,8 +500,13 @@ object StreamingOps {
          |  user_id, COUNT(*) AS n_events, $SumValue AS sum_value
          |FROM numbered GROUP BY user_id, session_id
          |ORDER BY user_id, session_start""".stripMargin,
-    "s4_stateful_totals" ->
-      """SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    "s4_stateful_totals" -> StatefulTotalsOracle,
+    // same oracle as s4: the final state must be replay-granularity
+    // invariant (8 micro-batches vs 1)
+    "s11_multibatch_totals" -> StatefulTotalsOracle)
+
+  private lazy val StatefulTotalsOracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

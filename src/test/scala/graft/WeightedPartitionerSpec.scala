@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.WeightedKeyPartitioner
+
+/** [[graft.operators.WeightedKeyPartitioner]] — the LPT half of the
+  * reference's heuristic pre-scheduler (`sim/sim.py:223-263`), asserted on
+  * an engineered skewed key histogram: balance beats hash partitioning,
+  * aggregation results are partitioner-invariant, unknown keys degrade to
+  * hash. */
+class WeightedPartitionerSpec extends SparkSpec {
+
+  // zipf-ish weights: key 0 is ~37% of all rows — a hash partition holding
+  // it can never be balanced, but key-granular LPT can pack around it
+  private val weights: Seq[(Any, Long)] =
+    (0 until 64).map(k => (k: Any) -> (2000L / (k + 1)))
+  private val numParts = 8
+
+  private def loads(p: WeightedKeyPartitioner): Map[Int, Long] =
+    weights.groupBy { case (k, _) => p.getPartition(k) }
+      .map { case (b, ks) => b -> ks.map(_._2).sum }
+
+  test("LPT packing stays within 4/3 of ideal where hash partitioning cannot") {
+    val p = new WeightedKeyPartitioner(numParts, weights)
+    val total = weights.map(_._2).sum
+    val ideal = total.toDouble / numParts
+    val lptMax = loads(p).values.max
+    // the biggest single key exceeds the ideal bin: perfect balance is
+    // impossible, but LPT must stay within max(heaviest key, 4/3 ideal)
+    val bound = math.max(weights.map(_._2).max.toDouble, ideal * 4.0 / 3.0)
+    assert(lptMax <= bound + 1, s"LPT max load $lptMax above bound $bound")
+    // hash baseline: whichever partition holds key 0 carries its full
+    // weight plus whatever else hashes there — strictly worse than LPT here
+    val hashLoads = weights.groupBy { case (k, _) =>
+      val h = k.hashCode % numParts; if (h < 0) h + numParts else h
+    }.map { case (_, ks) => ks.map(_._2).sum }
+    assert(lptMax < hashLoads.max,
+      s"LPT ($lptMax) should beat hash (${hashLoads.max}) on this skew")
+  }
+
+  test("every partition id is in range and assignment is deterministic") {
+    val p1 = new WeightedKeyPartitioner(numParts, weights)
+    val p2 = new WeightedKeyPartitioner(numParts, weights)
+    weights.foreach { case (k, _) =>
+      val b = p1.getPartition(k)
+      assert(b >= 0 && b < numParts)
+      assert(b == p2.getPartition(k), s"nondeterministic assignment for $k")
+    }
+    assert(p1 == p2)
+  }
+
+  test("aggregation over the weighted partitioner matches the hash result") {
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(
+      (0 until 64).flatMap(k => Seq.fill((2000 / (k + 1)).toInt)(k -> 1L)), 16)
+    val viaWeighted = rows
+      .reduceByKey(new WeightedKeyPartitioner(numParts, weights), _ + _)
+      .collect().toMap
+    val viaHash = rows.reduceByKey(_ + _).collect().toMap
+    assert(viaWeighted == viaHash, "partitioning strategy changed the aggregate")
+  }
+
+  test("keys outside the weight map fall back to hash range") {
+    val p = new WeightedKeyPartitioner(numParts, weights)
+    (1000 until 1100).foreach { k =>
+      val b = p.getPartition(k)
+      assert(b >= 0 && b < numParts, s"fallback out of range for $k -> $b")
+    }
+    assert(p.getPartition(null) == 0)
+  }
+}
