@@ -470,7 +470,36 @@ object Coverage {
     ()
   }
 
+  /** TPC-H Q21 shape ("suppliers who kept orders waiting"), adapted to this
+    * corpus's columns: suppliers whose lineitem came back RETURNED
+    * (`l_returnflag = 'R'`) on a multi-supplier order where NO other
+    * supplier's line was returned — i.e. the sole culprit. The interesting
+    * plan property is the same as Q21's: a SEMI and an ANTI self-join of
+    * the fact table against different filtered views of ITSELF on the same
+    * key (both shuffle on l_orderkey, so AQE plans them back-to-back on
+    * one exchange), then a count + top-k. */
+  def q32SoleCulprit(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey"), col("l_suppkey").as("o_supp"))
+    val returnedOthers = returned.select(col("l_orderkey"),
+      col("l_suppkey").as("r_supp"))
+    val culprit = returned
+      .join(others,
+        returned("l_orderkey") === others("l_orderkey") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+      .join(returnedOthers,
+        returned("l_orderkey") === returnedOthers("l_orderkey") &&
+          col("l_suppkey") =!= col("r_supp"), "left_anti")
+    culprit.groupBy(col("l_suppkey"))
+      .agg(asLong(count(lit(1))).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_sole_culprit" -> q32SoleCulprit,
     "q29_wide_star" -> q29WideStar,
     "q30_disjunctive" -> q30Disjunctive,
     "q31_volume_shipping" -> q31VolumeShipping,
@@ -494,6 +523,19 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q32_sole_culprit" ->
+      """WITH r AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R')
+        |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM r
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |        WHERE l2.l_orderkey = r.l_orderkey
+        |          AND l2.l_suppkey <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM r r2
+        |        WHERE r2.l_orderkey = r.l_orderkey
+        |          AND r2.l_suppkey <> r.l_suppkey)
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
     "x24_text_source" ->
       """SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n_names
         |FROM part GROUP BY substr(p_name, 1, 1) ORDER BY initial""".stripMargin,

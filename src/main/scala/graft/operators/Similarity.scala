@@ -135,7 +135,36 @@ object Similarity {
     topk(pairs, IvfTopK)
   }
 
+  /** sim5: top-k over INT8-QUANTIZED vectors — the storage-compression ANN
+    * path (4x smaller vectors than float32; at 100 TB the index fits where
+    * the raw embeddings do not). Per-vector symmetric quantization
+    * `q_i = floor(x_i * 127 / max|x| + 0.5)` (floor(+0.5) == round-half-up
+    * in BOTH engines — `round()` itself ties-to-even differently across
+    * engines, so it is avoided); cosine is computed directly on the
+    * quantized integers (the per-vector scale cancels in the cosine), so
+    * ranking error comes only from the quantization grid. Probe budget and
+    * plan shape are sim1's. */
+  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val m = array_max(transform(col("e"), x => abs(x)))
+    // Spark's floor yields LongType (DuckDB's yields DOUBLE) — cast back so
+    // both engines carry the quantized grid as exact small doubles
+    val q = transform(col("e"),
+      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
+    val all = Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
+      .withColumn("q", q)
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("q"), col("q"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("e"), col("nrm"))
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = all.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("query_id"))
+    topk(pairs, TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim5_int8_topk" -> int8TopK,
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ivf_topk" -> ivfTopK,
     "sim3_lsh_topk" -> lshTopK,
@@ -204,5 +233,28 @@ object Similarity {
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
     "sim3_lsh_topk" -> Sim3Oracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
-    "sim4_lsh_rewrite" -> Sim3Oracle)
+    "sim4_lsh_rewrite" -> Sim3Oracle,
+    "sim5_int8_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |           FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         list_transform(e0, x -> floor(x * 127.0
+         |           / list_max(list_transform(e0, y -> abs(y))) + 0.5)) AS ae
+         |       FROM v),
+         |n AS (SELECT vec_id, ae,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |      FROM qz),
+         |nz AS (SELECT * FROM n WHERE nrm > 0),
+         |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm
+         |      FROM nz WHERE vec_id < $ProbeCount),
+         |pairs AS (SELECT p.query_id, n.vec_id, p.qnrm, n.nrm,
+         |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
+         |          FROM nz n JOIN p ON n.vec_id <> p.query_id),
+         |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+         |             d / (qnrm * nrm) AS cos,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+         |           FROM pairs)
+         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
 }

@@ -176,7 +176,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics: global top-25 tokens by occurrence
+    * count, with document frequency — the Zipf sanity-check every corpus
+    * build runs. Scale shape: explode runs inside the scan stage, the
+    * groupBy is a codegen'd hash aggregate with map-side partial counts
+    * (only (token, count) pairs shuffle — bounded by vocabulary size, not
+    * corpus size), and the top-k is a TakeOrderedAndProject (per-partition
+    * heads, no global sort materialization). */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(asLong(count(lit(1))).as("n_occurrences"),
+        asLong(countDistinct(col("doc_id"))).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(25)
+    counts.withColumn("rank", asLong(row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("tok")))))
+      .select(col("rank"), col("tok"), col("n_occurrences"), col("n_docs"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
     "t6_ngram_langid" -> ngramLangId,
     "t1_token_count" -> tokenCount,
@@ -189,6 +212,15 @@ object TextAnalysis {
   private val AllMarkers = Markers.flatMap(_._2)
 
   val oracles: Map[String, String] = Map(
+    "t8_top_tokens" ->
+      s"""WITH e AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM e GROUP BY tok
+         |      ORDER BY n_occurrences DESC, tok LIMIT 25)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS BIGINT) AS rank,
+         |  tok, n_occurrences, n_docs
+         |FROM c ORDER BY rank""".stripMargin,
     "t7_pii_scan" -> {
       val synth = """concat(text, ' contact user', CAST(doc_id AS VARCHAR),
                     |    '@example.org id 77', CAST(doc_id AS VARCHAR), '9999',

@@ -380,7 +380,35 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT SEMI join: clicks that had at least one same-user
+    * purchase within the following 30 minutes — emitted AT MOST ONCE per
+    * click however many purchases match (the "did a conversion happen"
+    * filter, which an inner join answers with duplicate rows and an outer
+    * join answers too late). Same watermark + time-range state bounds as
+    * s5; on bounded input the semi join's emit-on-first-match semantics
+    * make the result exactly the batch EXISTS the oracle runs. */
+  def streamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("c_user").as("user_id"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_stream_semi_join" -> streamSemiJoin,
     "s11_multibatch_totals" -> multiBatchTotals,
     "s10_parquet_sink" -> parquetSinkWindow,
     "s9_stream_outer_join" -> streamOuterJoin,
@@ -468,6 +496,16 @@ object StreamingOps {
     "s6_stream_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_bucket
         |FROM events ORDER BY user_id, hour_bucket""".stripMargin,
+    "s12_stream_semi_join" ->
+      """SELECT c.event_id AS click_id, c.user_id
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM events p
+        |        WHERE p.event_type = 'purchase'
+        |          AND p.user_id = c.user_id
+        |          AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |ORDER BY click_id""".stripMargin,
     "s1_tumbling_window" -> TumblingOracle,
     // identical aggregation to s1 — the sink path changes, the result must
     // not
