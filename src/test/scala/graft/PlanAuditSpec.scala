@@ -1,0 +1,44 @@
+package graft
+
+/** Fleet-wide physical-plan audit: no registry query may silently plan a
+  * cartesian product or nested-loop join — the two shapes that turn a
+  * 100 TB query into an outage. The exceptions are DELIBERATE and named:
+  *
+  *   - sim1/sim5: the exact brute-force baselines — a bounded probe set
+  *     (fixed budget, see Similarity's probe contract) cross-joined
+  *     against the corpus scan on purpose;
+  *   - x11: the registered demonstration of Spark's pure non-equi
+  *     nested-loop join tier.
+  *
+  * Everything else must key every join. The audit inspects the UNEXECUTED
+  * sparkPlan (no data runs); queries that execute work at build time
+  * (streaming replays, dd8/p1's iterative driver loop) are skipped — their
+  * internal joins are covered by their own oracles and specs. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
+    "x11_nested_loop_join")
+  // execute at build time (stream replay / iterative convergence loop):
+  // auditing their *returned* frame would inspect a LocalRelation or
+  // post-hoc plan, not the interesting join pipeline
+  private val executesAtBuild: String => Boolean = n =>
+    (n.startsWith("s") && !n.startsWith("sim")) ||
+      n == "dd8_dedup_clusters" || n == "p1_pipeline_manifest"
+
+  test("no undeclared cartesian/nested-loop join in any registry plan") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(executesAtBuild)
+      .filterNot(allowCross)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("NestedLoopJoin"))
+          Some(name -> plan.linesIterator.filter(l =>
+            l.contains("CartesianProduct") || l.contains("NestedLoopJoin"))
+            .mkString("; "))
+        else None
+      }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, l) => s"$n: $l" }.mkString("\n"))
+  }
+}
