@@ -498,7 +498,43 @@ object Coverage {
       .limit(20)
   }
 
+  /** Event-sequence FUNNEL over the events table: how many users complete
+    * view → click (≤ 30 min later) → purchase (≤ 30 min after that
+    * qualifying click). The product-analytics sequence shape: each stage is
+    * a user-keyed equi-join with a time-range predicate riding it, and each
+    * stage's output is the distinct set feeding the next — so at 100 TB
+    * every join shuffles on user_id (AQE-splittable) and only (user, ts)
+    * pairs flow between stages, never event payloads. */
+  def q33Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.eventsNorm(spark, dir)
+    def stage(kind: String, u: String, t: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(u), col("ts").as(t))
+    val views = stage("view", "user_id", "v_ts")
+    val clicks = stage("click", "c_user", "c_ts")
+    val purchases = stage("purchase", "p_user", "p_ts")
+    val win = expr("INTERVAL 30 MINUTES")
+    // clicks that qualified (followed a view within the window), distinct:
+    // one click can follow many views but must count once downstream
+    val qc = views.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("c_ts") >= col("v_ts") && col("c_ts") <= col("v_ts") + win)
+      .select(col("c_user"), col("c_ts")).distinct()
+    val s3users = qc.join(purchases,
+        col("p_user") === col("c_user") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + win)
+      .select(col("c_user")).distinct()
+    val r1 = views.agg(asLong(countDistinct(col("user_id"))).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+    val r2 = qc.agg(asLong(countDistinct(col("c_user"))).as("n_users"))
+      .select(lit("2_click").as("stage"), col("n_users"))
+    val r3 = s3users.agg(asLong(count(lit(1))).as("n_users"))
+      .select(lit("3_purchase").as("stage"), col("n_users"))
+    r1.union(r2).union(r3).orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_funnel" -> q33Funnel,
     "q32_sole_culprit" -> q32SoleCulprit,
     "q29_wide_star" -> q29WideStar,
     "q30_disjunctive" -> q30Disjunctive,
@@ -523,6 +559,24 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q33_funnel" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |qc AS (SELECT DISTINCT c.user_id, c.ts
+        |       FROM v JOIN c ON c.user_id = v.user_id
+        |        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |        AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000),
+        |s3 AS (SELECT DISTINCT qc.user_id
+        |       FROM qc JOIN p ON p.user_id = qc.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(qc.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(qc.ts) + 1800000000)
+        |SELECT '1_view' AS stage, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM qc
+        |UNION ALL
+        |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin,
     "q32_sole_culprit" ->
       """WITH r AS (SELECT l_orderkey, l_suppkey FROM lineitem
         |           WHERE l_returnflag = 'R')

@@ -203,9 +203,9 @@ object Dedup {
   // as lastShingleCache above)
   private var lastNgramCache: Option[DataFrame] = None
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.VectorExpressions.register(spark)
-    val NgramThreshold = 0.6
+  /** Shared persisted (doc_id, lang, len_bucket, bg, n_bg) frame — built by
+    * dd6 and reused by dd9's incremental variant. */
+  private def ngramBase(spark: SparkSession, dir: String): DataFrame =
     // Bigrams are hashed to longs (the SHARED md5-prefix hash, mirrored in
     // the oracle — identical arrays on both engines even under a collision),
     // DISTINCT'd after hashing (so a 60-bit collision between two distinct
@@ -223,7 +223,7 @@ object Dedup {
     // filter, where each element_at re-tokenizes the document: O(tokens²)
     // interpreted work per row on the unparallelized side of the shuffle
     // (measured 8.6s -> ~2s at sf0.1).
-    val base = synchronized {
+    synchronized {
       lastNgramCache.foreach { prev =>
         try prev.unpersist(blocking = false) catch { case _: Exception => }
       }
@@ -239,6 +239,11 @@ object Dedup {
       lastNgramCache = Some(df)
       df
     }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val NgramThreshold = 0.6
+    val base = ngramBase(spark, dir)
     val a = base.select(col("doc_id").as("doc_a"), col("lang"),
       col("len_bucket"), col("bg").as("bg_a"), col("n_bg").as("na"))
     val b = base.select(col("doc_id").as("doc_b"), col("lang"),
@@ -403,7 +408,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dedup: a batch of incoming documents (`doc_id % 5 == 0`,
+    * a fixed 20% slice at any SF) deduplicated AGAINST the already-ingested
+    * index (the other 80%) — the production shape for daily increments,
+    * where re-running corpus-wide dedup per batch is unaffordable. Each
+    * incoming doc is classified:
+    *
+    *   - `exact_dup`:  its md5(text) digest exists in the index;
+    *   - `near_dup`:   bigram Jaccard ≥ 0.6 with ANY index doc in its
+    *                   (lang, len_bucket) block (dd6's verify machinery);
+    *   - `new`:        neither.
+    *
+    * Scale shape: both stages are incoming-⋈-index equi-joins (digest;
+    * block key) — never an index self-join — so per-batch cost is
+    * |incoming| × per-block fan-in, independent of corpus history size.
+    * The priority order (exact before near) is part of the contract. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val isIncoming = col("doc_id") % 5 === 0
+    val dig = Catalog.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val incoming = dig.filter(isIncoming)
+    val exactIds = incoming
+      .join(dig.filter(!isIncoming).select(col("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1))
+    val base = ngramBase(spark, dir)
+    val inc = base.filter(isIncoming).select(col("doc_id"), col("lang"),
+      col("len_bucket"), col("bg").as("bg_i"), col("n_bg").as("ni"))
+    val idx = base.filter(!isIncoming).select(col("lang"),
+      col("len_bucket"), col("bg").as("bg_x"), col("n_bg").as("nx"))
+    val nInt = call_function("sorted_intersect_count", col("bg_i"), col("bg_x"))
+    val nearIds = inc.join(idx, Seq("lang", "len_bucket"))
+      .filter(col("ni") * 5 >= col("nx") * 3 && col("nx") * 5 >= col("ni") * 3)
+      .filter(nInt.cast(DoubleType) /
+        (col("ni") + col("nx") - nInt).cast(DoubleType) >= 0.6)
+      .select(col("doc_id")).distinct().withColumn("is_near", lit(1))
+    incoming.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, lit("exact_dup"))
+          .when(col("is_near") === 1, lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd9_incremental_dedup" -> incrementalDedup,
     "p1_pipeline_manifest" -> pipelineManifest,
     "dd8_dedup_clusters" -> dedupClusters,
     "dd7_canonical_dedup" -> canonicalDedup,
@@ -423,11 +475,14 @@ object Dedup {
   // the same shared md5-prefix hash as the Spark side and list_distinct'd
   // after hashing (mirrors the Spark side's array_distinct — identical
   // sets even under a 60-bit collision)
-  private lazy val Dd6PairCtes: String =
+  private lazy val Dd6BaseCtes: String =
     s"""d AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
        |d2 AS (SELECT doc_id, lang, len(toks) // 16 AS len_bucket,
        |  list_distinct(list_transform(${Text.sqlShingles2("toks")}, s -> ${Text.sqlHash("s")})) AS bg
-       |FROM d WHERE len(toks) >= 2),
+       |FROM d WHERE len(toks) >= 2)""".stripMargin
+
+  private lazy val Dd6PairCtes: String =
+    s"""$Dd6BaseCtes,
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
        |  CAST(len(a.bg) + len(b.bg)
@@ -468,6 +523,27 @@ object Dedup {
       s"""WITH $Dd6PairCtes
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    // incoming-vs-index classification, same bigram machinery as dd6 but
+    // joined across the 20/80 split instead of a self-join
+    "dd9_incremental_dedup" ->
+      s"""WITH $Dd6BaseCtes,
+         |dig AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |near AS (SELECT DISTINCT i.doc_id
+         |  FROM d2 i JOIN d2 x
+         |    ON i.doc_id % 5 = 0 AND x.doc_id % 5 <> 0
+         |   AND i.lang = x.lang AND i.len_bucket = x.len_bucket
+         |   AND len(i.bg) * 5 >= len(x.bg) * 3 AND len(x.bg) * 5 >= len(i.bg) * 3
+         |  WHERE CAST(len(list_filter(i.bg, e -> list_contains(x.bg, e))) AS DOUBLE) /
+         |        CAST(len(i.bg) + len(x.bg)
+         |             - len(list_filter(i.bg, e -> list_contains(x.bg, e))) AS DOUBLE) >= 0.6)
+         |SELECT i.doc_id,
+         |  CASE WHEN EXISTS (SELECT 1 FROM dig x
+         |                    WHERE x.doc_id % 5 <> 0 AND x.fp = i.fp)
+         |       THEN 'exact_dup'
+         |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         |       ELSE 'new' END AS status
+         |FROM dig i WHERE i.doc_id % 5 = 0
+         |ORDER BY doc_id""".stripMargin,
     // connected components via recursive transitive closure (graphs this
     // small close in one CTE); cluster id = min reachable doc_id, matching
     // the Spark side's min-label-propagation fixpoint exactly
