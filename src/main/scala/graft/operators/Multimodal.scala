@@ -121,13 +121,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Content-addressed payload CHUNKING: each binary payload split into
+    * fixed 256-byte chunks, each chunk emitted with its md5 — the shape
+    * that feeds content-addressed blob storage / chunk-level dedup of
+    * media at scale (identical chunks across payloads share a digest).
+    * The chunk table is generated INSIDE the scan stage (sequence +
+    * posexplode-style expansion, binary substr per chunk) — payload bytes
+    * never shuffle; only (doc_id, idx, len, digest) rows do. Oracle slices
+    * the text with substr: the corpus is pure ASCII (verified: octet_length
+    * == length at every SF), so byte offsets == char offsets. */
+  val ChunkSize = 256
+  def payloadChunks(spark: SparkSession, dir: String): DataFrame = {
+    val m = toMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("payload"))
+      .filter(length(col("payload")) > 0)
+      .withColumn("nc", ceil(length(col("payload")) / lit(ChunkSize.toDouble)).cast("long"))
+    val chunk = col("payload").substr(
+      col("chunk_idx") * ChunkSize + 1, lit(ChunkSize))
+    m.select(col("doc_id"), explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("chunk_idx"),
+        asLong(length(chunk)).as("chunk_len"), md5(chunk).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_payload_chunks" -> payloadChunks,
     "mm1_media_meta" -> mediaMeta,
     "mm2_decode_features" -> decodeFeatures,
     "mm3_frame_sample" -> frameSample,
     "mm4_resize_stub" -> resizeStub)
 
   val oracles: Map[String, String] = Map(
+    "mm5_payload_chunks" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |             CAST(ceil(length(text) / ${ChunkSize}.0) AS BIGINT) AS nc
+         |           FROM documents WHERE length(text) > 0),
+         |e AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS chunk_idx
+         |      FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(length(substr(text, chunk_idx * $ChunkSize + 1, $ChunkSize)) AS BIGINT) AS chunk_len,
+         |  md5(substr(text, chunk_idx * $ChunkSize + 1, $ChunkSize)) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // nearest-neighbor sample positions over the ASCII corpus: char at
     // 1 + (k*len)//16 is the byte the Spark side indexes at k*len/16
     "mm4_resize_stub" ->
