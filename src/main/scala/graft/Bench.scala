@@ -55,11 +55,20 @@ object Bench {
     println(json)
     // full machine-readable artifact: the driver's stdout tail truncates
     // long runs (r2 lost 24 of 85 per-query entries), so the complete JSON
-    // is also written to bench.json for round-over-round diffing
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] bench.json write failed: $e")
+    // is also written to bench.json for round-over-round diffing. The path
+    // is resolved to an EXPLICIT absolute base (env override, else the
+    // forked JVM's user.dir) and the absolute path actually written is
+    // printed — a changed sbt fork baseDirectory must not silently
+    // relocate the artifact and leave round diffs comparing a stale file.
+    val benchPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        sys.props.getOrElse("user.dir", ".") + "/bench.json")).toAbsolutePath
+    try {
+      java.nio.file.Files.write(benchPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $benchPath")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] $benchPath write failed: $e")
     }
     spark.stop()
   }

@@ -153,6 +153,12 @@ object Similarity {
       x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
     val all = Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
+      // an all-zero vector makes m = 0 and every quantized component
+      // 0*127/0 = NaN — and BOTH engines order NaN > 0 as true (Spark
+      // nanSafeCompare, DuckDB NaN-high), so NaN cosines would leak into
+      // the top-k. Drop zero vectors explicitly on max|x| > 0 (an exact
+      // 0.0 comparison, no NaN can arise) BEFORE quantizing.
+      .filter(array_max(transform(col("e"), x => abs(x))) > 0)
       .withColumn("q", q)
       .withColumn("nrm", sqrt(call_function("vec_dot", col("q"), col("q"))))
       .filter(col("nrm") > 0)
@@ -240,7 +246,8 @@ object Similarity {
          |qz AS (SELECT vec_id,
          |         list_transform(e0, x -> floor(x * 127.0
          |           / list_max(list_transform(e0, y -> abs(y))) + 0.5)) AS ae
-         |       FROM v),
+         |       FROM v
+         |       WHERE list_max(list_transform(e0, y -> abs(y))) > 0),
          |n AS (SELECT vec_id, ae,
          |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
          |      FROM qz),

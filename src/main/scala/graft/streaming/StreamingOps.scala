@@ -285,34 +285,54 @@ object StreamingOps {
     * micro-batch appending files. File sinks are append-only, which is why
     * the demo query is the watermark-closing window agg (APPEND emits each
     * window once, when the watermark proves it complete). */
+  // s10 sink dir built once per (JVM, sf dir) — verify + bench in one JVM
+  // would otherwise stack a fresh temp dir AND a fresh shutdown hook per
+  // invocation (the hooks are never deregistered)
+  private val sinkDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private val sinkSchema = StructType(Seq(
+    StructField("window_start", TimestampType),
+    StructField("event_type", StringType),
+    StructField("n_events", LongType),
+    StructField("sum_value", DoubleType)))
+
   def parquetSinkWindow(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-s10")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(base.toFile)
+    val out = synchronized {
+      sinkDirs.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files.createTempDirectory("graft-s10")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(base.toFile)
+        }
+        val outDir = s"$base/out"
+        val agg = eventsStream(spark, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+        // same state-store-count reasoning as runToTable
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.min(8, prev.toInt).toString)
+          agg.writeStream.outputMode(OutputMode.Append()).format("parquet")
+            .option("path", outDir).option("checkpointLocation", s"$base/chk")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        outDir
+      })
     }
-    val out = s"$base/out"
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    // same state-store-count reasoning as runToTable
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, prev.toInt).toString)
-      agg.writeStream.outputMode(OutputMode.Append()).format("parquet")
-        .option("path", out).option("checkpointLocation", s"$base/chk")
-        .trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
     // batch read-back goes through the sink's _spark_metadata commit log,
-    // so only committed files are visible — the exactly-once contract
-    spark.read.parquet(out).orderBy("window_start", "event_type")
+    // so only committed files are visible — the exactly-once contract.
+    // EXPLICIT schema: at a tiny SF no window may close under the 1h
+    // watermark, leaving a committed-but-file-less sink — that must read
+    // back as an empty frame, not a schema-inference failure.
+    spark.read.schema(sinkSchema).parquet(out)
+      .orderBy("window_start", "event_type")
   }
 
   // events split into 8 files, one per micro-batch (see multiBatchTotals);
@@ -329,15 +349,26 @@ object StreamingOps {
           }
           rm(new java.io.File(d))
         }
-        // ORDERED by event time before the split so the 8 files replay in
-        // ascending-time order (file order = alphabetical = range order):
-        // late data across batches would otherwise be watermark-dropped
-        // nondeterministically. repartitionByRange gives contiguous time
-        // ranges per file.
+        // Split ORDERED by event time (repartitionByRange gives contiguous
+        // time ranges per file; part-file NUMBER = range order). But Spark's
+        // FileStreamSource with maxFilesPerTrigger=1 picks pending files by
+        // MODIFICATION time (ties broken by listing order), NOT by name —
+        // and 8 part files from one parallel write can share or invert
+        // mtimes. Stamp strictly increasing mtimes in name order so replay
+        // is guaranteed time-ascending; without the stamp this helper would
+        // only be safe for watermark-FREE stateful queries (a watermarked
+        // consumer would drop "late" batches nondeterministically).
         Catalog.eventsNorm(spark, dir)
           .repartitionByRange(8, col("ts"))
           .sortWithinPartitions("ts")
           .write.mode("overwrite").parquet(d)
+        val parts = new java.io.File(d).listFiles
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case (f, i) =>
+          // strictly increasing, all in the past (no future mtimes)
+          f.setLastModified(t0 - (parts.length - i) * 2000L): Unit
+        }
         d
       })
     }

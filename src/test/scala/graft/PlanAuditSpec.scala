@@ -20,9 +20,12 @@ class PlanAuditSpec extends SparkSpec {
     "x11_nested_loop_join")
   // execute at build time (stream replay / iterative convergence loop):
   // auditing their *returned* frame would inspect a LocalRelation or
-  // post-hoc plan, not the interesting join pipeline
+  // post-hoc plan, not the interesting join pipeline. The streaming
+  // namespace is matched PRECISELY (s<digits>_) — a bare startsWith("s")
+  // would silently drop a future batch query named e.g. skew1_/sort2_
+  // from the audit.
   private val executesAtBuild: String => Boolean = n =>
-    (n.startsWith("s") && !n.startsWith("sim")) ||
+    n.matches("s\\d+_.*") ||
       n == "dd8_dedup_clusters" || n == "p1_pipeline_manifest"
 
   test("no undeclared cartesian/nested-loop join in any registry plan") {
