@@ -40,6 +40,14 @@ object Bench {
       // untimed: drop caches a query persisted for its own multi-arm reuse
       // (dd3/dd6) so resident blocks don't pressure later queries' memory
       try spark.catalog.clearCache() catch { case _: Throwable => }
+      // untimed explicit GC: over ~100 queries the heap accumulates garbage
+      // (broadcast relations, Janino-generated classes) until a full
+      // collection fires MID-QUERY — the round-3 driver run showed scattered
+      // 4-10x spikes (q24 16s, dd9 9.6s, x3 6.8s) that do not reproduce in
+      // isolation. Forcing the collection here moves that pause into the
+      // gap between timed sections, so each query's number reflects its
+      // plan, not whichever GC debt happened to come due during it.
+      System.gc()
       name -> elapsed
     }.toMap
     // sorted per-query map: deterministic key order makes round-over-round

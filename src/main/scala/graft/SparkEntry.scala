@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ operators.Extended.queries ++
-      operators.Coverage.queries ++ streaming.StreamingOps.queries
+      operators.Coverage.queries ++ operators.PipelineOps.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.Multimodal.oracles ++ operators.Extended.oracles ++
-      operators.Coverage.oracles ++ streaming.StreamingOps.oracles
+      operators.Coverage.oracles ++ operators.PipelineOps.oracles ++
+      streaming.StreamingOps.oracles
 }

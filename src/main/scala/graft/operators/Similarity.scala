@@ -169,7 +169,41 @@ object Similarity {
     topk(pairs, TopK)
   }
 
+  private val NumCentroids = 8
+
+  /** sim6: nearest-centroid assignment — the k-means/IVF TRAINING step that
+    * produces the cell layout sim2 searches. Centroids are a fixed
+    * deterministic seed set (`vec_id < NumCentroids`, the k-means++ "given
+    * initial centers" case); every vector is assigned to its max-cosine
+    * centroid (ties broken by lowest centroid id) and the output is the
+    * per-cell manifest: member count and the exact sum of 6-decimal-rounded
+    * cosines (DECIMAL(18,6) accumulation — order-independent, so both
+    * engines agree bit-for-bit; a raw double sum would not).
+    *
+    * Scale: K is a CONSTANT (not a corpus fraction), so the centroid table
+    * broadcast is O(K·dim) at any N; assignment is one map-side pass over
+    * the corpus (K codegen vec_dots per row), and the final aggregation has
+    * K groups. A full Lloyd iteration repeats exactly this plan with a
+    * centroid-update agg on top — same shuffle shape. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val centroids = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
+    all.crossJoin(broadcast(centroids))
+      .withColumn("cos", cos)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(asLong(count(lit(1))).as("n_members"),
+        sum(round(col("cos"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_cos"))
+      .orderBy("centroid_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim6_kmeans_assign" -> kmeansAssign,
     "sim5_int8_topk" -> int8TopK,
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ivf_topk" -> ivfTopK,
@@ -235,6 +269,26 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim6_kmeans_assign" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, ae,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |      FROM v),
+         |nz AS (SELECT * FROM n WHERE nrm > 0),
+         |c AS (SELECT vec_id AS centroid_id, ae AS ce, nrm AS cnrm
+         |      FROM nz WHERE vec_id < $NumCentroids),
+         |pairs AS (SELECT nz.vec_id, c.centroid_id,
+         |            list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ce[i]))
+         |              / (nrm * cnrm) AS cos
+         |          FROM nz CROSS JOIN c),
+         |best AS (SELECT vec_id, centroid_id, cos,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, centroid_id) AS rk
+         |         FROM pairs)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+         |FROM best WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
     "sim3_lsh_topk" -> Sim3Oracle,

@@ -438,7 +438,27 @@ object StreamingOps {
       .orderBy("click_id")
   }
 
+  /** s13: `dropDuplicatesWithinWatermark` — the Spark 3.5+ stateful dedup
+    * variant whose state expires `delay` after each key's FIRST event time
+    * (vs s6's key-embedded-bucket eviction). The operational difference at
+    * scale: the dedup key needs NO event-time component, so it dedups
+    * "same logical event retransmitted with a slightly different
+    * timestamp" — the at-least-once-ingestion case s6's exact-key dedup
+    * cannot collapse. On this bounded single-batch replay every duplicate
+    * key is in-state when seen again, so the emitted set is exactly the
+    * distinct key set (which rows survive is arrival-dependent; the KEY
+    * set is not — only keys are emitted). */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(spark, deduped, OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
     "s12_stream_semi_join" -> streamSemiJoin,
     "s11_multibatch_totals" -> multiBatchTotals,
     "s10_parquet_sink" -> parquetSinkWindow,
@@ -527,6 +547,11 @@ object StreamingOps {
     "s6_stream_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_bucket
         |FROM events ORDER BY user_id, hour_bucket""".stripMargin,
+    // single-batch replay: every repeat of a key meets live state, so the
+    // emitted set == the distinct key set (see streamDedupWithinWatermark)
+    "s13_dedup_within_watermark" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
     "s12_stream_semi_join" ->
       """SELECT c.event_id AS click_id, c.user_id
         |FROM events c
