@@ -24,7 +24,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] layout pre-build failed (x18/x19 will pay the write): $e")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for isolating one query's
+    // timing (diagnostics only; the driver runs the full registry)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output row exactly as planned —
       // count() would let the optimizer prune projections and eliminate

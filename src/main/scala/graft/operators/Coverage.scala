@@ -533,7 +533,28 @@ object Coverage {
     r1.union(r2).union(r3).orderBy("stage")
   }
 
+  /** q34: month-over-month revenue growth — the AGG-THEN-WINDOW analytic
+    * shape (time-series trend over an aggregate, vs x13/x15's windows over
+    * raw rows). The window input is the MONTHLY aggregate (a handful of
+    * rows at any corpus size — partial aggregation collapses the fact scan
+    * first), so the unpartitioned window sort is a constant-size
+    * single-task step no matter how large lineitem grows; the growth ratio
+    * divides two exact decimal-summed revenues (deterministic doubles),
+    * rounded to 6. First month's growth is NULL by construction. */
+  def q34MonthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .select(col("month"), col("revenue"),
+        round((col("revenue") - col("prev")) / col("prev"), 6).as("growth"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_monthly_growth" -> q34MonthlyGrowth,
     "q33_funnel" -> q33Funnel,
     "q32_sole_culprit" -> q32SoleCulprit,
     "q29_wide_star" -> q29WideStar,
@@ -559,6 +580,15 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q34_monthly_growth" ->
+      """WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |           FROM lineitem GROUP BY date_trunc('month', l_shipdate))
+        |SELECT month, revenue,
+        |  round((revenue - lag(revenue) OVER (ORDER BY month))
+        |        / lag(revenue) OVER (ORDER BY month), 6) AS growth
+        |FROM m ORDER BY month""".stripMargin,
     "q33_funnel" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

@@ -4,6 +4,7 @@ import graft.Catalog
 import graft.Sql.asLong
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,6 +64,27 @@ object TextAnalysis {
       (least(nTok / lit(100.0), lit(1.0)) * 0.3 + stopRatio * 0.4 +
         (lit(1.0) - punctRatio) * 0.3).as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** t9: quality DECILE binning — the curriculum/threshold-filtering step
+    * (e.g. "train only on the top decile", "sample decile-weighted").
+    * Bins by ntile over (quality DESC, doc_id): the doc_id tiebreak makes
+    * the bin assignment total-order deterministic, unlike a raw quality
+    * sort where equal scores land in arbitrary bins. The unpartitioned
+    * ntile is over PER-DOC SCORES (one small row per doc, not text); at
+    * 100 TB the same statistic comes from a two-pass range partitioning
+    * (approx quantile cut points, then a partitioned bin count), which
+    * this exact single-sort form validates against. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    qualityScore(spark, dir)
+      .withColumn("decile", asLong(ntile(10).over(w)))
+      .groupBy(col("decile"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_tokens"))).as("sum_tokens"),
+        round(min(col("quality")), 6).as("min_q"),
+        round(max(col("quality")), 6).as("max_q"))
+      .orderBy("decile")
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -199,6 +221,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
     "t6_ngram_langid" -> ngramLangId,
@@ -210,6 +233,23 @@ object TextAnalysis {
 
   private val Toks = Text.sqlTokens("text")
   private val AllMarkers = Markers.flatMap(_._2)
+
+  private val QualityOracle: String = {
+      val stop = Text.sqlCountIn("toks", AllMarkers)
+      s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+         |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |    + (CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
+         |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+    }
 
   val oracles: Map[String, String] = Map(
     "t8_top_tokens" ->
@@ -256,22 +296,17 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_obs
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "t2_quality_score" -> {
-      val stop = Text.sqlCountIn("toks", AllMarkers)
-      s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
-         |  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
-         |    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-         |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
-         |    + (CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
-         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
-         |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
-    },
+    "t2_quality_score" -> QualityOracle,
+    "t9_quality_deciles" ->
+      s"""WITH base AS ($QualityOracle),
+         |d AS (SELECT *, NTILE(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+         |      FROM base)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       round(min(quality), 6) AS min_q,
+         |       round(max(quality), 6) AS max_q
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "t3_langid" -> {
       val scoreExprs = Markers.map { case (l, ws) =>
         s"CAST(${Text.sqlCountIn("toks", ws)} AS BIGINT) AS s_$l"

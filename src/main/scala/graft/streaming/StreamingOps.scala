@@ -438,6 +438,76 @@ object StreamingOps {
       .orderBy("click_id")
   }
 
+  // s14 merged-sink dir built once per (JVM, sf dir) — same reasoning as
+  // the s10 sinkDirs cache
+  private val mergeDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private val mergeSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("n_events", LongType),
+    StructField("total_cents", LongType),
+    StructField("batch_id", LongType)))
+
+  /** s14: `foreachBatch` sink — the production merge/upsert path. An
+    * UPDATE-mode aggregation emits each micro-batch's CHANGED keys;
+    * foreachBatch appends them to storage tagged with the batch id, and the
+    * reader reconstructs current state as latest-batch-wins per key — the
+    * append-only MERGE pattern every lakehouse upsert sink builds on (at
+    * scale the same callback issues a real MERGE INTO; the read-side
+    * reduction here makes the contract verifiable on plain parquet).
+    * Runs on the 8-file time-split source with maxFilesPerTrigger=1 so keys
+    * genuinely update ACROSS batches — a single-batch replay would make
+    * append == state and hide a broken merge. Oracle = the batch aggregate:
+    * however the updates were batched, the merged state must converge to
+    * it. */
+  def foreachBatchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = synchronized {
+      mergeDirs.getOrElseUpdate(dir, {
+        val src = eventsMultiFile(spark, dir)
+        val base = java.nio.file.Files.createTempDirectory("graft-s14")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(base.toFile)
+        }
+        val data = s"$base/data"
+        // split files carry the already-normalized µs ts (see multiBatchTotals)
+        val normSchema = StructType(Catalog.events.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        val agg = spark.readStream.schema(normSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(col("user_id"))
+          .agg(asLong(count(lit(1))).as("n_events"),
+            sum(round(col("value") * 100, 0).cast(LongType)).as("total_cents"))
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.min(8, prev.toInt).toString)
+          agg.writeStream.outputMode(OutputMode.Update())
+            .option("checkpointLocation", s"$base/chk")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(data)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        data
+      })
+    }
+    // latest-batch-wins per key: each key appears at most once per batch
+    // (it is an aggregate output), so (user_id, batch_id DESC) rank 1 is
+    // unique and deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    spark.read.schema(mergeSchema).parquet(out)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"))
+      .orderBy("user_id")
+  }
+
   /** s13: `dropDuplicatesWithinWatermark` — the Spark 3.5+ stateful dedup
     * variant whose state expires `delay` after each key's FIRST event time
     * (vs s6's key-embedded-bucket eviction). The operational difference at
@@ -458,6 +528,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
     "s12_stream_semi_join" -> streamSemiJoin,
     "s11_multibatch_totals" -> multiBatchTotals,
@@ -597,7 +668,10 @@ object StreamingOps {
     "s4_stateful_totals" -> StatefulTotalsOracle,
     // same oracle as s4: the final state must be replay-granularity
     // invariant (8 micro-batches vs 1)
-    "s11_multibatch_totals" -> StatefulTotalsOracle)
+    "s11_multibatch_totals" -> StatefulTotalsOracle,
+    // same oracle again: the upsert-merged sink must converge to the batch
+    // aggregate regardless of how the updates were batched
+    "s14_foreachbatch_merge" -> StatefulTotalsOracle)
 
   private lazy val StatefulTotalsOracle: String =
     """SELECT user_id, COUNT(*) AS n_events,
