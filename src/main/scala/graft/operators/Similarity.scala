@@ -202,7 +202,49 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** sim7: the Lloyd centroid-UPDATE step — sim6's assignment followed by
+    * per-dimension member means, i.e. one full k-means training iteration
+    * runs as sim6 ∘ sim7. Computed on the INT8-QUANTIZED grid (sim5's
+    * quantizer): the per-dimension sums are then exact BIGINT arithmetic,
+    * which is what makes a cross-engine-deterministic mean possible at all
+    * — a raw float mean is shuffle-order-dependent. This is also the
+    * production layout (quantized training is how IVF codebooks are built
+    * over compressed corpora).
+    *
+    * Scale: assignment is sim6's bounded-broadcast map pass; the update
+    * explodes members to (centroid, dim) — a fixed fan-out of `dim` rows —
+    * and aggregates on K x dim keys with map-side partials, so the shuffle
+    * carries K x dim x partitions small longs, independent of corpus size. */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val m = array_max(transform(col("e"), x => abs(x)))
+    val q = transform(col("e"),
+      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
+    val all = Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), toD(col("embedding")).as("e"))
+      .filter(array_max(transform(col("e"), x => abs(x))) > 0) // see int8TopK
+      .withColumn("q", q)
+      .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("e"), col("nrm"))
+    val centroids = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
+    all.crossJoin(broadcast(centroids))
+      .withColumn("cos", cos)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "qv")))
+      .groupBy(col("centroid_id"), asLong(col("pos") + 1).as("dim"))
+      .agg(asLong(count(lit(1))).as("n_members"),
+        round(sum(col("qv").cast(LongType)).cast(DoubleType) / count(lit(1)), 6)
+          .as("new_val"))
+      .orderBy("centroid_id", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim7_kmeans_update" -> kmeansUpdate,
     "sim6_kmeans_assign" -> kmeansAssign,
     "sim5_int8_topk" -> int8TopK,
     "sim1_cosine_topk" -> cosineTopK,
@@ -269,6 +311,36 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim7_kmeans_update" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |           FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         list_transform(e0, x -> floor(x * 127.0
+         |           / list_max(list_transform(e0, y -> abs(y))) + 0.5)) AS ae
+         |       FROM v
+         |       WHERE list_max(list_transform(e0, y -> abs(y))) > 0),
+         |n AS (SELECT vec_id, ae,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |      FROM qz),
+         |nz AS (SELECT * FROM n WHERE nrm > 0),
+         |c AS (SELECT vec_id AS centroid_id, ae AS ce, nrm AS cnrm
+         |      FROM nz WHERE vec_id < $NumCentroids),
+         |pairs AS (SELECT nz.vec_id, nz.ae, c.centroid_id,
+         |            list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ce[i]))
+         |              / (nrm * cnrm) AS cos
+         |          FROM nz CROSS JOIN c),
+         |best AS (SELECT vec_id, ae, centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, centroid_id) AS rk
+         |         FROM pairs),
+         |ex AS (SELECT centroid_id,
+         |         unnest(generate_series(1, len(ae))) AS dim,
+         |         unnest(ae) AS qv
+         |       FROM best WHERE rk = 1)
+         |SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       round(CAST(sum(CAST(qv AS BIGINT)) AS DOUBLE) / count(*), 6) AS new_val
+         |FROM ex GROUP BY centroid_id, dim ORDER BY centroid_id, dim""".stripMargin,
     "sim6_kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
          |           FROM embeddings),

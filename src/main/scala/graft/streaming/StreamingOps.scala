@@ -438,6 +438,37 @@ object StreamingOps {
       .orderBy("click_id")
   }
 
+  /** s15: stream-stream FULL OUTER join — completes the streaming join
+    * family (inner s5, left-outer s9, semi s12). Null-extension is
+    * watermark-driven on BOTH sides: an unmatched click emits once the
+    * watermark passes its whole 30-minute match window (same as s9); an
+    * unmatched purchase emits once the watermark passes its OWN event time
+    * (a purchase p can only match clicks with c_ts in [p_ts-30min, p_ts],
+    * and any not-yet-seen click with c_ts < watermark would be dropped as
+    * late — so wm > p_ts proves no future match). The oracle reproduces
+    * both eviction rules against the final global watermark. */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"), col("value"))
+      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+  }
+
   // s14 merged-sink dir built once per (JVM, sf dir) — same reasoning as
   // the s10 sinkDirs cache
   private val mergeDirs = scala.collection.mutable.Map.empty[String, String]
@@ -528,6 +559,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_full_outer" -> streamFullOuterJoin,
     "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
     "s12_stream_semi_join" -> streamSemiJoin,
@@ -582,6 +614,38 @@ object StreamingOps {
         |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
         |  AND epoch_us(c.ts) + 1800000000 < (SELECT w FROM wm)
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    // s9's two arms plus the symmetric purchase-side null-extension: an
+    // unmatched purchase emits once the watermark strictly passes its own
+    // event time (see streamFullOuterJoin scaladoc for the derivation)
+    "s15_stream_full_outer" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT (least((SELECT max(epoch_us(ts)) FROM c),
+        |                     (SELECT max(epoch_us(ts)) FROM p)) // 1000 - 3600000)
+        |               * 1000 AS w)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, p.value
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |UNION ALL
+        |SELECT c.event_id, NULL, c.user_id, NULL
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |        WHERE p.user_id = c.user_id
+        |          AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |  AND epoch_us(c.ts) + 1800000000 < (SELECT w FROM wm)
+        |UNION ALL
+        |SELECT NULL, p.event_id, p.user_id, p.value
+        |FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |        WHERE c.user_id = p.user_id
+        |          AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |  AND epoch_us(p.ts) < (SELECT w FROM wm)
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
     "s8_closed_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
