@@ -553,7 +553,54 @@ object Coverage {
       .orderBy("month")
   }
 
+  /** q35: TPC-H Q22 shape ("global sales opportunity") on this corpus's
+    * columns — customers from a nation subset whose balance beats the
+    * subset's positive-balance average and who never placed an URGENT
+    * order (this corpus gives every customer ~10 orders, so the classic
+    * "never ordered" anti-set is empty at every SF; the priority
+    * restriction keeps the anti-join non-vacuous). SQL text on purpose
+    * (like q21-q23): the scalar average runs ONCE as a ScalarSubquery
+    * (broadcast as a literal, not joined), and the NOT EXISTS
+    * decorrelates to a left-anti hash join on c_custkey — no per-row
+    * subquery execution anywhere in the physical plan. */
+  def q35AboveAvgInactive(spark: SparkSession, dir: String): DataFrame = {
+    val c = view(spark, dir, "customer")
+    val o = view(spark, dir, "orders")
+    val nations = "(0, 3, 6, 9, 12, 15, 18, 21, 24)"
+    val avgBal =
+      s"""SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         |            / COUNT(c_acctbal) AS DOUBLE)
+         |FROM $c WHERE c_acctbal > 0 AND c_nationkey IN $nations""".stripMargin
+    spark.sql(
+      s"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+         |FROM $c c
+         |WHERE c_nationkey IN $nations
+         |  AND c_acctbal > ($avgBal)
+         |  AND NOT EXISTS (SELECT 1 FROM $o o WHERE o.o_custkey = c.c_custkey
+         |                  AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** x25: unionByName with allowMissingColumns — schema-evolution union
+    * (two corpus slices with drifted projections, absent columns
+    * null-filled BY NAME, not by position — positional union would
+    * silently misalign). The two branches stay separate scans with the
+    * union above them; each branch's projection pushes into its own scan. */
+  def x25UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val b = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_above_avg_inactive" -> q35AboveAvgInactive,
+    "x25_union_by_name" -> x25UnionByName,
     "q34_monthly_growth" -> q34MonthlyGrowth,
     "q33_funnel" -> q33Funnel,
     "q32_sole_culprit" -> q32SoleCulprit,
@@ -580,6 +627,30 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q35_above_avg_inactive" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey IN (0, 3, 6, 9, 12, 15, 18, 21, 24)
+        |  AND c_acctbal > (
+        |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                / COUNT(c_acctbal) AS DOUBLE)
+        |    FROM customer
+        |    WHERE c_acctbal > 0
+        |      AND c_nationkey IN (0, 3, 6, 9, 12, 15, 18, 21, 24))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "x25_union_by_name" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(NULL AS DOUBLE) AS l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity,
+        |       l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q34_monthly_growth" ->
       """WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
         |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
