@@ -74,9 +74,13 @@ object Bench {
     // forked JVM's user.dir) and the absolute path actually written is
     // printed — a changed sbt fork baseDirectory must not silently
     // relocate the artifact and leave round diffs comparing a stale file.
+    // A BENCH_ONLY diagnostic run writes bench.only.json (unless an explicit
+    // BENCH_OUT overrides) — a one-query isolation run must never clobber
+    // the full-round bench.json used for round-over-round diffing.
+    val defaultName = if (only.isDefined) "bench.only.json" else "bench.json"
     val benchPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        sys.props.getOrElse("user.dir", ".") + "/bench.json")).toAbsolutePath
+        sys.props.getOrElse("user.dir", ".") + "/" + defaultName)).toAbsolutePath
     try {
       java.nio.file.Files.write(benchPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -140,13 +140,18 @@ object Extended {
 
   /** Generator / table-function shape: posexplode tokens to rows, then a
     * corpus-wide term-frequency top-30. At scale: explode is pipelined in
-    * the scan stage; only (token, partial counts) shuffle. */
+    * the scan stage; the doc-frequency side uses the same two-stage
+    * aggregation as t8 (groupBy(token, doc_id) then groupBy(token)) so the
+    * token-keyed shuffle carries vocab-bounded partials, never a hot
+    * token's full doc_id set on one reducer. */
   def tokenExplode(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
     Text.withTokens(Catalog.table(spark, dir, "documents"))
       .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(30)
   }

@@ -42,7 +42,10 @@ object TextAnalysis {
       asLong(length(col("text"))).as("n_chars_obs"))
       .orderBy("doc_id")
 
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc quality scores WITHOUT the presentation sort — the shared input
+    * of t2 (which adds the sort) and t9 (which must not inherit a global
+    * orderBy into its lineage). */
+  private def qualityScores0(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("_toks")
     val nTok = size(toks).cast(DoubleType)
     val stopCnt = Text.countIn(toks, Markers.flatMap(_._2))
@@ -63,22 +66,62 @@ object TextAnalysis {
       (sumTokLen.cast(DoubleType) / nTok).as("avg_token_len"),
       (least(nTok / lit(100.0), lit(1.0)) * 0.3 + stopRatio * 0.4 +
         (lit(1.0) - punctRatio) * 0.3).as("quality"))
-      .orderBy("doc_id")
   }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScores0(spark, dir).orderBy("doc_id")
 
   /** t9: quality DECILE binning — the curriculum/threshold-filtering step
     * (e.g. "train only on the top decile", "sample decile-weighted").
-    * Bins by ntile over (quality DESC, doc_id): the doc_id tiebreak makes
-    * the bin assignment total-order deterministic, unlike a raw quality
-    * sort where equal scores land in arbitrary bins. The unpartitioned
-    * ntile is over PER-DOC SCORES (one small row per doc, not text); at
-    * 100 TB the same statistic comes from a two-pass range partitioning
-    * (approx quantile cut points, then a partitioned bin count), which
-    * this exact single-sort form validates against. */
+    * Bins follow ntile(10) over the total order (quality DESC, doc_id) —
+    * the doc_id tiebreak makes the assignment deterministic even for tied
+    * scores — and the result is bit-identical to the NTILE oracle.
+    *
+    * SCALE SHAPE — exact two-pass range-partitioned rank, NO unpartitioned
+    * window (a `Window.orderBy` with no partition puts ALL N score rows on
+    * one task — the plan that dies first at 100x):
+    *
+    *   pass 1: `repartitionByRange` + `sortWithinPartitions` on
+    *           (quality DESC, doc_id) — a DISTRIBUTED sort (range partition
+    *           i's keys all precede partition i+1's; every partition sorts
+    *           in parallel) — then one row-count per partition. The driver
+    *           sees only those P counts (control flow, the dd8 pattern) and
+    *           scans them into per-partition rank offsets.
+    *   pass 2: each partition assigns global rank = offset + local position
+    *           and the ntile bin (first N mod 10 bins take one extra row)
+    *           map-side, then a 10-group hash aggregate.
+    *
+    * The per-partition pass is genuine imperative per-partition logic (a
+    * running counter), the one place `mapPartitionsWithIndex` is the right
+    * tool; the sorted frame is persisted so pass 2 reuses pass 1's sort
+    * (released by the harness's clearCache between queries). */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("quality").desc, col("doc_id"))
-    qualityScore(spark, dir)
-      .withColumn("decile", asLong(ntile(10).over(w)))
+    import spark.implicits._
+    val parts = math.max(graft.Engine.shufflePartitions(spark), 2)
+    val sorted = qualityScores0(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .as[(Long, Double, Long)]
+      .repartitionByRange(parts, col("quality").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality").desc, col("doc_id"))
+      .persist()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val q = n / 10 // base bin size; first r bins hold one extra row
+    val r = n % 10
+    val binned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank0 = offsets(pid) // 0-based global rank in (quality DESC, doc_id)
+      it.map { case (_, quality, nTokens) =>
+        val decile =
+          if (rank0 < r * (q + 1)) rank0 / (q + 1) + 1
+          else (rank0 - r * (q + 1)) / q + r + 1
+        rank0 += 1
+        (decile, nTokens, quality)
+      }
+    }
+    spark.createDataset(binned).toDF("decile", "n_tokens", "quality")
       .groupBy(col("decile"))
       .agg(asLong(count(lit(1))).as("n_docs"),
         asLong(sum(col("n_tokens"))).as("sum_tokens"),
@@ -200,18 +243,35 @@ object TextAnalysis {
 
   /** Corpus vocabulary statistics: global top-25 tokens by occurrence
     * count, with document frequency — the Zipf sanity-check every corpus
-    * build runs. Scale shape: explode runs inside the scan stage, the
-    * groupBy is a codegen'd hash aggregate with map-side partial counts
-    * (only (token, count) pairs shuffle — bounded by vocabulary size, not
-    * corpus size), and the top-k is a TakeOrderedAndProject (per-partition
-    * heads, no global sort materialization). */
+    * build runs.
+    *
+    * Scale shape — TWO-STAGE aggregation, not `countDistinct`: a direct
+    * `groupBy(tok).agg(countDistinct(doc_id))` expands to a distinct
+    * aggregate keyed on (tok, doc_id) whose FINAL phase re-keys on tok
+    * alone, so on a Zipf corpus every (doc_id) of a hot token ("the")
+    * lands on one reducer — a corpus-bounded, skew-concentrated shuffle.
+    * Instead:
+    *
+    *   stage 1: `groupBy(tok, doc_id).count()` — map-side partials collapse
+    *            within-doc repeats in the scan stage; the shuffle key
+    *            (tok, doc_id) is uniform, so no reducer is hot;
+    *   stage 2: `groupBy(tok).agg(sum, count)` — map-side partials collapse
+    *            stage 1's output to one row per (token, partition), so the
+    *            second shuffle is bounded by |vocab| x partitions, NOT by
+    *            corpus size.
+    *
+    * The top-k stays a TakeOrderedAndProject (per-partition heads, no
+    * global sort materialization); the 25-row rank window is constant-size. */
   def topTokens(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs(spark, dir)
+    val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    val counts = perDoc
       .groupBy(col("tok"))
-      .agg(asLong(count(lit(1))).as("n_occurrences"),
-        asLong(countDistinct(col("doc_id"))).as("n_docs"))
+      .agg(asLong(sum(col("n_in_doc"))).as("n_occurrences"),
+        asLong(count(lit(1))).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(25)
     counts.withColumn("rank", asLong(row_number().over(

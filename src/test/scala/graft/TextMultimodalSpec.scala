@@ -63,4 +63,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.length == 500)
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
+
+  test("t9 plans no corpus-sized single-task Window/Sort (two-pass rank)") {
+    // The deciles come from a range-partitioned two-pass rank: the ONLY
+    // Window/global-Sort allowed in the plan is over the 10-row decile
+    // aggregate (the presentation orderBy), never over the docs frame.
+    val df = TextAnalysis.qualityDeciles(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"unpartitioned window survived:\n$plan")
+    // and the distributed sort really fanned out: the range-partitioned
+    // score frame must occupy >1 partition even on the tiny test corpus
+    assert(df.collect().map(_.getLong(0)).toSeq == (1L to 10L),
+      "decile bins must be exactly 1..10")
+  }
+
+  test("t9 two-pass rank binning matches the ntile window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    val viaWindow = TextAnalysis.qualityScore(spark, sf)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        round(min(col("quality")), 6).as("min_q"),
+        round(max(col("quality")), 6).as("max_q"))
+      .orderBy("decile").collect().map(_.toSeq)
+    val viaRank = TextAnalysis.qualityDeciles(spark, sf)
+      .collect().map(_.toSeq)
+    assert(viaRank.toSeq == viaWindow.toSeq)
+  }
+
+  test("t8 vocabulary stats shuffle is two-stage, no distinct expansion") {
+    val plan = TextAnalysis.topTokens(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.toLowerCase.contains("distinct"),
+      s"countDistinct expansion reappeared in t8:\n$plan")
+  }
 }
