@@ -4,7 +4,6 @@ import graft.Catalog
 import graft.Sql.asLong
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,6 +26,41 @@ import org.apache.spark.sql.types._
   * kilobytes. The one exception is the per-source cap's window sort, whose
   * skew caveat is documented on [[sourceCap]].
   */
+/** Bounded-state top-K by (n_chars DESC, doc_id ASC): the per-group
+  * aggregation buffer holds AT MOST [[PipelineOps.CapPerSource]]
+  * (n_chars, doc_id) pairs — Spark's own driver-side top-k shape
+  * (`BoundedPriorityQueue`; the reference carries the identical utility at
+  * `/root/reference/src/main/scala/org/scache/util/BoundedPriorityQueue.scala:31`
+  * for its reduce-side tracking), here as a distributed partial aggregate.
+  * K is tiny, so reduce/merge re-sort the ≤2K-element buffer instead of
+  * maintaining a heap — O(K log K) per row with K=10 is cheaper than heap
+  * bookkeeping, and the buffer stays a flat encodable Seq.
+  *
+  * finish() folds the kept set straight to (n_kept, kept_chars): the doc
+  * ids never leave the aggregation, so the output row per source is two
+  * longs regardless of K. */
+private[graft] object CapTopK
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long), Seq[(Long, Long)], (Long, Long)] {
+  private def K = PipelineOps.CapPerSource
+  // best first: longest doc wins, doc_id breaks ties deterministically
+  private val best: Ordering[(Long, Long)] =
+    Ordering.by { case (nChars, docId) => (-nChars, docId) }
+  def zero: Seq[(Long, Long)] = Seq.empty
+  def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.size < K) (a +: b).sorted(best)
+    else if (best.lt(a, b.last)) (a +: b.init).sorted(best)
+    else b
+  def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (x ++ y).sorted(best).take(K)
+  def finish(b: Seq[(Long, Long)]): (Long, Long) =
+    (b.size.toLong, b.map(_._1).sum)
+  def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  def outputEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+}
+
 object PipelineOps {
 
   /** Salted split hash in [0, 1000): md5-based, engine-portable. */
@@ -77,31 +111,33 @@ object PipelineOps {
       .orderBy("lang")
   }
 
-  private val CapPerSource = 10
+  private[operators] val CapPerSource = 10
 
   /** dd10: per-source diversity cap — keep at most [[CapPerSource]] docs
     * per source, preferring the longest (n_chars DESC, doc_id tiebreak),
     * and report kept/dropped counts per source. The anti-over-representation
     * step of a corpus build (one crawl domain must not dominate training).
     *
-    * Scale: one shuffle on `source` + a per-source top-k. Ranking uses
-    * window row_number here; a window partition cannot be split by AQE, so
-    * a pathologically hot source serializes onto one task. At 100 TB the
-    * guard is the cap itself being tiny: the same result is computable as
-    * groupBy(source).agg(slice(array_sort(collect_list(...)), 1, k)) — a
-    * bounded-state partial aggregation that never materializes the full
-    * source partition. The window form is kept because it is exact, simple,
-    * and the cap output (not the sort) is what downstream consumes. */
+    * Scale: ONE hash aggregation on `source` whose per-group state is
+    * bounded at K pairs — the [[CapTopK]] typed Aggregator below. The
+    * previous window-row_number form put a pathologically hot source's
+    * entire partition on one task (a window partition cannot be split by
+    * AQE); with the bounded aggregator the hot source's rows are top-K'd
+    * map-side in every input partition first, so the shuffle carries at
+    * most K pairs per (source, partition) and no reducer ever materializes
+    * a full source group. PipelineOpsSpec proves the aggregator equal to
+    * the window formulation on a deliberately skewed fixture, and asserts
+    * the plan is Window-free with partial aggregation present. */
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+    val topk = udaf(CapTopK)
     Catalog.tableSpread(spark, dir, "documents")
-      .withColumn("rk", row_number().over(w))
-      .withColumn("keep", col("rk") <= CapPerSource)
       .groupBy(col("source"))
-      .agg(asLong(sum(when(col("keep"), 1L).otherwise(0L))).as("n_kept"),
-        asLong(sum(when(col("keep"), 0L).otherwise(1L))).as("n_dropped"),
-        asLong(sum(when(col("keep"), col("n_chars")).otherwise(0L))).as("kept_chars"))
+      .agg(asLong(count(lit(1))).as("n_total"),
+        topk(col("n_chars"), col("doc_id")).as("kept"))
+      .select(col("source"),
+        asLong(col("kept._1")).as("n_kept"),
+        asLong(col("n_total") - col("kept._1")).as("n_dropped"),
+        asLong(col("kept._2")).as("kept_chars"))
       .orderBy("source")
   }
 

@@ -55,4 +55,42 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(1) + r.getLong(2) === totals(r.getString(0)))
     }
   }
+
+  test("dd10 plans a bounded-state aggregation, no Window") {
+    val plan = operators.PipelineOps.queries("dd10_source_cap")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"window row_number reappeared:\n$plan")
+    // the top-k must run as a two-phase (partial + final) aggregate so a
+    // hot source is capped map-side before the shuffle
+    assert("(?i)partial".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation phase in dd10 plan:\n$plan")
+  }
+
+  test("dd10 bounded top-k agg equals the window formulation on a skewed fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one pathologically hot source (90% of rows), duplicate n_chars values
+    // to exercise the doc_id tiebreak, plus tiny under-cap sources
+    val rows = (1L to 900L).map(i => ("hot", 7 + (i % 5), i)) ++
+      (1L to 30L).map(i => ("warm", 100 - i, 1000L + i)) ++
+      Seq(("cold", 3L, 2000L), ("cold", 3L, 2001L))
+    val docs = rows.toDF("source", "n_chars", "doc_id")
+      .repartition(7) // force multi-partition partial merges
+    val topk = udaf(operators.CapTopK)
+    val viaAgg = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        topk(col("n_chars"), col("doc_id")).as("kept"))
+      .select(col("source"), col("kept._1").as("n_kept"),
+        (col("n_total") - col("kept._1")).as("n_dropped"),
+        col("kept._2").as("kept_chars"))
+      .orderBy("source").collect().map(_.toSeq)
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = docs.withColumn("keep", row_number().over(w) <= 10)
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source").collect().map(_.toSeq)
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
 }
