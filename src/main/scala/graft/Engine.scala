@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   *   - shuffle-size prediction   -> AQE exact runtime `MapOutputStatistics`
   *   - pre-fetch / overlap       -> push-based shuffle on real clusters
   *     (`spark.shuffle.push.enabled`; a no-op in local mode, left for deploy)
+  *   - streaming state beyond heap -> `spark.sql.streaming.stateStore
+  *     .providerClass=...RocksDBStateStoreProvider` (bundled; off-heap/SSD
+  *     state with the same exactly-once checkpoint contract — the deploy
+  *     setting for billion-key mapGroupsWithState state). Not pinned here:
+  *     the default heap store is faster for the local test volumes;
+  *     RocksDbStateSpec proves the operators are provider-agnostic.
   *
   * Scale stance: partition counts here are sized for local[32] test runs; on a
   * 1000-executor cluster the same code runs with `shufflePartitions` raised to
