@@ -20,6 +20,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release anything a query persisted for its own multi-arm reuse
+      // (dd3/dd6/t9) — same hygiene as the Bench loop, so ~110 sequential
+      // queries don't accumulate resident blocks
+      try spark.catalog.clearCache() catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -119,13 +119,23 @@ object Extended {
   /** ORC sink+source roundtrip. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "orc")
 
-  /** HLL sketch distinct counts (approx — rows-only check; the driver
-    * verifies cardinality not hashes, since HLL implementations differ). */
+  /** HLL sketch distinct counts with an IN-ENGINE error bound. The HLL++
+    * estimate itself cannot hash-match a DuckDB oracle (sketch
+    * implementations differ), so the verified output carries the exact
+    * `countDistinct` alongside a `hll_ok` flag asserting the sketch's
+    * relative error stayed within its configured rsd (default 5%) — the
+    * oracle pins `hll_ok` to 1, so an out-of-bound sketch is a correctness
+    * FAILURE, not an unverifiable number. Both aggregates run in the same
+    * two-phase plan (the distinct expansion partial-aggregates on
+    * (l_returnflag, l_partkey) first, so no reducer sees a full group). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Catalog.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        asLong(when(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+          <= col("exact_parts").cast(DoubleType) * 0.05, 1L).otherwise(0L)).as("hll_ok"))
       .orderBy("l_returnflag")
 
   /** Typed UDAF: max + second-distinct-max of quantity per return flag. */
@@ -138,7 +148,7 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
-  /** Generator / table-function shape: posexplode tokens to rows, then a
+  /** Generator / table-function shape: explode tokens to rows, then a
     * corpus-wide term-frequency top-30. At scale: explode is pipelined in
     * the scan stage; the doc-frequency side uses the same two-stage
     * aggregation as t8 (groupBy(token, doc_id) then groupBy(token)) so the
@@ -147,7 +157,7 @@ object Extended {
   def tokenExplode(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Text
     Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "token")))
+      .select(col("doc_id"), explode(col("_toks")).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("token"))
@@ -290,6 +300,12 @@ object Extended {
     "x5_csv_roundtrip" -> RoundtripSql,
     "x6_json_roundtrip" -> RoundtripSql,
     "x7_orc_roundtrip" -> RoundtripSql,
+    // the exact columns hash-match; hll_ok = 1 asserts the sketch stayed
+    // within 5% of exact (an in-engine bound, pinned by the oracle)
+    "x8_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x9_second_max" ->
       """WITH m AS (SELECT l_returnflag, MAX(l_quantity) AS max_qty
         |           FROM lineitem GROUP BY l_returnflag)

@@ -53,8 +53,12 @@ private[graft] object CapTopK
     else b
   def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
     (x ++ y).sorted(best).take(K)
+  // NullSentinel pairs (a NULL n_chars coalesced at the call site) count as
+  // kept docs but contribute nothing to kept_chars — the same nulls-last /
+  // null-ignored-by-sum behavior the window row_number formulation had
   def finish(b: Seq[(Long, Long)]): (Long, Long) =
-    (b.size.toLong, b.map(_._1).sum)
+    (b.size.toLong,
+      b.collect { case (n, _) if n != PipelineOps.NullSentinel => n }.sum)
   def bufferEncoder =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
   def outputEncoder = org.apache.spark.sql.Encoders.tuple(
@@ -113,6 +117,13 @@ object PipelineOps {
 
   private[operators] val CapPerSource = 10
 
+  /** NULL-length stand-in fed to [[CapTopK]]: a tuple encoder NPEs on a
+    * genuine NULL, so a nullable n_chars is coalesced to this sentinel
+    * before the aggregation. MinValue+1, not MinValue: the kept-first
+    * ordering negates n_chars, and -Long.MinValue overflows back to
+    * MinValue, which would sort a null doc FIRST instead of last. */
+  private[operators] val NullSentinel = Long.MinValue + 1
+
   /** dd10: per-source diversity cap — keep at most [[CapPerSource]] docs
     * per source, preferring the longest (n_chars DESC, doc_id tiebreak),
     * and report kept/dropped counts per source. The anti-over-representation
@@ -133,7 +144,7 @@ object PipelineOps {
     Catalog.tableSpread(spark, dir, "documents")
       .groupBy(col("source"))
       .agg(asLong(count(lit(1))).as("n_total"),
-        topk(col("n_chars"), col("doc_id")).as("kept"))
+        topk(coalesce(col("n_chars"), lit(NullSentinel)), col("doc_id")).as("kept"))
       .select(col("source"),
         asLong(col("kept._1")).as("n_kept"),
         asLong(col("n_total") - col("kept._1")).as("n_dropped"),

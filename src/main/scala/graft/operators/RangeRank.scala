@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Exact GLOBAL rank as a reusable two-pass operator — the scale-safe
+  * replacement for `Window.orderBy(...)` with no partition clause (which
+  * funnels all N rows through one task, the plan that dies first at 100x).
+  * Generalized from t9's decile binning so future exact-rank needs
+  * (percentile tables, curriculum ordering, exact top-p sampling cutoffs)
+  * reuse one audited implementation instead of re-deriving the pattern.
+  *
+  *   pass 1: `repartitionByRange` + `sortWithinPartitions` on the rank
+  *           order — a DISTRIBUTED sort (range partition i's keys all
+  *           precede partition i+1's; every partition sorts in parallel) —
+  *           then one row-count per partition. The driver sees only those
+  *           P counts (control flow, the dd8 pattern) and scans them into
+  *           per-partition rank offsets.
+  *   pass 2: each partition assigns global rank = offset + local position
+  *           map-side via a running counter — genuine imperative
+  *           per-partition logic, the one place `mapPartitionsWithIndex`
+  *           is the right tool.
+  *
+  * The sorted frame is persisted so pass 2 reuses pass 1's sort; callers
+  * MUST call [[Ranked.release]] once the downstream result is materialized
+  * (the Dedup.scala persist/release lifecycle — nothing is left for a
+  * harness-level clearCache to find). */
+object RangeRank {
+
+  /** Handle returned by [[withGlobalRank]]: `df` carries the input schema
+    * plus the 0-based rank column; `total` is the global row count (free —
+    * the last pass-1 offset); `sortedFrame` is the pinned pass-1 sort,
+    * exposed so plan/partitioning specs can audit the distributed-sort
+    * claim directly. */
+  final case class Ranked(df: DataFrame, total: Long, sortedFrame: DataFrame) {
+    def release(): Unit = { sortedFrame.unpersist(): Unit }
+  }
+
+  /** Rank every row of `df` in the total order given by `sortCols`
+    * (callers include a unique tiebreaker for determinism), appending the
+    * 0-based rank as `rankCol`. */
+  def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Column*): Ranked = {
+    val spark = df.sparkSession
+    val parts = math.max(graft.Engine.shufflePartitions(spark), 2)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank0 = offsets(pid)
+      it.map { row => val out = Row.fromSeq(row.toSeq :+ rank0); rank0 += 1; out }
+    }
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    Ranked(spark.createDataFrame(ranked, schema), offsets.last, sorted)
+  }
+}

@@ -77,57 +77,37 @@ object TextAnalysis {
     * the doc_id tiebreak makes the assignment deterministic even for tied
     * scores — and the result is bit-identical to the NTILE oracle.
     *
-    * SCALE SHAPE — exact two-pass range-partitioned rank, NO unpartitioned
-    * window (a `Window.orderBy` with no partition puts ALL N score rows on
-    * one task — the plan that dies first at 100x):
-    *
-    *   pass 1: `repartitionByRange` + `sortWithinPartitions` on
-    *           (quality DESC, doc_id) — a DISTRIBUTED sort (range partition
-    *           i's keys all precede partition i+1's; every partition sorts
-    *           in parallel) — then one row-count per partition. The driver
-    *           sees only those P counts (control flow, the dd8 pattern) and
-    *           scans them into per-partition rank offsets.
-    *   pass 2: each partition assigns global rank = offset + local position
-    *           and the ntile bin (first N mod 10 bins take one extra row)
-    *           map-side, then a 10-group hash aggregate.
-    *
-    * The per-partition pass is genuine imperative per-partition logic (a
-    * running counter), the one place `mapPartitionsWithIndex` is the right
-    * tool; the sorted frame is persisted so pass 2 reuses pass 1's sort
-    * (released by the harness's clearCache between queries). */
+    * SCALE SHAPE: exact global rank via the reusable two-pass
+    * range-partitioned [[RangeRank]] operator (NO unpartitioned window —
+    * see its scaladoc for the pass structure), then the ntile bin (first
+    * N mod 10 bins take one extra row) map-side from the rank + total, and
+    * a 10-group hash aggregate. The 10-row aggregate is materialized
+    * eagerly so the pinned pass-1 sort is released HERE, not left for a
+    * harness-level clearCache. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val parts = math.max(graft.Engine.shufflePartitions(spark), 2)
-    val sorted = qualityScores0(spark, dir)
-      .select(col("doc_id"), col("quality"), col("n_tokens"))
-      .as[(Long, Double, Long)]
-      .repartitionByRange(parts, col("quality").desc, col("doc_id"))
-      .sortWithinPartitions(col("quality").desc, col("doc_id"))
-      .persist()
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val n = offsets.last
+    val ranked = RangeRank.withGlobalRank(
+      qualityScores0(spark, dir)
+        .select(col("doc_id"), col("quality"), col("n_tokens")),
+      "rank0", col("quality").desc, col("doc_id"))
+    val n = ranked.total
     val q = n / 10 // base bin size; first r bins hold one extra row
     val r = n % 10
-    val binned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rank0 = offsets(pid) // 0-based global rank in (quality DESC, doc_id)
-      it.map { case (_, quality, nTokens) =>
-        val decile =
-          if (rank0 < r * (q + 1)) rank0 / (q + 1) + 1
-          else (rank0 - r * (q + 1)) / q + r + 1
-        rank0 += 1
-        (decile, nTokens, quality)
-      }
-    }
-    spark.createDataset(binned).toDF("decile", "n_tokens", "quality")
+    // long arithmetic on driver constants; double division is exact-enough
+    // here (rank0 < 2^53) and floor() restores the integer bin
+    val decile = when(col("rank0") < r * (q + 1),
+        floor(col("rank0") / (q + 1)) + 1)
+      .otherwise(floor((col("rank0") - r * (q + 1)) / q) + r + 1)
+    val agg = ranked.df
+      .select(asLong(decile).as("decile"), col("n_tokens"), col("quality"))
       .groupBy(col("decile"))
       .agg(asLong(count(lit(1))).as("n_docs"),
         asLong(sum(col("n_tokens"))).as("sum_tokens"),
         round(min(col("quality")), 6).as("min_q"),
         round(max(col("quality")), 6).as("max_q"))
       .orderBy("decile")
+    val rows = agg.collect() // exactly 10 rows
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {

@@ -366,8 +366,12 @@ object StreamingOps {
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         val t0 = System.currentTimeMillis()
         parts.zipWithIndex.foreach { case (f, i) =>
-          // strictly increasing, all in the past (no future mtimes)
-          f.setLastModified(t0 - (parts.length - i) * 2000L): Unit
+          // strictly increasing, all in the past (no future mtimes). The
+          // return IS checked: a filesystem that refuses the stamp silently
+          // degrades replay to listing order — fail loudly instead.
+          require(f.setLastModified(t0 - (parts.length - i) * 2000L),
+            s"setLastModified failed on $f — ordered multi-batch replay " +
+              "cannot be guaranteed on this filesystem")
         }
         d
       })

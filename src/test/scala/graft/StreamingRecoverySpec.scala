@@ -22,6 +22,7 @@ class StreamingRecoverySpec extends SparkSpec {
 
   test("stateful aggregation state survives a checkpointed restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-recovery")
+    try {
     val stage = s"$base/stage"
     val data = s"$base/data"
     val chk = s"$base/chk"
@@ -86,10 +87,12 @@ class StreamingRecoverySpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100, 0).cast(LongType)).as("total_cents"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
-
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    } finally {
+      // removed on failure too — a red run must not leak parquet copies
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
     }
-    rm(base.toFile)
   }
 }

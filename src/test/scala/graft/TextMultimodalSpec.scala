@@ -65,14 +65,26 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("t9 plans no corpus-sized single-task Window/Sort (two-pass rank)") {
-    // The deciles come from a range-partitioned two-pass rank: the ONLY
-    // Window/global-Sort allowed in the plan is over the 10-row decile
-    // aggregate (the presentation orderBy), never over the docs frame.
+    // The deciles come from RangeRank's two-pass rank. Audit the actual
+    // pass-1 frame (exposed on the Ranked handle): its plan must be a
+    // range-partitioned local sort — no Window, no global single-task Sort
+    // — and the distributed sort must really fan out to >1 partition even
+    // on the tiny test corpus.
+    val ranked = operators.RangeRank.withGlobalRank(
+      TextAnalysis.qualityScore(spark, sf)
+        .select(col("doc_id"), col("quality"), col("n_tokens")),
+      "rank0", col("quality").desc, col("doc_id"))
+    try {
+      val plan = ranked.sortedFrame.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"unpartitioned window survived:\n$plan")
+      assert(plan.contains("rangepartitioning"),
+        s"pass-1 sort is not range-partitioned:\n$plan")
+      assert(ranked.sortedFrame.rdd.getNumPartitions > 1,
+        "range-partitioned score frame collapsed to one partition")
+      assert(ranked.total > 0 && ranked.df.count() == ranked.total)
+    } finally ranked.release()
+    // and the end-to-end operator still yields exactly bins 1..10
     val df = TextAnalysis.qualityDeciles(spark, sf)
-    val plan = df.queryExecution.sparkPlan.toString
-    assert(!plan.contains("Window"), s"unpartitioned window survived:\n$plan")
-    // and the distributed sort really fanned out: the range-partitioned
-    // score frame must occupy >1 partition even on the tiny test corpus
     assert(df.collect().map(_.getLong(0)).toSeq == (1L to 10L),
       "decile bins must be exactly 1..10")
   }
