@@ -4,7 +4,7 @@ import graft.{Catalog, Sql}
 import graft.Sql._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY.md §2D
@@ -272,6 +272,58 @@ object StreamingOps {
       .toDF("user_id", "session_start_s", "session_last_s", "n_events")
     runToTable(spark, sessions, OutputMode.Append())
       .orderBy("user_id", "session_start_s")
+  }
+
+  private[graft] val SessionGapUs = 30L * 60 * 1000000 // 30-minute gap, µs
+
+  private[graft] val ProviderKnob = "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** s16: s8's closed-session emission re-expressed on Spark 4's
+    * `transformWithState` — the stateful-processing API that SUPERSEDES
+    * map/flatMapGroupsWithState (SPARK-46815): explicit per-key state
+    * handles (`ValueState`, optionally TTL'd) plus EVENT-TIME TIMERS.
+    *
+    * The timer is what s8 could not express: s8's still-open sessions were
+    * NEVER emitted (only a later event could close a session). Here each
+    * key keeps exactly one timer at `last_event + gap`; when the event-time
+    * watermark passes it, [[ClosedSessionProcessor.handleExpiredTimer]]
+    * closes and emits the session with `closed_by = 'timer'` — so a user
+    * who simply stops producing events still gets their final session
+    * flushed, which is the semantics a production sessionizer needs.
+    * Sessions proven closed by a successor event emit inline with
+    * `closed_by = 'event'` and are bit-identical to s8's output (spec).
+    *
+    * Under `Trigger.AvailableNow` the single data batch runs with
+    * watermark 0 (no timers fire), then the engine's trailing no-data
+    * batch re-evaluates timers against the advanced watermark
+    * (max event ts, 0s delay) — so the oracle's timer arm is the sessions
+    * whose `last_ms + gap <= max_ms` over the whole table (inclusive — see
+    * the oracle comment for the engine's expiry comparison).
+    *
+    * Scale shape is s8's: one shuffle on user_id, O(1) state per key, and
+    * the state itself lives in RocksDB — `transformWithState` requires the
+    * RocksDB provider, which is also the 100 TB deploy answer (state
+    * off-heap on local SSD; see RocksDbStateSpec). */
+  def closedSessionsTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val sessions = typed.groupByKey(_._1)
+      .transformWithState(new ClosedSessionProcessor(SessionGapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start_s", "session_last_s", "n_events", "closed_by")
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, sessions, OutputMode.Append())
+      .orderBy("user_id", "session_start_s")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
   }
 
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
@@ -563,6 +615,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_closed_sessions_tws" -> closedSessionsTws,
     "s15_stream_full_outer" -> streamFullOuterJoin,
     "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
@@ -650,6 +703,41 @@ object StreamingOps {
         |          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
         |  AND epoch_us(p.ts) < (SELECT w FROM wm)
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+    // s8's sessionization plus the timer arm: each user's LAST session also
+    // emits (closed_by='timer') iff the final watermark — max event ms, 0s
+    // delay — reached its last_ms + gap. INCLUSIVE bound: the engine fires
+    // timers with expiry <= eviction watermark (TimerStateImpl's expired-
+    // timer iterator yields while timerTs <= threshold; TransformWithState-
+    // Exec passes eventTimeWatermarkForEviction raw), so a timer parked
+    // exactly AT the watermark fires.
+    "s16_closed_sessions_tws" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) // 1000000 AS session_start_s,
+        |    max(us) // 1000000 AS session_last_s, max(us) // 1000 AS last_ms,
+        |    COUNT(*) AS n_events
+        |  FROM numbered GROUP BY user_id, sid),
+        |sel AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess),
+        |wm AS (SELECT max(epoch_us(ts)) // 1000 AS w FROM events)
+        |SELECT user_id, session_start_s, session_last_s, n_events,
+        |  'event' AS closed_by
+        |FROM sel WHERE sid < max_sid
+        |UNION ALL
+        |SELECT user_id, session_start_s, session_last_s, n_events,
+        |  'timer' AS closed_by
+        |FROM sel WHERE sid = max_sid
+        |  AND last_ms + 1800000 <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start_s""".stripMargin,
     "s8_closed_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -745,4 +833,67 @@ object StreamingOps {
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+}
+
+/** Per-key sessionizer for [[StreamingOps.closedSessionsTws]] (s16) on the
+  * `transformWithState` API. State = ONE `ValueState` holding the open
+  * session `(startUs, lastUs, n)`; timers = exactly one per key, parked at
+  * `last event + gap` (ms — the timer clock's granularity) and re-armed on
+  * every extension, so per-key storage is O(1) however long the stream
+  * runs. Output rows are `(user_id, start_s, last_s, n, closed_by)`.
+  *
+  * `TTLConfig.NONE` is deliberate for the session state: its lifecycle is
+  * owned by the gap timer, and a wall-clock TTL would silently drop open
+  * sessions. The TTL facility itself is exercised (and proven to evict) in
+  * TransformWithStateSpec's counter processor. */
+private class ClosedSessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long, String)] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var open: ValueState[(Long, Long, Long)] = _
+  private def gapMs = gapUs / 1000
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[(Long, Long, Long)]("open",
+      E.tuple(E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long, Long, Long, String)] = {
+    // batch-local sort on (ts, event_id) — same in-batch ordering contract
+    // as s8 (AvailableNow single-file replay respects event order across
+    // batches)
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    var cur = if (open.exists) Some(open.get) else None
+    // the state carried a parked timer at last+gap; any extension below
+    // re-arms it, so drop the stale one first (timers are keyed by
+    // expiry timestamp, not name)
+    cur.foreach { case (_, l0, _) => getHandle.deleteTimer(l0 / 1000 + gapMs) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    sorted.foreach { r =>
+      cur = cur match {
+        case Some((s0, l0, n0)) if r._2 - l0 <= gapUs => Some((s0, r._2, n0 + 1))
+        case Some((s0, l0, n0)) =>
+          out += ((uid, s0 / 1000000, l0 / 1000000, n0, "event"))
+          Some((r._2, r._2, 1L))
+        case None => Some((r._2, r._2, 1L))
+      }
+    }
+    cur.foreach { st =>
+      open.update(st)
+      getHandle.registerTimer(st._2 / 1000 + gapMs)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, String)] =
+    if (open.exists) {
+      val (s0, l0, n0) = open.get
+      // only close on the CURRENT timer — a stale expiry racing a same-batch
+      // extension must not flush a still-live session
+      if (info.getExpiryTimeInMs >= l0 / 1000 + gapMs) {
+        open.clear()
+        Iterator((uid, s0 / 1000000, l0 / 1000000, n0, "timer"))
+      } else Iterator.empty
+    } else Iterator.empty
 }
