@@ -243,7 +243,107 @@ object Similarity {
       .orderBy("centroid_id", "dim")
   }
 
+  /** The quantized-grid frame shared by sim7/sim8: int8 grid vectors (as
+    * exact small doubles) + their norms, zero vectors dropped. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val m = array_max(transform(col("e"), x => abs(x)))
+    val q = transform(col("e"),
+      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
+    Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), toD(col("embedding")).as("e"))
+      .filter(array_max(transform(col("e"), x => abs(x))) > 0) // see int8TopK
+      .withColumn("q", q)
+      .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("q").as("e"), col("nrm"))
+  }
+
+  /** Max-cosine centroid assignment of every vector — the shared step of
+    * sim6/sim7/sim8. K is constant, so the centroid side is always a
+    * bounded broadcast and assignment is one map pass (K codegen vec_dots
+    * per row, window partitioned BY VECTOR — never unpartitioned). */
+  private def assignStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("cos", cos)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("centroid_id"), col("e"))
+  }
+
+  /** Per-dim member means of an assignment — exact BIGINT sums over the
+    * int8 grid divided by the member count. The division result is left
+    * UNROUNDED: IEEE double division of exact integers is bit-identical in
+    * both engines, which is what lets round-2 cosines match without any
+    * intermediate rounding. */
+  private def meansStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "qv")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("qv").cast(LongType)).cast(DoubleType) / count(lit(1))).as("mean"))
+
+  private val LloydRounds = 2
+
+  /** sim8: ITERATED Lloyd — [[LloydRounds]] full k-means iterations
+    * (assign → centroid update), i.e. the training loop sim6/sim7 are the
+    * single steps of. Output is the final codebook: per (centroid, dim)
+    * the member count and mean, 6-decimal round-half-up (`floor(x*1e6 +
+    * 0.5) / 1e6` — `round()` tie-breaks differently across engines).
+    *
+    * Scale shape per round (composes without lineage blowup — the dd8
+    * persist/release pattern): the quantized corpus is persisted ONCE and
+    * scanned once per round; centroids are K×dim values — rebuilt as a
+    * bounded broadcast each round, persisted and counted so the next
+    * round's plan starts from materialized data, previous round's frame
+    * released. Per-round shuffle = K×dim×partitions small partials
+    * (map-side combine), independent of corpus size. The driver sees one
+    * count per round — control flow only. The ≤K×dim-row final aggregate
+    * is collected locally so every pinned frame is released HERE.
+    *
+    * Deterministic by construction: intermediate means stay unrounded
+    * (exact IEEE division of BIGINT sums), cosines are ordered codegen
+    * folds, assignment ties break by centroid id — so both engines walk
+    * bit-identical centroid trajectories round by round. Degenerate
+    * all-zero centroids (cnrm = 0) are dropped on an exact comparison
+    * before the next assignment, mirrored in the oracle. */
+  def kmeansIterate(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    var pinned: Option[DataFrame] = None
+    try {
+      for (_ <- 1 until LloydRounds) {
+        val next = meansStep(assignStep(all, centroids))
+          .groupBy(col("centroid_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("sm"))
+          .select(col("centroid_id"), transform(col("sm"), s => s.getField("mean")).as("ce"))
+          .withColumn("cnrm", sqrt(dot(col("ce"), col("ce"))))
+          .filter(col("cnrm") > 0)
+          .persist()
+        next.count(): Unit // materialize before releasing the previous round
+        pinned.foreach(_.unpersist(): Unit)
+        pinned = Some(next)
+        centroids = next
+      }
+      val out = meansStep(assignStep(all, centroids))
+        .select(col("centroid_id"), asLong(col("pos") + 1).as("dim"),
+          asLong(col("n_members")).as("n_members"),
+          (floor(col("mean") * 1000000 + 0.5).cast(DoubleType) / 1000000).as("new_val"))
+        .orderBy("centroid_id", "dim")
+      val rows = out.collect() // ≤ K×dim rows
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      pinned.foreach(_.unpersist(): Unit)
+      all.unpersist(): Unit
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim8_kmeans_iterate" -> kmeansIterate,
     "sim7_kmeans_update" -> kmeansUpdate,
     "sim6_kmeans_assign" -> kmeansAssign,
     "sim5_int8_topk" -> int8TopK,
@@ -311,6 +411,56 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // two full Lloyd rounds; intermediate means stay UNROUNDED (exact IEEE
+    // division of BIGINT sums — bit-identical cross-engine), only the final
+    // output rounds half-up at 6 decimals (floor(x*1e6+0.5), round() ties
+    // differ across engines)
+    "sim8_kmeans_iterate" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+         |           FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         list_transform(e0, x -> floor(x * 127.0
+         |           / list_max(list_transform(e0, y -> abs(y))) + 0.5)) AS ae
+         |       FROM v
+         |       WHERE list_max(list_transform(e0, y -> abs(y))) > 0),
+         |n AS (SELECT vec_id, ae,
+         |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |      FROM qz),
+         |nz AS (SELECT * FROM n WHERE nrm > 0),
+         |c0 AS (SELECT vec_id AS centroid_id, ae AS ce, nrm AS cnrm
+         |       FROM nz WHERE vec_id < $NumCentroids),
+         |p1 AS (SELECT nz.vec_id, nz.ae, c.centroid_id,
+         |         list_sum(list_transform(generate_series(1, len(nz.ae)), i -> nz.ae[i] * c.ce[i]))
+         |           / (nz.nrm * c.cnrm) AS cos
+         |       FROM nz CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, ae, centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
+         |       FROM p1),
+         |e1 AS (SELECT centroid_id, unnest(generate_series(1, len(ae))) AS dim, unnest(ae) AS qv
+         |       FROM a1 WHERE rk = 1),
+         |g1 AS (SELECT centroid_id, dim,
+         |         CAST(sum(CAST(qv AS BIGINT)) AS DOUBLE) / count(*) AS mean
+         |       FROM e1 GROUP BY centroid_id, dim),
+         |c1 AS (SELECT * FROM (
+         |         SELECT centroid_id, ce,
+         |           sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm
+         |         FROM (SELECT centroid_id, list(mean ORDER BY dim) AS ce
+         |               FROM g1 GROUP BY centroid_id))
+         |       WHERE cnrm > 0),
+         |p2 AS (SELECT nz.vec_id, nz.ae, c.centroid_id,
+         |         list_sum(list_transform(generate_series(1, len(nz.ae)), i -> nz.ae[i] * c.ce[i]))
+         |           / (nz.nrm * c.cnrm) AS cos
+         |       FROM nz CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, ae, centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rk
+         |       FROM p2),
+         |e2 AS (SELECT centroid_id, unnest(generate_series(1, len(ae))) AS dim, unnest(ae) AS qv
+         |       FROM a2 WHERE rk = 1)
+         |SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  floor((CAST(sum(CAST(qv AS BIGINT)) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+         |    / 1000000 AS new_val
+         |FROM e2 GROUP BY centroid_id, dim ORDER BY centroid_id, dim""".stripMargin,
     "sim7_kmeans_update" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
          |           FROM embeddings),

@@ -47,4 +47,20 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
     }
   }
+
+  test("sim8 iterated Lloyd: round 2 moves centroids off the seeds (sim7)") {
+    // sim7 IS round 1's update; sim8 runs a second assign+update against
+    // the rebuilt centroids. If the composition were broken (round 2
+    // silently re-assigned against the seeds), the two outputs would
+    // coincide row-for-row.
+    val r1 = Similarity.kmeansUpdate(spark, sf).collect().map(_.toSeq).toSet
+    val r2 = Similarity.kmeansIterate(spark, sf).collect().map(_.toSeq).toSet
+    assert(r2.nonEmpty && r2.map(_.take(2)).size == r2.size)
+    assert(r1 != r2,
+      "round-2 codebook must differ from the single-round (seed) update")
+    // every centroid keeps full dimensionality in the final codebook
+    val dims = Similarity.kmeansIterate(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(dims.values.forall(_ == 64), s"ragged codebook: $dims")
+  }
 }
