@@ -16,10 +16,24 @@ import org.apache.spark.Partitioner
   *   - "largest-first into the least-loaded host" → greedy LPT bin-packing
   *     of weighted keys into `numPartitions` bins, done ONCE driver-side
   *     over the (small) distinct-key weight list — never over rows;
-  *   - "locality swap" → not re-implemented: executor-side locality is the
-  *     task scheduler's job in Spark (locality wait / preferred locations),
-  *     and runtime re-balancing of what this partitioner cannot predict is
-  *     AQE's (see SkewJoinSpec for that half).
+  *   - "locality swap" (reference `sim/sim.py:249-258` acceptance loop,
+  *     `swap_task` at `sim.py:198-220`) → the OPT-IN `locality` parameter:
+  *     each key may carry a preferred partition and the fraction of its
+  *     map-side bytes already there. Walking keys largest-first, a key is
+  *     moved to its preferred bin with probability equal to its locality
+  *     fraction normalized against the uniform baseline (the reference's
+  *     `(prob - 1/m) / (1 - 1/m)`, seeded RNG → deterministic partitioner),
+  *     exchanging it for resident keys totalling at most 1.1× its weight
+  *     (the reference's bound at `sim.py:211`; candidates that would
+  *     overshoot are skipped, and a swap needs at least one key moving
+  *     back, both as in `swap_task`). HARDENING beyond the reference: a
+  *     swap is also rejected if it would push the target bin past 1.1× the
+  *     LPT maximum, so locality can cost at most 10% of the balance LPT
+  *     bought (spec-asserted). In Spark terms this trades shuffle-fetch
+  *     volume (reduce-side locality) against balance the same way the
+  *     paper's pre-scheduler does; executor-side placement of the
+  *     resulting partitions remains the task scheduler's job, and runtime
+  *     re-balancing of what no prediction caught is AQE's (SkewJoinSpec).
   *
   * Greedy LPT guarantees max-load ≤ (4/3 − 1/(3m)) × optimum for m bins —
   * so a key-weight skew that would pin a hash partition at ~p× the mean
@@ -34,23 +48,72 @@ import org.apache.spark.Partitioner
   */
 class WeightedKeyPartitioner(
     override val numPartitions: Int,
-    weights: Seq[(Any, Long)]) extends Partitioner {
+    weights: Seq[(Any, Long)],
+    locality: Seq[(Any, Int, Double)] = Nil,
+    swapSeed: Long = 42L) extends Partitioner {
   require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
 
   // deterministic LPT: sort by (weight desc, key-hash) so equal weights
-  // break ties stably; min-heap of (load, bin) keyed by load then bin id
+  // break ties stably; min-heap of (load, bin) keyed by load then bin id.
+  // If `locality` is non-empty, the reference's probabilistic locality-swap
+  // pass runs on top (see class scaladoc) — still fully deterministic
+  // (seeded RNG), which a Partitioner must be: every executor that
+  // deserializes this object must route identically.
   private val assignment: Map[Any, Int] = {
     val heap = scala.collection.mutable.PriorityQueue
       .empty[(Long, Int)](Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)))
     (0 until numPartitions).foreach(b => heap.enqueue((0L, b)))
     val sorted = weights.sortBy { case (k, w) => (-w, k.hashCode) }
-    val m = Map.newBuilder[Any, Int]
+    val loads = Array.fill(numPartitions)(0L)
+    val binKeys = Array.fill(numPartitions)(
+      scala.collection.mutable.ArrayBuffer.empty[(Any, Long)])
+    val cur = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
     sorted.foreach { case (k, w) =>
-      val (load, bin) = heap.dequeue()
-      m += (k -> bin)
-      heap.enqueue((load + w, bin))
+      val (_, bin) = heap.dequeue()
+      cur(k) = bin
+      loads(bin) += w
+      binKeys(bin) += ((k, w))
+      heap.enqueue((loads(bin), bin))
     }
-    m.result()
+    if (locality.nonEmpty) {
+      val pref = locality.map { case (k, p, f) => k -> ((p, f)) }.toMap
+      val rng = new scala.util.Random(swapSeed)
+      val maxLpt = loads.max
+      val targetCap = (1.1 * maxLpt).toLong // hardening: balance floor
+      sorted.foreach { case (k, w) =>
+        pref.get(k).foreach { case (p, frac) =>
+          // normalized acceptance probability, the reference's
+          // (prob - 1/m) / (1 - 1/m) with the uniform baseline = 1/bins
+          val nor = (frac - 1.0 / numPartitions) / (1.0 - 1.0 / numPartitions)
+          val from = cur(k)
+          // rng consumed on every eligible candidate (as in the reference's
+          // per-task loop), so acceptance of key i doesn't shift key j's draw
+          if (p >= 0 && p < numPartitions && p != from && nor > rng.nextDouble()) {
+            // move-back set: resident keys totalling <= 1.1x this key's
+            // weight; overshooting candidates are skipped, not terminal
+            var size = 0L
+            val back = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+            binKeys(p).foreach { case kb @ (_, w2) =>
+              if (size + w2 <= (1.1 * w).toLong) { size += w2; back += kb }
+            }
+            val newTarget = loads(p) - size + w
+            if (back.nonEmpty && newTarget <= targetCap) {
+              back.foreach { case kb @ (k2, _) =>
+                cur(k2) = from
+                binKeys(p) -= kb
+                binKeys(from) += kb
+              }
+              binKeys(from) -= ((k, w))
+              binKeys(p) += ((k, w))
+              cur(k) = p
+              loads(p) = newTarget
+              loads(from) = loads(from) - w + size
+            }
+          }
+        }
+      }
+    }
+    cur.toMap
   }
 
   private def fallback(key: Any): Int = {

@@ -59,6 +59,43 @@ class WeightedPartitionerSpec extends SparkSpec {
     assert(viaWeighted == viaHash, "partitioning strategy changed the aggregate")
   }
 
+  test("locality swap honors preferences but never worsens max bin beyond 1.1x") {
+    val lpt = new WeightedKeyPartitioner(numParts, weights)
+    val lptMax = loads(lpt).values.max
+    // full-locality preferences (frac 1.0 → acceptance probability 1) on a
+    // scattered preferred-bin pattern, so plenty of keys want to move
+    val locality = weights.map { case (k, _) =>
+      (k, (k.asInstanceOf[Int] * 3) % numParts, 1.0) }
+    val p = new WeightedKeyPartitioner(numParts, weights, locality)
+    val maxAfter = loads(p).values.max
+    assert(maxAfter <= (1.1 * lptMax).toLong,
+      s"swap worsened max bin beyond 1.1x LPT: $maxAfter vs $lptMax")
+    // the pass really moves keys onto their preferred bins (a no-op pass
+    // would vacuously satisfy the bound)
+    val moved = weights.count { case (k, _) =>
+      p.getPartition(k) != lpt.getPartition(k) &&
+        p.getPartition(k) == (k.asInstanceOf[Int] * 3) % numParts }
+    assert(moved > 0, "no locality swap was ever accepted")
+    // deterministic: same weights + locality + seed → identical partitioner
+    assert(p == new WeightedKeyPartitioner(numParts, weights, locality))
+    weights.foreach { case (k, _) =>
+      val b = p.getPartition(k)
+      assert(b >= 0 && b < numParts)
+    }
+  }
+
+  test("uniform-baseline locality fractions never trigger a swap") {
+    // frac = 1/numPartitions normalizes to acceptance 0 (the reference's
+    // (prob - 1/m)/(1 - 1/m)) — assignment must equal plain LPT exactly
+    val locality = weights.map { case (k, _) =>
+      (k, (k.asInstanceOf[Int] * 3) % numParts, 1.0 / numParts) }
+    val p = new WeightedKeyPartitioner(numParts, weights, locality)
+    val lpt = new WeightedKeyPartitioner(numParts, weights)
+    weights.foreach { case (k, _) =>
+      assert(p.getPartition(k) == lpt.getPartition(k))
+    }
+  }
+
   test("keys outside the weight map fall back to hash range") {
     val p = new WeightedKeyPartitioner(numParts, weights)
     (1000 until 1100).foreach { k =>
