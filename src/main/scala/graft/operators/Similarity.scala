@@ -216,30 +216,13 @@ object Similarity {
     * and aggregates on K x dim keys with map-side partials, so the shuffle
     * carries K x dim x partitions small longs, independent of corpus size. */
   def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.VectorExpressions.register(spark)
-    val m = array_max(transform(col("e"), x => abs(x)))
-    val q = transform(col("e"),
-      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
-    val all = Catalog.tableSpread(spark, dir, "embeddings")
-      .select(col("vec_id"), toD(col("embedding")).as("e"))
-      .filter(array_max(transform(col("e"), x => abs(x))) > 0) // see int8TopK
-      .withColumn("q", q)
-      .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"), col("q").as("e"), col("nrm"))
+    val all = quantized(spark, dir)
     val centroids = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-    val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
-    all.crossJoin(broadcast(centroids))
-      .withColumn("cos", cos)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "qv")))
-      .groupBy(col("centroid_id"), asLong(col("pos") + 1).as("dim"))
-      .agg(asLong(count(lit(1))).as("n_members"),
-        round(sum(col("qv").cast(LongType)).cast(DoubleType) / count(lit(1)), 6)
-          .as("new_val"))
+    meansStep(assignStep(all, centroids))
+      .select(col("centroid_id"), asLong(col("pos") + 1).as("dim"),
+        asLong(col("n_members")).as("n_members"),
+        round(col("mean"), 6).as("new_val"))
       .orderBy("centroid_id", "dim")
   }
 
