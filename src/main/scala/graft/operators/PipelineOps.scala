@@ -152,9 +152,48 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  private[graft] val ShardTokenBudget = 2000L
+
+  /** p5: token-budget shard packing — lay the corpus out in deterministic
+    * doc_id order and cut it into contiguous training shards of
+    * ~[[ShardTokenBudget]] whitespace tokens: a document's shard is
+    * `floor(tokens_before_it / budget)` (so a shard may overrun by at most
+    * one document — the standard sequential-fill layout a dataloader
+    * expects). Output is the shard manifest: doc/token counts and the
+    * [first_doc, last_doc] id range per shard.
+    *
+    * SCALE SHAPE: the cumulative token count is an EXCLUSIVE global prefix
+    * sum via the two-pass range-partitioned [[RangeRank.withRunningTotal]]
+    * — no unpartitioned running-sum window (the same single-task funnel t9
+    * deciles eliminated; the driver sees only P per-partition subtotals).
+    * The shard id is then pure map-side arithmetic and the manifest is a
+    * low-cardinality hash aggregate. The pinned pass-1 sort is released
+    * here, after the manifest is materialized (the t9 lifecycle). */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tok"))
+    val ranked = RangeRank.withRunningTotal(perDoc, "n_tok", "prev_toks", col("doc_id"))
+    val agg = ranked.df
+      .select(col("doc_id"), col("n_tok"),
+        // integer DIV, not double `/`+floor: prev_toks at corpus scale can
+        // exceed 2^53, where double division loses exactness
+        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_tok"))).as("sum_tokens"),
+        asLong(min(col("doc_id"))).as("first_doc"),
+        asLong(max(col("doc_id"))).as("last_doc"))
+      .orderBy("shard_id")
+    val rows = agg.collect() // ~total_tokens/budget rows — the manifest
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
+    "p5_token_shards" -> tokenShards,
     "dd10_source_cap" -> sourceCap)
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +216,20 @@ object PipelineOps {
          |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "p5_token_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(${Text.sqlTokens("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |      FROM d)
+         |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "dd10_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars,
          |             ROW_NUMBER() OVER (PARTITION BY source

@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.LongType
 
-/** Exact GLOBAL rank as a reusable two-pass operator — the scale-safe
-  * replacement for `Window.orderBy(...)` with no partition clause (which
-  * funnels all N rows through one task, the plan that dies first at 100x).
+/** Exact GLOBAL rank / running total as a reusable two-pass operator — the
+  * scale-safe replacement for `Window.orderBy(...)` with no partition clause
+  * (which funnels all N rows through one task, the plan that dies first at
+  * 100x).
   * Generalized from t9's decile binning so future exact-rank needs
   * (percentile tables, curriculum ordering, exact top-p sampling cutoffs)
   * reuse one audited implementation instead of re-deriving the pattern.
@@ -39,22 +40,47 @@ object RangeRank {
   /** Rank every row of `df` in the total order given by `sortCols`
     * (callers include a unique tiebreaker for determinism), appending the
     * 0-based rank as `rankCol`. */
-  def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Column*): Ranked = {
+  def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Column*): Ranked =
+    scan(df, rankCol, sortCols)(_ => 1L)
+
+  /** Exclusive global prefix sum of the non-null LongType column `valueCol`
+    * over the total order given by `sortCols`, appended as `cumCol` (the sum
+    * of all PRECEDING rows' values; 0 for the global first row).
+    * `Ranked.total` is the grand total — the last offset, free.
+    *
+    * This is the scale-safe replacement for
+    * `sum(v).over(Window.orderBy(...))` (an unpartitioned running-sum
+    * window is the same single-task funnel as an unpartitioned rank):
+    * the identical two-pass structure as [[withGlobalRank]], with
+    * per-partition VALUE SUMS instead of row counts flowing to the driver. */
+  def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,
+      sortCols: Column*): Ranked = {
+    val idx = df.schema.fieldIndex(valueCol)
+    scan(df, cumCol, sortCols)(_.getLong(idx))
+  }
+
+  /** Shared two-pass scan: range-partition + sort, per-partition totals of
+    * `weight` to the driver (P longs — control flow, the dd8 pattern),
+    * scanLeft into offsets, then a map-side running accumulation appending
+    * the EXCLUSIVE prefix as `outCol`. weight = 1 gives rank; weight =
+    * row value gives a running total. */
+  private def scan(df: DataFrame, outCol: String, sortCols: Seq[Column])(
+      weight: Row => Long): Ranked = {
     val spark = df.sparkSession
     val parts = math.max(graft.Engine.shufflePartitions(spark), 2)
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .persist()
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+    val totals = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(weight).sum)))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rank0 = offsets(pid)
-      it.map { row => val out = Row.fromSeq(row.toSeq :+ rank0); rank0 += 1; out }
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row => val out = Row.fromSeq(row.toSeq :+ acc); acc += weight(row); out }
     }
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    Ranked(spark.createDataFrame(ranked, schema), offsets.last, sorted)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    Ranked(spark.createDataFrame(scanned, schema), offsets.last, sorted)
   }
 }

@@ -43,6 +43,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res.length === 8 && res.forall(_.getLong(1) >= 1))
   }
 
+  test("p5 shard packing matches the running-sum window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val viaWindow = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("prev", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"prev DIV ${operators.PipelineOps.ShardTokenBudget}"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id").collect().map(_.toSeq)
+    val viaScan = operators.PipelineOps.tokenShards(spark, sf)
+      .collect().map(_.toSeq)
+    assert(viaScan.length > 1, "budget must cut the fixture into >1 shard")
+    assert(viaScan.toSeq == viaWindow.toSeq)
+  }
+
+  test("p5 running total is a two-pass range scan, no single-task Window") {
+    import graft.functions.Text
+    val perDoc = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val ranked = operators.RangeRank.withRunningTotal(
+      perDoc, "n_tok", "prev_toks", col("doc_id"))
+    try {
+      val plan = ranked.sortedFrame.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"unpartitioned window survived:\n$plan")
+      assert(plan.contains("rangepartitioning"),
+        s"pass-1 sort is not range-partitioned:\n$plan")
+      assert(ranked.sortedFrame.rdd.getNumPartitions > 1,
+        "range-partitioned frame collapsed to one partition")
+      // grand total on the handle == direct sum, and every shard except
+      // possibly the last starts strictly under the budget boundary
+      val direct = perDoc.agg(sum("n_tok")).collect()(0).getLong(0)
+      assert(ranked.total == direct)
+    } finally ranked.release()
+  }
+
   test("dd10 cap bounds every source at the cap") {
     val res = operators.PipelineOps.queries("dd10_source_cap")(spark, sf).collect()
     assert(res.nonEmpty)
