@@ -260,7 +260,52 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  private[graft] val BigramMinSupport = 30
+
+  /** t10: boilerplate / template-text scoring via corpus bigram support —
+    * the share of a document's word bigrams that occur at least
+    * [[BigramMinSupport]] times corpus-wide. Near-1 ratios mark highly
+    * templated text (navigation chrome, license banners, form letters);
+    * low ratios mark novel prose — the statistic quality-filter pipelines
+    * threshold on alongside t2's surface features. Documents under 2
+    * tokens have no bigrams and are excluded (both engines).
+    *
+    * SCALE SHAPE: bigrams are hashed to the shared 60-bit digest at the
+    * explode (hash-once — the shuffle key is 8 bytes, the bigram STRING
+    * never leaves the map side). The support model is a two-stage count
+    * on that key; the support filter (>= 30) shrinks it to the frequent
+    * tail (Zipf), so AQE can convert the occurrence⋈model equi-join to a
+    * broadcast at runtime. Per-doc totals are a final count/sum pair on
+    * doc_id. The hashed occurrence frame is persisted because it feeds
+    * BOTH the model build and the join probe — without the pin,
+    * InferFiltersFromConstraints re-inlines the tokenize chain below the
+    * Exchange on each arm (the dd3/dd6 pattern); the harness clearCache
+    * releases it (output here is corpus-sized, so there is no t9-style
+    * collect point to release it earlier). */
+  def bigramSupport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val occ = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), Text.sharedHash(col("bg")).as("bgh"))
+      .persist()
+    val model = occ.groupBy(col("bgh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= BigramMinSupport)
+      .select(col("bgh"), lit(true).as("attested"))
+    occ.join(model, Seq("bgh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(asLong(count(lit(1))).as("n_bigrams"),
+        asLong(sum(when(col("attested"), 1L).otherwise(0L))).as("n_attested"))
+      .withColumn("attested_ratio",
+        col("n_attested").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bigram_support" -> bigramSupport,
     "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
@@ -292,6 +337,21 @@ object TextAnalysis {
     }
 
   val oracles: Map[String, String] = Map(
+    "t10_bigram_support" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |b0 AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks)-1),
+         |           i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+         |       FROM d WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, ${Text.sqlHash("bg")} AS bgh FROM b0),
+         |m AS (SELECT bgh FROM b GROUP BY bgh HAVING count(*) >= $BigramMinSupport)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN m.bgh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attested,
+         |  CAST(sum(CASE WHEN m.bgh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS attested_ratio
+         |FROM b LEFT JOIN m ON b.bgh = m.bgh
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "t8_top_tokens" ->
       s"""WITH e AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
          |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,

@@ -110,4 +110,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("distinct"),
       s"countDistinct expansion reappeared in t8:\n$plan")
   }
+
+  test("t10 attested-bigram counts satisfy the model-side identity") {
+    val rows = TextAnalysis.bigramSupport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBg, nAtt, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nAtt >= 0 && nAtt <= nBg)
+      assert(ratio == nAtt.toDouble / nBg.toDouble)
+    }
+    // discriminative on the fixture: support=30 must split the corpus,
+    // not grade everything 0.0 or 1.0
+    assert(rows.exists(_.getDouble(3) < 1.0) && rows.exists(_.getDouble(3) > 0.0))
+    // independent identity: per-doc attested occurrences summed over docs
+    // == total occurrences of every bigram whose corpus support >= 30
+    import graft.functions.Text
+    val toks = col("_toks")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val counts = Text.withTokens(Catalog.table(spark, sf, "documents"))
+      .filter(size(toks) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .groupBy("bg").count()
+      .filter(col("count") >= TextAnalysis.BigramMinSupport)
+      .agg(sum("count")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum === counts)
+    spark.catalog.clearCache() // release t10's pinned occurrence frame
+  }
+
+  test("t10 shuffles hashed keys two-stage; the join stays an equi-join") {
+    val plan = TextAnalysis.bigramSupport(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the model count must have a map-side partial phase (no distinct
+    // expansion, no full-occurrence shuffle of one hot bigram to a reducer)
+    assert(plan.contains("partial_count"),
+      s"bigram support model lost its partial aggregation phase:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"occurrence-model join degraded from an equi-join:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
