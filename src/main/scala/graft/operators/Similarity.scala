@@ -169,6 +169,66 @@ object Similarity {
     topk(pairs, TopK)
   }
 
+  /** sim9: ANN quality evaluation — recall@k of the engine's two
+    * approximate searches (sim2's IVF cell equi-join, sim3's sign-LSH
+    * bucket equi-join) against the exact brute-force top-k at the same k.
+    * Per (method, probe): the exact neighbor count, how many of those the
+    * approximate search returned, and the recall ratio — the acceptance
+    * metric an ANN index ships with (cells / planes / nprobe are tuned
+    * until recall clears a bar). On the synthetic fixture both methods
+    * score near zero — embeddings drawn without cluster structure are
+    * exactly the case where single-probe ANN fails, which is what an
+    * evaluation harness exists to expose (a real corpus' clusterable
+    * embeddings, or more probes/planes, move the number).
+    *
+    * SCALE SHAPE: every arm inherits its audited plan from sim1/sim2/sim3
+    * — the probe set is the FIXED budget (see the probe-cardinality
+    * contract above), so ground truth costs ONE brute-force corpus pass
+    * per evaluation and each approximate arm one equi-join; everything
+    * downstream of the top-k's is |probes| x k rows (the exact set is
+    * pinned across its two consumers at that size). Ranks share one
+    * deterministic total order (cos DESC, vec_id), so the intersected id
+    * sets — unlike raw cosine floats — are engine-portable without
+    * rounding concerns. */
+  def recallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val exact = topk(
+      all.crossJoin(broadcast(probes.drop("qlabel")))
+        .filter(col("vec_id") =!= col("query_id")), IvfTopK)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist() // |probes| x k rows, read once per evaluated method
+    val ivf = topk(
+      all.join(broadcast(probes),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id")), IvfTopK)
+    val sig = (0 until NumPlanes).map { j =>
+      when(dot(col("e"), typedlit(Planes(j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSig = all.withColumn("sig", sig)
+    val lshProbes = withSig.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val lsh = topk(
+      withSig.join(broadcast(lshProbes),
+        col("sig") === col("qsig") && col("vec_id") =!= col("query_id")), IvfTopK)
+    def score(method: String, approx: DataFrame): DataFrame = {
+      val a = approx.select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      val hits = exact.join(a,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      exact.groupBy(col("query_id")).agg(asLong(count(lit(1))).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"), col("n_exact"),
+          asLong(coalesce(col("h"), lit(0L))).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
+    }
+    score("ivf", ivf).unionAll(score("lsh", lsh))
+      .orderBy("method", "query_id")
+  }
+
   private val NumCentroids = 8
 
   /** sim6: nearest-centroid assignment — the k-means/IVF TRAINING step that
@@ -333,7 +393,8 @@ object Similarity {
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ivf_topk" -> ivfTopK,
     "sim3_lsh_topk" -> lshTopK,
-    "sim4_lsh_rewrite" -> lshRewriteTopK)
+    "sim4_lsh_rewrite" -> lshRewriteTopK,
+    "sim9_recall_at_k" -> recallAtK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -359,6 +420,57 @@ object Similarity {
        |           FROM pairs)
        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** sim9 mirror: the sim1/sim2/sim3 CTE prefix (vectors + norms + sign
+    * signatures), the exact and both approximate top-k arms at the same k,
+    * then set-intersection counts per (method, probe). */
+  private val RecallOracle: String = {
+    val planeRows = (0 until NumPlanes).map { j =>
+      s"($j, [${Planes(j).map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    def arm(alias: String, from: String, joinCond: String): String =
+      s"""${alias}0 AS (SELECT p.query_id, n.vec_id, p.qnrm, n.nrm,
+         |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
+         |  FROM $from ON $joinCond n.vec_id <> p.query_id),
+         |$alias AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+         |    FROM ${alias}0) WHERE rank <= $IvfTopK)""".stripMargin
+    def scored(method: String, alias: String): String =
+      s"""SELECT '$method' AS method, b.query_id,
+         |  CAST(b.n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.h, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN
+         |  (SELECT ex.query_id, count(*) AS h
+         |   FROM ex JOIN $alias a ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id
+         |   GROUP BY ex.query_id) h ON b.query_id = h.query_id""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label
+       |           FROM embeddings),
+       |n0 AS (SELECT vec_id, ae, label,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz0 AS (SELECT * FROM n0 WHERE nrm > 0),
+       |planes AS (SELECT * FROM (VALUES
+       |        $planeRows) pl(j, r)),
+       |sigs AS (SELECT nz0.vec_id,
+       |          CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(nz0.ae)),
+       |                                      i -> nz0.ae[i] * pl.r[i])) >= 0
+       |                   THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS BIGINT) AS sig
+       |        FROM nz0 CROSS JOIN planes pl GROUP BY nz0.vec_id),
+       |nz AS (SELECT nz0.*, s.sig FROM nz0 JOIN sigs s ON nz0.vec_id = s.vec_id),
+       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm, label AS qlabel, sig AS qsig
+       |      FROM nz WHERE vec_id < $ProbeCount),
+       |${arm("ex", "nz n JOIN p", "")},
+       |${arm("iv", "nz n JOIN p", "n.label = p.qlabel AND")},
+       |${arm("ls", "nz n JOIN p", "n.sig = p.qsig AND")},
+       |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
+       |${scored("ivf", "iv")}
+       |UNION ALL
+       |${scored("lsh", "ls")}
+       |ORDER BY method, query_id""".stripMargin
+  }
 
   private val Sim3Oracle: String = {
     val planeRows = (0 until NumPlanes).map { j =>
@@ -496,6 +608,7 @@ object Similarity {
          |FROM best WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
+    "sim9_recall_at_k" -> RecallOracle,
     "sim3_lsh_topk" -> Sim3Oracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,

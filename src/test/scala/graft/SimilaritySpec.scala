@@ -48,6 +48,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim9 recall is an exact set intersection against brute force") {
+    val rows = Similarity.recallAtK(spark, sf).collect()
+    val methods = rows.map(_.getString(0)).toSet
+    assert(methods === Set("ivf", "lsh"))
+    rows.foreach { r =>
+      val (nEx, nHits, rec) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nEx >= 1 && nHits >= 0 && nHits <= nEx)
+      assert(rec == nHits.toDouble / nEx.toDouble)
+    }
+    // independent ground truth for one arm: ivf hits recomputed from the
+    // two registry queries' own outputs (exact top-k at k=3 = first 3
+    // ranks of sim1's k=5 result, same deterministic order)
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") <= 3L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val expectedHits = exact.intersect(ivf).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rows.filter(_.getString(0) == "ivf").foreach { r =>
+      assert(r.getLong(3) === expectedHits.getOrElse(r.getLong(1), 0L))
+    }
+    spark.catalog.clearCache() // release sim9's pinned exact set
+  }
+
   test("sim8 iterated Lloyd: round 2 moves centroids off the seeds (sim7)") {
     // sim7 IS round 1's update; sim8 runs a second assign+update against
     // the rebuilt centroids. If the composition were broken (round 2
