@@ -219,7 +219,47 @@ object Extended {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  private val BloomPriceFloor = 450000.0
+
+  /** x26: bloom-pruned semi join — the manual runtime-filter pattern.
+    * "Orders over [[BloomPriceFloor]]" is a selective dimension predicate
+    * (~10% of orders); the naive plan shuffles EVERY lineitem row into the
+    * semi join to discard ~90% on the reduce side. Here the filtered order
+    * keys are first folded into a bloom sketch ([[graft.expr.BloomFunctions]]
+    * — Spark's own InjectRuntimeFilter expressions, planted explicitly
+    * rather than left to optimizer-threshold luck), the sketch arrives as
+    * a scalar subquery (one tiny job, result planted as a literal), and
+    * `might_contain` prunes the fact table INSIDE its scan stage — at
+    * 100 TB the fact-side exchange carries only surviving rows, at the
+    * cost of one ~MB sketch. The sketch has no false negatives, so the
+    * exact semi join downstream makes the result identical to the
+    * unpruned plan (the spec proves it; the oracle is the plain semi
+    * join, bloom-free by construction). */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.BloomFunctions.register(spark)
+    Catalog.table(spark, dir, "orders").createOrReplaceTempView("x26_orders")
+    Catalog.table(spark, dir, "lineitem").createOrReplaceTempView("x26_lineitem")
+    // might_contain REQUIRES the sketch as a scalar subquery (or constant):
+    // the subquery runs once as its own tiny job and the result is planted
+    // into the fact scan's filter as a literal — InjectRuntimeFilter's own
+    // mechanics, so this is the SQL-text formulation, not a workaround
+    spark.sql(
+      s"""WITH keys AS (SELECT o_orderkey FROM x26_orders
+         |              WHERE o_totalprice > $BloomPriceFloor)
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         |FROM x26_lineitem
+         |WHERE graft_might_contain(
+         |        (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM keys),
+         |        xxhash64(l_orderkey))
+         |  AND l_orderkey IN (SELECT o_orderkey FROM keys)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
     "x14_percentiles" -> percentiles,
     "x12_asof_custom" -> asofCustom,
@@ -244,6 +284,17 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bloom prune is semantically transparent (no false negatives + exact
+    // semi join downstream), so the oracle is the PLAIN semi join
+    "x26_bloom_prune_join" ->
+      s"""SELECT l_returnflag,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_totalprice > $BloomPriceFloor)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x13_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  COUNT(*) OVER w AS n_orders_90d,

@@ -58,4 +58,33 @@ class ExtendedSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
   }
+
+  test("x26 plants a bloom probe on the fact scan and stays transparent") {
+    val df = Extended.bloomPruneJoin(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the sketch build and the row-level probe both survive optimization
+    assert(optimized.contains("bloom_filter_agg"),
+      s"bloom sketch aggregate missing from the plan:\n$optimized")
+    assert(optimized.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$optimized")
+    // the probe must sit BELOW the semi join (prune before shuffle): in the
+    // optimized tree the Join node appears above the Filter carrying
+    // might_contain on the lineitem relation
+    val joinIdx = optimized.indexOf("Join LeftSemi")
+    val probeIdx = optimized.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe is not below the semi join:\n$optimized")
+    // no false negatives: bloom-pruned result == plain semi join
+    import org.apache.spark.sql.functions._
+    val keys = Catalog.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+    val plain = Catalog.table(spark, sf, "lineitem")
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pruned = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pruned.toSeq == plain.toSeq)
+  }
 }
