@@ -53,6 +53,11 @@ object Engine {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Row-level runtime filtering (default-on since 3.4; pinned against conf
+    // drift): a selective dim predicate on a shuffle join injects a bloom
+    // probe into the fact scan — the automatic form of x26's explicit
+    // pattern (ExtendedSpec proves the injection fires).
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // Parquet vectorized scan + pushdown are defaults; pin them explicitly so
     // a cluster-side conf drift can't silently disable them.
     .config("spark.sql.parquet.filterPushdown", "true")

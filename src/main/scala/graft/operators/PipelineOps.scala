@@ -115,6 +115,47 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  // p6 upsampling rates per mille: boost the low-resource tail ABOVE unity
+  // (fr 2.5 epochs, de 1.5), keep everything else at one epoch — the
+  // complement of p3's downsampling, together the full mixing recipe
+  private val UpRates: Seq[(String, Int)] = Seq("fr" -> 2500, "de" -> 1500)
+  private val UpDefault = 1000
+
+  /** p6: epoch UPSAMPLING — each document is emitted `rate/1000` full
+    * copies plus one more iff its salted hash falls under the fractional
+    * remainder (so fr at 2500 per mille yields 2 copies always, 3 copies
+    * for a deterministic half of fr docs). The emission is materialized —
+    * `explode(sequence(...))` generates the copy rows — and the output is
+    * the per-language manifest over the EMITTED corpus (docs, rows,
+    * characters), i.e. what the dataloader will actually see per epoch.
+    *
+    * Scale: the copy expansion happens INSIDE the scan stage (a generator,
+    * no shuffle — copies of a row never leave their partition) and the
+    * manifest is a partial-aggregated group on `lang`. Deterministic like
+    * p2/p3: a document's copy count follows from its identity, so growing
+    * the corpus or re-running never changes a surviving doc's weight. */
+  def epochUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = UpRates.foldRight(lit(UpDefault)) { case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    val copies = (rate.cast(LongType) / 1000L).cast(LongType) +
+      when(splitHash("epoch") < rate % 1000, 1L).otherwise(0L)
+    Catalog.tableSpread(spark, dir, "documents")
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .groupBy(col("lang"))
+      // n_docs via the copy_idx=1 marker (every emitted doc has exactly
+      // one), NOT countDistinct(doc_id) — the same distinct expansion t8
+      // eliminated would otherwise funnel a language's doc set through one
+      // reducer
+      .agg(asLong(count(when(col("copy_idx") === 1L, lit(1)))).as("n_docs"),
+        asLong(count(lit(1))).as("n_rows"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   private[operators] val CapPerSource = 10
 
   /** NULL-length stand-in fed to [[CapTopK]]: a tuple encoder NPEs on a
@@ -194,6 +235,7 @@ object PipelineOps {
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
     "p5_token_shards" -> tokenShards,
+    "p6_epoch_upsample" -> epochUpsample,
     "dd10_source_cap" -> sourceCap)
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +258,19 @@ object PipelineOps {
          |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "p6_epoch_upsample" -> {
+      val rateSql = s"(CASE ${UpRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE $UpDefault END)"
+      val copiesSql = s"$rateSql // 1000 + CASE WHEN ${sqlSplitHash("epoch")} < $rateSql % 1000 THEN 1 ELSE 0 END"
+      s"""WITH e AS (SELECT lang, doc_id, n_chars,
+         |             unnest(generate_series(1, CAST($copiesSql AS BIGINT))) AS copy_idx
+         |           FROM documents
+         |           WHERE $copiesSql > 0)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN copy_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "p5_token_shards" ->
       s"""WITH d AS (SELECT doc_id,
          |             CAST(len(${Text.sqlTokens("text")}) AS BIGINT) AS n_tok

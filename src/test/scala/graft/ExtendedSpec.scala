@@ -59,6 +59,30 @@ class ExtendedSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
   }
 
+  test("Spark's own InjectRuntimeFilter plants the same bloom probe at scale") {
+    // x26 writes the runtime filter explicitly; this proves the engine's
+    // conf surface also gets it FOR FREE on a plain shuffle join — the
+    // 100 TB case, where the dimension side exceeds any broadcast
+    // threshold (modeled here by disabling auto-broadcast) and the scan
+    // threshold is met (forced to 0 at test scale)
+    val keep = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val keys = Catalog.table(spark, sf, "orders")
+        .filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+      val joined = Catalog.table(spark, sf, "lineitem")
+        .join(keys, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter was not injected on the shuffle join:\n$optimized")
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("x26 plants a bloom probe on the fact scan and stays transparent") {
     val df = Extended.bloomPruneJoin(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString

@@ -43,6 +43,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res.length === 8 && res.forall(_.getLong(1) >= 1))
   }
 
+  test("p6 upsample emits whole epochs exactly and fractions deterministically") {
+    val rows = operators.PipelineOps.queries("p6_epoch_upsample")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unboosted languages: exactly one row per doc; boosted: the emitted
+    // row count sits in [floor(rate) * docs, ceil(rate) * docs]
+    rows.foreach { case (lang, (docs, emitted)) =>
+      lang match {
+        case "fr" => assert(emitted >= 2 * docs && emitted <= 3 * docs)
+        case "de" => assert(emitted >= docs && emitted <= 2 * docs)
+        case _    => assert(emitted === docs, s"$lang must stay at one epoch")
+      }
+    }
+    // the copy expansion is a generator inside the scan stage — no Window,
+    // and exactly the aggregation exchange (plus AQE reads) in the plan
+    val plan = operators.PipelineOps.queries("p6_epoch_upsample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"copy emission lost its generator:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("p5 shard packing matches the running-sum window formulation") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
