@@ -4,7 +4,7 @@ import graft.{Catalog, Sql}
 import graft.Sql._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY.md §2D
@@ -326,6 +326,44 @@ object StreamingOps {
     }
   }
 
+  private[graft] val LatestK = 5
+
+  /** s17: latest-K event buffer per user — the online FEATURE-STORE shape
+    * (a model server reads "the user's last K actions" as a feature
+    * vector; the stream keeps it current). `transformWithState` with
+    * LIST state: [[LatestKProcessor]] holds at most K (ts, event_id,
+    * event_type) entries per key — every batch merges, re-sorts and
+    * TRIMS, so state stays O(K) per user however long the stream runs —
+    * and one event-time timer parked at the user's newest event flushes
+    * the final buffer when the watermark passes it (same trailing
+    * no-data-batch mechanics as s16; the expiry comparison is inclusive,
+    * so the globally-newest user flushes too).
+    *
+    * Complements s16's ValueState+timers with the API's second state
+    * shape; scale is one shuffle on user_id + RocksDB-resident bounded
+    * state. Oracle: top-K per user by (ts, event_id) DESC over the whole
+    * table — a plain ROW_NUMBER formulation. */
+  def latestKEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val latest = typed.groupByKey(_._1)
+      .transformWithState(new LatestKProcessor(LatestK),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "rank", "event_id", "event_ts_s", "event_type")
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, latest, OutputMode.Append())
+      .orderBy("user_id", "rank")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -616,6 +654,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_closed_sessions_tws" -> closedSessionsTws,
+    "s17_latest_k_events" -> latestKEvents,
     "s15_stream_full_outer" -> streamFullOuterJoin,
     "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
@@ -710,6 +749,18 @@ object StreamingOps {
     // timer iterator yields while timerTs <= threshold; TransformWithState-
     // Exec passes eventTimeWatermarkForEviction raw), so a timer parked
     // exactly AT the watermark fires.
+    // every user flushes on its timer in the trailing no-data batch (the
+    // expiry comparison is inclusive and every user's newest event is <=
+    // the global watermark), so the oracle is plain top-K per user
+    "s17_latest_k_events" ->
+      s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
+         |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
+         |FROM (SELECT user_id, event_id, ts, event_type,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn <= $LatestK
+         |ORDER BY user_id, rank""".stripMargin,
     "s16_closed_sessions_tws" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -894,6 +945,52 @@ private class ClosedSessionProcessor(gapUs: Long)
       if (info.getExpiryTimeInMs >= l0 / 1000 + gapMs) {
         open.clear()
         Iterator((uid, s0 / 1000000, l0 / 1000000, n0, "timer"))
+      } else Iterator.empty
+    } else Iterator.empty
+}
+
+/** Per-key latest-K buffer for [[StreamingOps.latestKEvents]] (s17).
+  * State = ONE `ListState` holding at most K `(us, event_id, event_type)`
+  * entries, kept sorted newest-first; every input batch merges + trims, so
+  * the buffer is bounded at K regardless of stream length (the streaming
+  * analogue of dd10's bounded top-K aggregation buffer). One event-time
+  * timer per key parks at the newest entry's ms and flushes the ranked
+  * buffer when the watermark passes it. */
+private class LatestKProcessor(k: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long, String)] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var buf: ListState[(Long, Long, String)] = _
+
+  // newest first; event_id breaks same-microsecond ties deterministically
+  private val newest: Ordering[(Long, Long, String)] =
+    Ordering.by { case (us, id, _) => (-us, -id) }
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Long, String)]("latest",
+      E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long, String)],
+      tv: TimerValues): Iterator[(Long, Long, Long, Long, String)] = {
+    val prev = if (buf.exists) buf.get().toSeq else Seq.empty
+    // the parked timer tracks the newest entry; re-arm below after merging
+    prev.headOption.foreach { case (us0, _, _) => getHandle.deleteTimer(us0 / 1000) }
+    val merged = (prev ++ rows.map(r => (r._2, r._3, r._4))).sorted(newest).take(k)
+    buf.put(merged.toArray)
+    getHandle.registerTimer(merged.head._1 / 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, String)] =
+    if (buf.exists) {
+      val items = buf.get().toSeq // stored sorted newest-first
+      // only flush on the CURRENT timer (same stale-expiry guard as s16)
+      if (items.nonEmpty && info.getExpiryTimeInMs >= items.head._1 / 1000) {
+        buf.clear()
+        items.iterator.zipWithIndex.map { case ((us, id, tpe), i) =>
+          (uid, (i + 1).toLong, id, us / 1000000, tpe)
+        }
       } else Iterator.empty
     } else Iterator.empty
 }

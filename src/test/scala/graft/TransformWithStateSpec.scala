@@ -40,6 +40,27 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("s17 list-state buffer is trimmed at K and ranks newest-first") {
+    val k = streaming.StreamingOps.LatestK
+    val rows = streaming.StreamingOps.latestKEvents(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    val eventCounts = Catalog.eventsNorm(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every user flushes exactly min(K, its event count) rows — the buffer
+    // really trims (users with > K events exist on the fixture)
+    assert(eventCounts.exists(_._2 > k), "fixture must exercise the trim path")
+    assert(byUser.keySet == eventCounts.keySet)
+    byUser.foreach { case (uid, rs) =>
+      assert(rs.length.toLong == math.min(k.toLong, eventCounts(uid)))
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      // event times non-increasing down the ranks
+      val times = ranked.map(_.getLong(3)).toSeq
+      assert(times == times.sorted(Ordering[Long].reverse))
+    }
+  }
+
   test("value-state TTL evicts between micro-batches; TTLConfig.NONE persists") {
     // 4-file replay with maxFilesPerTrigger=1 → 4 sequential micro-batches
     // with real wall-time between commits (orders of magnitude > the 1 ms
