@@ -364,6 +364,35 @@ object StreamingOps {
     }
   }
 
+  /** s18: per-user event-type tallies on `transformWithState` MAP state —
+    * with s16 (ValueState + timers) and s17 (ListState) this completes the
+    * API's three state shapes, and [[TypeTallyProcessor]] COMPOSES two of
+    * them in one processor: a `MapState[event_type -> count]` accumulator
+    * plus a `ValueState[newest_us]` that owns the flush timer — the
+    * "composite state" a production processor actually carries. Per-key
+    * state is O(|event types|), independent of stream length; flush runs
+    * through the same trailing no-data-batch timer mechanics as s16/s17.
+    * Oracle: plain GROUP BY user_id, event_type counts. */
+  def typeTalliesTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, String)]
+    val tallies = typed.groupByKey(_._1)
+      .transformWithState(new TypeTallyProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "event_type", "n_events")
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, tallies, OutputMode.Append())
+      .orderBy("user_id", "event_type")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -655,6 +684,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
+    "s18_type_tallies_tws" -> typeTalliesTws,
     "s15_stream_full_outer" -> streamFullOuterJoin,
     "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
@@ -749,9 +779,14 @@ object StreamingOps {
     // timer iterator yields while timerTs <= threshold; TransformWithState-
     // Exec passes eventTimeWatermarkForEviction raw), so a timer parked
     // exactly AT the watermark fires.
-    // every user flushes on its timer in the trailing no-data batch (the
-    // expiry comparison is inclusive and every user's newest event is <=
-    // the global watermark), so the oracle is plain top-K per user
+    // s17/s18: every user flushes on its timer in the trailing no-data
+    // batch (the expiry comparison is inclusive and every user's newest
+    // event is <= the global watermark), so the oracles are plain batch
+    // formulations over the whole table
+    "s18_type_tallies_tws" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "s17_latest_k_events" ->
       s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
          |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
@@ -992,5 +1027,49 @@ private class LatestKProcessor(k: Int)
           (uid, (i + 1).toLong, id, us / 1000000, tpe)
         }
       } else Iterator.empty
+    } else Iterator.empty
+}
+
+/** Per-key event-type tally for [[StreamingOps.typeTalliesTws]] (s18).
+  * COMPOSITE state on one key: `MapState` (type -> running count) holds the
+  * accumulator — per-entry updates, no read-modify-write of a whole
+  * collection — and `ValueState` (newest event us) owns the single flush
+  * timer, re-armed as events arrive (the s16/s17 bookkeeping). On expiry
+  * the map is emitted in sorted-key order and both states clear. */
+private class TypeTallyProcessor
+    extends StatefulProcessor[Long, (Long, Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var newest: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      E.STRING, E.scalaLong, TTLConfig.NONE)
+    newest = getHandle.getValueState[Long]("newest", E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, String)],
+      tv: TimerValues): Iterator[(Long, String, Long)] = {
+    if (newest.exists) getHandle.deleteTimer(newest.get / 1000)
+    var maxUs = if (newest.exists) newest.get else Long.MinValue
+    rows.foreach { case (_, us, tpe) =>
+      val prior = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+      counts.updateValue(tpe, prior + 1)
+      if (us > maxUs) maxUs = us
+    }
+    newest.update(maxUs)
+    getHandle.registerTimer(maxUs / 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, String, Long)] =
+    if (newest.exists && info.getExpiryTimeInMs >= newest.get / 1000) {
+      val out = counts.iterator().toSeq.sortBy(_._1)
+        .map { case (tpe, n) => (uid, tpe, n) }
+      counts.clear()
+      newest.clear()
+      out.iterator
     } else Iterator.empty
 }

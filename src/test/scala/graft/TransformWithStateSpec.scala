@@ -61,6 +61,22 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("s18 map-state tallies partition each user's events exactly") {
+    val rows = streaming.StreamingOps.typeTalliesTws(spark, sf).collect()
+    val eventCounts = Catalog.eventsNorm(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.keySet == eventCounts.keySet)
+    byUser.foreach { case (uid, rs) =>
+      // the map's per-type counts sum back to the user's event count, and
+      // types are distinct (one map entry each)
+      assert(rs.map(_.getLong(2)).sum == eventCounts(uid))
+      val types = rs.map(_.getString(1))
+      assert(types.distinct.length == types.length)
+    }
+  }
+
   test("value-state TTL evicts between micro-batches; TTLConfig.NONE persists") {
     // 4-file replay with maxFilesPerTrigger=1 → 4 sequential micro-batches
     // with real wall-time between commits (orders of magnitude > the 1 ms
