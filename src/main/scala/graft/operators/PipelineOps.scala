@@ -210,11 +210,14 @@ object PipelineOps {
     * The shard id is then pure map-side arithmetic and the manifest is a
     * low-cardinality hash aggregate. The pinned pass-1 sort is released
     * here, after the manifest is materialized (the t9 lifecycle). */
-  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Catalog.tableSpread(spark, dir, "documents")
+  private def perDocTokens(spark: SparkSession, dir: String): DataFrame =
+    Catalog.tableSpread(spark, dir, "documents")
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast(LongType).as("n_tok"))
-    val ranked = RangeRank.withRunningTotal(perDoc, "n_tok", "prev_toks", col("doc_id"))
+
+  /** Shard manifest from a prefix-summed frame; materialized eagerly so the
+    * pinned pass-1 sort is released here (the t9 lifecycle). */
+  private def shardManifest(spark: SparkSession, ranked: RangeRank.Ranked): DataFrame = {
     val agg = ranked.df
       .select(col("doc_id"), col("n_tok"),
         // integer DIV, not double `/`+floor: prev_toks at corpus scale can
@@ -231,11 +234,42 @@ object PipelineOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
+  def tokenShards(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(spark, RangeRank.withRunningTotal(
+      perDocTokens(spark, dir), "n_tok", "prev_toks", col("doc_id")))
+
+  private[graft] val IncrementalCut = 400L
+
+  /** p7: INCREMENTAL shard maintenance — dd9's pattern applied to p5. A new
+    * ingest batch (doc_id >= [[IncrementalCut]], standing in for "docs that
+    * arrived since the last pack") continues the running total from the
+    * packed corpus' stored fill level instead of re-ranking history: the
+    * two-pass prefix scan runs over the BATCH ONLY, seeded with the prior
+    * token total via [[RangeRank.withRunningTotal]]'s base offset. Output is
+    * the manifest of shards the batch lands in — bit-identical to the
+    * corresponding rows of a full p5 re-pack (spec), because packing in
+    * doc_id order is append-stable.
+    *
+    * The fill level is ONE stored long in production (the packed corpus'
+    * manifest total); the demo recomputes it with a sum aggregate for
+    * self-containedness — partial-aggregated map-side, no sort, no
+    * per-row shuffle, so per-ingest cost stays O(batch) + one scan-side
+    * reduction, never a re-sort of the corpus. */
+  def tokenShardsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = perDocTokens(spark, dir)
+    val fillLevel = perDoc.filter(col("doc_id") < IncrementalCut)
+      .agg(coalesce(sum(col("n_tok")), lit(0L))).collect()(0).getLong(0)
+    shardManifest(spark, RangeRank.withRunningTotal(
+      perDoc.filter(col("doc_id") >= IncrementalCut),
+      "n_tok", "prev_toks", fillLevel, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
     "p5_token_shards" -> tokenShards,
     "p6_epoch_upsample" -> epochUpsample,
+    "p7_incremental_shards" -> tokenShardsIncremental,
     "dd10_source_cap" -> sourceCap)
 
   val oracles: Map[String, String] = Map(
@@ -271,6 +305,23 @@ object PipelineOps {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM e GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // the incremental pack is append-stable, so the oracle is the FULL
+    // prefix sum restricted to the new batch's rows
+    "p7_incremental_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(${Text.sqlTokens("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |      FROM d)
+         |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c WHERE doc_id >= $IncrementalCut
+         |GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "p5_token_shards" ->
       s"""WITH d AS (SELECT doc_id,
          |             CAST(len(${Text.sqlTokens("text")}) AS BIGINT) AS n_tok

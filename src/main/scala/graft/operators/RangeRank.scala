@@ -45,8 +45,13 @@ object RangeRank {
 
   /** Exclusive global prefix sum of the non-null LongType column `valueCol`
     * over the total order given by `sortCols`, appended as `cumCol` (the sum
-    * of all PRECEDING rows' values; 0 for the global first row).
-    * `Ranked.total` is the grand total — the last offset, free.
+    * of all PRECEDING rows' values; `base` for the global first row).
+    * `Ranked.total` is `base` + the grand total — the last offset, free.
+    *
+    * `base` is the INCREMENTAL entry point: a stored fill level (e.g. the
+    * token total behind an already-packed corpus) lets a new batch continue
+    * the running total without rescanning history — the scan then costs
+    * O(batch), not O(corpus) (p7's contract).
     *
     * This is the scale-safe replacement for
     * `sum(v).over(Window.orderBy(...))` (an unpartitioned running-sum
@@ -54,18 +59,22 @@ object RangeRank {
     * the identical two-pass structure as [[withGlobalRank]], with
     * per-partition VALUE SUMS instead of row counts flowing to the driver. */
   def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,
-      sortCols: Column*): Ranked = {
+      base: Long, sortCols: Column*): Ranked = {
     val idx = df.schema.fieldIndex(valueCol)
-    scan(df, cumCol, sortCols)(_.getLong(idx))
+    scan(df, cumCol, sortCols, base)(_.getLong(idx))
   }
+
+  def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,
+      sortCols: Column*): Ranked =
+    withRunningTotal(df, valueCol, cumCol, 0L, sortCols: _*)
 
   /** Shared two-pass scan: range-partition + sort, per-partition totals of
     * `weight` to the driver (P longs — control flow, the dd8 pattern),
     * scanLeft into offsets, then a map-side running accumulation appending
     * the EXCLUSIVE prefix as `outCol`. weight = 1 gives rank; weight =
     * row value gives a running total. */
-  private def scan(df: DataFrame, outCol: String, sortCols: Seq[Column])(
-      weight: Row => Long): Ranked = {
+  private def scan(df: DataFrame, outCol: String, sortCols: Seq[Column],
+      base: Long = 0L)(weight: Row => Long): Ranked = {
     val spark = df.sparkSession
     val parts = math.max(graft.Engine.shufflePartitions(spark), 2)
     val sorted = df
@@ -75,7 +84,7 @@ object RangeRank {
     val totals = sorted.rdd
       .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(weight).sum)))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _)
+    val offsets = totals.scanLeft(base)(_ + _)
     val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { row => val out = Row.fromSeq(row.toSeq :+ acc); acc += weight(row); out }

@@ -81,6 +81,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaScan.toSeq == viaWindow.toSeq)
   }
 
+  test("p7 incremental pack equals the full re-pack on the new batch") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val cut = operators.PipelineOps.IncrementalCut
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val viaFullWindow = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("prev", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("doc_id") >= cut)
+      .withColumn("shard_id", expr(s"prev DIV ${operators.PipelineOps.ShardTokenBudget}"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id").collect().map(_.toSeq)
+    val incremental = operators.PipelineOps.tokenShardsIncremental(spark, sf)
+      .collect().map(_.toSeq)
+    assert(incremental.nonEmpty && incremental.toSeq == viaFullWindow.toSeq)
+    // batch-only cost: the incremental prefix scan ranks exactly the new
+    // batch's rows, never corpus history
+    val perDoc = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val batchSize = perDoc.filter(col("doc_id") >= cut).count()
+    val ranked = operators.RangeRank.withRunningTotal(
+      perDoc.filter(col("doc_id") >= cut), "n_tok", "prev_toks", 123L, col("doc_id"))
+    try {
+      assert(ranked.sortedFrame.count() == batchSize)
+      // the base offset seeds the first row's exclusive prefix
+      val firstPrev = ranked.df.orderBy("doc_id").select("prev_toks")
+        .limit(1).collect()(0).getLong(0)
+      assert(firstPrev == 123L)
+    } finally ranked.release()
+  }
+
   test("p5 running total is a two-pass range scan, no single-task Window") {
     import graft.functions.Text
     val perDoc = Catalog.table(spark, sf, "documents")
