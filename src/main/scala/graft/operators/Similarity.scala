@@ -229,6 +229,71 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  // ---- sim10: product quantization -------------------------------------
+  private val PqM = 4      // subspaces (64 dims / 16)
+  private val PqSub = 16   // dims per subspace
+  private val PqK = 8      // codewords per subspace (the seed-vector convention)
+
+  /** sim10: PRODUCT-QUANTIZED top-k — the vector-quantization ANN index
+    * (sim5 is scalar quantization; PQ is the other compression axis). Each
+    * vector is encoded as [[PqM]] one-byte codes: per 16-dim subspace, the
+    * nearest (L2) of [[PqK]] codewords, the codewords being the seed
+    * vectors' subvectors (the same "given initial centers" convention as
+    * sim6). Queries score candidates ASYMMETRICALLY (ADC): the raw query
+    * subvector dotted with each candidate's reconstructed codeword, summed
+    * over subspaces in fixed order — so the index stores 4 bytes/vector
+    * (16x smaller than the int8 index, 64x smaller than float32) and the
+    * query never touches the original corpus vectors.
+    *
+    * SCALE SHAPE: the codebook is PqK x 64 doubles — a bounded constant
+    * (the sim1 probe-budget argument) collected once at INDEX BUILD and
+    * embedded as literals, so encoding is pure map-side compute inside the
+    * scan stage; the argmin is an array_sort over (distance, id) structs,
+    * each distance fold evaluated once. Search is the sim1 bounded-probe
+    * broadcast over the (vec_id, codes) index — at 100 TB the scan reads 4
+    * bytes a vector, and rank error comes only from quantization. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val seeds = all.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("e")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == PqK, s"expected $PqK non-zero seed vectors")
+    // codebook(m)(k) = seed k's m-th subvector, embedded as a literal
+    val cb: IndexedSeq[Column] = (0 until PqM).map { m =>
+      typedlit(seeds.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub).toSeq))
+    }
+    def sub(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
+    // per-subspace code: argmin_k ||x_sub - c_k||^2, ties to the lowest k,
+    // via one array_sort over (distance, k) structs
+    def code(m: Int): Column = {
+      val entries = (0 until PqK).map { k =>
+        val cw = element_at(cb(m), k + 1)
+        val d2 = aggregate(zip_with(sub(col("e"), m), cw, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d2.as("d"), lit(k).as("k"))
+      }
+      array_sort(array(entries: _*)).getItem(0).getField("k")
+    }
+    val index = all.select(
+      (col("vec_id") +: (0 until PqM).map(m => code(m).as(s"c$m"))): _*)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // ADC: fixed-order sum of per-subspace (raw query sub) . (codeword)
+    val score = (0 until PqM).map { m =>
+      dot(sub(col("qe"), m), element_at(cb(m), col(s"c$m") + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    index.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", score)
+      .withColumn("rank", asLong(row_number().over(w)))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("adc_score"))
+      .orderBy("query_id", "rank")
+  }
+
   private val NumCentroids = 8
 
   /** sim6: nearest-centroid assignment — the k-means/IVF TRAINING step that
@@ -394,7 +459,8 @@ object Similarity {
     "sim2_ivf_topk" -> ivfTopK,
     "sim3_lsh_topk" -> lshTopK,
     "sim4_lsh_rewrite" -> lshRewriteTopK,
-    "sim9_recall_at_k" -> recallAtK)
+    "sim9_recall_at_k" -> recallAtK,
+    "sim10_pq_topk" -> pqTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -471,6 +537,46 @@ object Similarity {
        |${scored("lsh", "ls")}
        |ORDER BY method, query_id""".stripMargin
   }
+
+  /** sim10 mirror: codewords from the seed rows (relational, equivalent to
+    * the literals Spark embeds), per-(vector, subspace) L2 argmin with the
+    * same (distance, k) tie-break, ADC parts pivoted into a FIXED-ORDER
+    * m=0..3 sum (a bare SUM over the 4 parts would be order-nondeterministic
+    * in doubles), same rank tie-break and rounding. */
+  private val PqOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |seeds AS (SELECT vec_id AS k, ae FROM nz WHERE vec_id < $PqK),
+       |dists AS (SELECT nz.vec_id, g.m, s.k,
+       |            list_sum(list_transform(generate_series(1, $PqSub),
+       |              i -> (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i])
+       |                 * (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i]))) AS d2
+       |          FROM nz, generate_series(0, ${PqM - 1}) g(m), seeds s),
+       |codes AS (SELECT vec_id, m, k FROM (
+       |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                         ORDER BY d2, k) AS rk
+       |            FROM dists) WHERE rk = 1),
+       |p AS (SELECT vec_id AS query_id, ae AS qe FROM nz WHERE vec_id < $ProbeCount),
+       |parts AS (SELECT p.query_id, c.vec_id, c.m,
+       |            list_sum(list_transform(generate_series(1, $PqSub),
+       |              i -> p.qe[c.m * $PqSub + i] * s.ae[c.m * $PqSub + i])) AS pt
+       |          FROM codes c JOIN seeds s ON c.k = s.k CROSS JOIN p
+       |          WHERE c.vec_id <> p.query_id),
+       |scores AS (SELECT query_id, vec_id,
+       |             MAX(CASE WHEN m = 0 THEN pt END) + MAX(CASE WHEN m = 1 THEN pt END)
+       |           + MAX(CASE WHEN m = 2 THEN pt END) + MAX(CASE WHEN m = 3 THEN pt END) AS score
+       |           FROM parts GROUP BY query_id, vec_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY score DESC, vec_id) AS rank
+       |           FROM scores)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       round(score, 6) AS adc_score
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
 
   private val Sim3Oracle: String = {
     val planeRows = (0 until NumPlanes).map { j =>
@@ -609,6 +715,7 @@ object Similarity {
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
     "sim9_recall_at_k" -> RecallOracle,
+    "sim10_pq_topk" -> PqOracle,
     "sim3_lsh_topk" -> Sim3Oracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,

@@ -19,10 +19,11 @@ class PlanAuditSpec extends SparkSpec {
   // sim6 joins the corpus against a broadcast of K=8 FIXED centroids — a
   // deliberate bounded-small-side nested loop (K is a constant, not a
   // corpus fraction), same contract as sim1/sim5's probe budget
-  // sim9's ground-truth arm IS sim1's deliberate brute-force baseline
+  // sim9's ground-truth arm IS sim1's deliberate brute-force baseline;
+  // sim10 scans the 4-byte code index against the bounded probe broadcast
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
     "sim6_kmeans_assign", "sim7_kmeans_update", "sim9_recall_at_k",
-    "x11_nested_loop_join")
+    "sim10_pq_topk", "x11_nested_loop_join")
   // execute at build time (stream replay / iterative convergence loop):
   // auditing their *returned* frame would inspect a LocalRelation or
   // post-hoc plan, not the interesting join pipeline. The streaming

@@ -72,6 +72,42 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache() // release sim9's pinned exact set
   }
 
+  test("sim10 PQ codes and ADC ranking match a driver-side reimplementation") {
+    val vecs = Catalog.table(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble))
+      .filter { case (_, v) =>
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)) > 0 }
+      .toMap
+    val seeds = (0L until 8L).map(vecs)
+    def code(v: Array[Double], m: Int): Int =
+      (0 until 8).minBy { k =>
+        var d = 0.0; var i = m * 16
+        while (i < (m + 1) * 16) { val t = v(i) - seeds(k)(i); d += t * t; i += 1 }
+        (d, k)
+      }
+    def adc(q: Array[Double], v: Array[Double]): Double =
+      (0 until 4).map { m =>
+        val cw = seeds(code(v, m))
+        var s = 0.0; var i = m * 16
+        while (i < (m + 1) * 16) { s += q(i) * cw(i); i += 1 }
+        s
+      }.sum
+    val expected = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, adc(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, (i + 1).toLong, id) }
+    }.toSet
+    val got = operators.Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(got == expected)
+    // seed self-consistency: every seed encodes to its own codeword
+    (0 until 8).foreach { k =>
+      (0 until 4).foreach { m => assert(code(seeds(k), m) == k) }
+    }
+  }
+
   test("sim8 iterated Lloyd: round 2 moves centroids off the seeds (sim7)") {
     // sim7 IS round 1's update; sim8 runs a second assign+update against
     // the rebuilt centroids. If the composition were broken (round 2
