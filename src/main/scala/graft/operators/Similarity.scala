@@ -169,20 +169,23 @@ object Similarity {
     topk(pairs, TopK)
   }
 
-  /** sim9: ANN quality evaluation — recall@k of the engine's two
+  /** sim9: ANN quality evaluation — recall@k of the engine's three
     * approximate searches (sim2's IVF cell equi-join, sim3's sign-LSH
-    * bucket equi-join) against the exact brute-force top-k at the same k.
+    * bucket equi-join, sim10's product-quantized ADC scan) against the
+    * exact brute-force top-k at the same k.
     * Per (method, probe): the exact neighbor count, how many of those the
     * approximate search returned, and the recall ratio — the acceptance
     * metric an ANN index ships with (cells / planes / nprobe are tuned
-    * until recall clears a bar). On the synthetic fixture both methods
-    * score near zero — embeddings drawn without cluster structure are
-    * exactly the case where single-probe ANN fails, which is what an
-    * evaluation harness exists to expose (a real corpus' clusterable
-    * embeddings, or more probes/planes, move the number).
+    * until recall clears a bar). On the synthetic fixture the metric
+    * DISCRIMINATES: the bucketing methods score near zero (embeddings
+    * drawn without cluster structure are exactly where single-probe
+    * bucketing fails) while PQ — which approximates the score itself
+    * instead of pruning candidates — scores ~5x higher at the same k;
+    * that ranking is what an evaluation harness exists to expose.
     *
-    * SCALE SHAPE: every arm inherits its audited plan from sim1/sim2/sim3
-    * — the probe set is the FIXED budget (see the probe-cardinality
+    * SCALE SHAPE: every arm inherits its audited plan from
+    * sim1/sim2/sim3/sim10 — the probe set is the FIXED budget (see the
+    * probe-cardinality
     * contract above), so ground truth costs ONE brute-force corpus pass
     * per evaluation and each approximate arm one equi-join; everything
     * downstream of the top-k's is |probes| x k rows (the exact set is
@@ -226,6 +229,7 @@ object Similarity {
           col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
     }
     score("ivf", ivf).unionAll(score("lsh", lsh))
+      .unionAll(score("pq", pqTopK(spark, dir)))
       .orderBy("method", "query_id")
   }
 
@@ -531,10 +535,36 @@ object Similarity {
        |${arm("ex", "nz n JOIN p", "")},
        |${arm("iv", "nz n JOIN p", "n.label = p.qlabel AND")},
        |${arm("ls", "nz n JOIN p", "n.sig = p.qsig AND")},
+       |pqseeds AS (SELECT vec_id AS k, ae FROM nz WHERE vec_id < $PqK),
+       |pqdists AS (SELECT nz.vec_id, g.m, s.k,
+       |              list_sum(list_transform(generate_series(1, $PqSub),
+       |                i -> (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i])
+       |                   * (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i]))) AS d2
+       |            FROM nz, generate_series(0, ${PqM - 1}) g(m), pqseeds s),
+       |pqcodes AS (SELECT vec_id, m, k FROM (
+       |              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                           ORDER BY d2, k) AS rk
+       |              FROM pqdists) WHERE rk = 1),
+       |pqparts AS (SELECT p.query_id, c.vec_id, c.m,
+       |              list_sum(list_transform(generate_series(1, $PqSub),
+       |                i -> p.qe[c.m * $PqSub + i] * s.ae[c.m * $PqSub + i])) AS pt
+       |            FROM pqcodes c JOIN pqseeds s ON c.k = s.k CROSS JOIN p
+       |            WHERE c.vec_id <> p.query_id),
+       |pqscores AS (SELECT query_id, vec_id,
+       |               MAX(CASE WHEN m = 0 THEN pt END) + MAX(CASE WHEN m = 1 THEN pt END)
+       |             + MAX(CASE WHEN m = 2 THEN pt END) + MAX(CASE WHEN m = 3 THEN pt END) AS score
+       |             FROM pqparts GROUP BY query_id, vec_id),
+       |pq AS (SELECT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, vec_id) AS rank
+       |         FROM pqscores) WHERE rank <= $IvfTopK),
        |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
        |${scored("ivf", "iv")}
        |UNION ALL
        |${scored("lsh", "ls")}
+       |UNION ALL
+       |${scored("pq", "pq")}
        |ORDER BY method, query_id""".stripMargin
   }
 

@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
   test("sim9 recall is an exact set intersection against brute force") {
     val rows = Similarity.recallAtK(spark, sf).collect()
     val methods = rows.map(_.getString(0)).toSet
-    assert(methods === Set("ivf", "lsh"))
+    assert(methods === Set("ivf", "lsh", "pq"))
     rows.foreach { r =>
       val (nEx, nHits, rec) = (r.getLong(2), r.getLong(3), r.getDouble(4))
       assert(nEx >= 1 && nHits >= 0 && nHits <= nEx)
