@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sim9 recall is an exact set intersection against brute force") {
+  test("sim9 recall is an exact set intersection against brute force") { try {
     val rows = Similarity.recallAtK(spark, sf).collect()
     val methods = rows.map(_.getString(0)).toSet
     assert(methods === Set("ivf", "lsh", "pq"))
@@ -69,8 +69,7 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_.getString(0) == "ivf").foreach { r =>
       assert(r.getLong(3) === expectedHits.getOrElse(r.getLong(1), 0L))
     }
-    spark.catalog.clearCache() // release sim9's pinned exact set
-  }
+  } finally spark.catalog.clearCache() } // release sim9's pinned exact set
 
   test("sim10 PQ codes and ADC ranking match a driver-side reimplementation") {
     val vecs = Catalog.table(spark, sf, "embeddings")

@@ -111,7 +111,7 @@ class TextMultimodalSpec extends SparkSpec {
       s"countDistinct expansion reappeared in t8:\n$plan")
   }
 
-  test("t10 attested-bigram counts satisfy the model-side identity") {
+  test("t10 attested-bigram counts satisfy the model-side identity") { try {
     val rows = TextAnalysis.bigramSupport(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -135,10 +135,9 @@ class TextMultimodalSpec extends SparkSpec {
       .filter(col("count") >= TextAnalysis.BigramMinSupport)
       .agg(sum("count")).collect()(0).getLong(0)
     assert(rows.map(_.getLong(2)).sum === counts)
-    spark.catalog.clearCache() // release t10's pinned occurrence frame
-  }
+  } finally spark.catalog.clearCache() } // release t10's pinned occurrence frame
 
-  test("t10 shuffles hashed keys two-stage; the join stays an equi-join") {
+  test("t10 shuffles hashed keys two-stage; the join stays an equi-join") { try {
     val plan = TextAnalysis.bigramSupport(spark, sf)
       .queryExecution.sparkPlan.toString
     // the model count must have a map-side partial phase (no distinct
@@ -147,6 +146,5 @@ class TextMultimodalSpec extends SparkSpec {
       s"bigram support model lost its partial aggregation phase:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"occurrence-model join degraded from an equi-join:\n$plan")
-    spark.catalog.clearCache()
-  }
+  } finally spark.catalog.clearCache() }
 }
