@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ operators.Extended.queries ++
       operators.Coverage.queries ++ operators.PipelineOps.queries ++
+      operators.WeightedKeyPartitioner.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.Multimodal.oracles ++ operators.Extended.oracles ++
       operators.Coverage.oracles ++ operators.PipelineOps.oracles ++
+      operators.WeightedKeyPartitioner.oracles ++
       streaming.StreamingOps.oracles
 }

@@ -123,15 +123,21 @@ object Extended {
     * estimate itself cannot hash-match a DuckDB oracle (sketch
     * implementations differ), so the verified output carries the exact
     * `countDistinct` alongside a `hll_ok` flag asserting the sketch's
-    * relative error stayed within its configured rsd (default 5%) — the
-    * oracle pins `hll_ok` to 1, so an out-of-bound sketch is a correctness
-    * FAILURE, not an unverifiable number. Both aggregates run in the same
-    * two-phase plan (the distinct expansion partial-aggregates on
-    * (l_returnflag, l_partkey) first, so no reducer sees a full group). */
+    * relative error stayed within the 5% gate — the oracle pins `hll_ok`
+    * to 1, so an out-of-bound sketch is a correctness FAILURE, not an
+    * unverifiable number. The sketch is configured at rsd=0.0165 (HLL++
+    * precision p=13, ~10 KB per group) so the 5% gate sits at ~3x the
+    * standard error: rsd is a one-sigma figure, not a hard bound, and at
+    * the default 0.05 a >5% deviation has non-trivial probability once
+    * cardinality leaves the sparse-exact regime — the gate would be flaky
+    * at larger SFs. At 3 sigma the false-failure probability is ~0.3% per
+    * group. Both aggregates run in the same two-phase plan (the distinct
+    * expansion partial-aggregates on (l_returnflag, l_partkey) first, so
+    * no reducer sees a full group). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Catalog.table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.0165).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         asLong(when(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)

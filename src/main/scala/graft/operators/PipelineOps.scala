@@ -264,12 +264,51 @@ object PipelineOps {
       "n_tok", "prev_toks", fillLevel, col("doc_id")))
   }
 
+  /** p8: CURRICULUM shard packing — the ordering RangeRank's scaladoc
+    * promised. Same token-budget fill as p5, but the corpus is laid out in
+    * (t2 quality DESC, doc_id) order instead of doc_id order, so shard 0
+    * holds the highest-quality documents and quality decays monotonically
+    * across shard ids — the dataloader reads shards in id order and gets
+    * the easy-to-clean-first curriculum schedule for free. The ONLY change
+    * from p5 is the sort-column argument to
+    * [[RangeRank.withRunningTotal]] (reused unchanged — the operator was
+    * built to take an arbitrary total order); the manifest adds the
+    * per-shard quality envelope [min_q, max_q] in place of the doc-id
+    * range, which is what curriculum consumers threshold on.
+    *
+    * SCALE SHAPE: identical to p5 — two-pass range-partitioned prefix sum
+    * (driver sees P longs), map-side shard arithmetic (integer DIV),
+    * low-cardinality manifest aggregate, collect-and-release lifecycle.
+    * Quality doubles are rounded to 6 decimals only in the OUTPUT (the
+    * sim-family rule); the sort key is the unrounded double, identically
+    * computed in both engines (the t9 precedent). */
+  def curriculumShards(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = RangeRank.withRunningTotal(
+      TextAnalysis.qualityScores0(spark, dir)
+        .select(col("doc_id"), col("quality"),
+          col("n_tokens").cast(LongType).as("n_tok")),
+      "n_tok", "prev_toks", col("quality").desc, col("doc_id"))
+    val agg = ranked.df
+      .select(col("n_tok"), col("quality"),
+        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_tok"))).as("sum_tokens"),
+        round(max(col("quality")), 6).as("max_q"),
+        round(min(col("quality")), 6).as("min_q"))
+      .orderBy("shard_id")
+    val rows = agg.collect() // ~total_tokens/budget rows — the manifest
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
     "p5_token_shards" -> tokenShards,
     "p6_epoch_upsample" -> epochUpsample,
     "p7_incremental_shards" -> tokenShardsIncremental,
+    "p8_curriculum_shards" -> curriculumShards,
     "dd10_source_cap" -> sourceCap)
 
   val oracles: Map[String, String] = Map(
@@ -335,6 +374,19 @@ object PipelineOps {
          |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
          |       CAST(min(doc_id) AS BIGINT) AS first_doc,
          |       CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // same window formulation as p5's oracle, over the curriculum order
+    "p8_curriculum_shards" ->
+      s"""WITH base AS (${TextAnalysis.QualityOracle}),
+         |c AS (SELECT doc_id, n_tokens, quality,
+         |        COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |      FROM base)
+         |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       round(max(quality), 6) AS max_q,
+         |       round(min(quality), 6) AS min_q
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "dd10_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars,

@@ -61,7 +61,14 @@ object RangeRank {
   def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,
       base: Long, sortCols: Column*): Ranked = {
     val idx = df.schema.fieldIndex(valueCol)
-    scan(df, cumCol, sortCols, base)(_.getLong(idx))
+    // fail loudly on a NULL value (e.g. size(tokens) of a NULL text) —
+    // a bare getLong would surface as an opaque executor NPE instead
+    scan(df, cumCol, sortCols, base) { row =>
+      require(!row.isNullAt(idx),
+        s"RangeRank.withRunningTotal: column '$valueCol' is NULL for row $row; " +
+          "coalesce or filter nulls before the scan")
+      row.getLong(idx)
+    }
   }
 
   def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,

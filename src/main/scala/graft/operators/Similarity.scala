@@ -198,11 +198,19 @@ object Similarity {
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("label").as("qlabel"))
-    val exact = topk(
+    // |probes| x k rows: one brute-force pass, collected eagerly and
+    // released in a finally (the sim8 lifecycle) — no pinned frame outlives
+    // this method, so a programmatic caller needs no harness clearCache.
+    // The re-created frame is a LocalRelation each scorer join broadcasts.
+    val exactPinned = topk(
       all.crossJoin(broadcast(probes.drop("qlabel")))
         .filter(col("vec_id") =!= col("query_id")), IvfTopK)
       .select(col("query_id"), col("neighbor_id"))
-      .persist() // |probes| x k rows, read once per evaluated method
+      .persist()
+    val exact =
+      try spark.createDataFrame(
+        java.util.Arrays.asList(exactPinned.collect(): _*), exactPinned.schema)
+      finally { exactPinned.unpersist(): Unit }
     val ivf = topk(
       all.join(broadcast(probes),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id")), IvfTopK)

@@ -45,7 +45,7 @@ object TextAnalysis {
   /** Per-doc quality scores WITHOUT the presentation sort — the shared input
     * of t2 (which adds the sort) and t9 (which must not inherit a global
     * orderBy into its lineage). */
-  private def qualityScores0(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def qualityScores0(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("_toks")
     val nTok = size(toks).cast(DoubleType)
     val stopCnt = Text.countIn(toks, Markers.flatMap(_._2))
@@ -319,7 +319,7 @@ object TextAnalysis {
   private val Toks = Text.sqlTokens("text")
   private val AllMarkers = Markers.flatMap(_._2)
 
-  private val QualityOracle: String = {
+  private[operators] val QualityOracle: String = {
       val stop = Text.sqlCountIn("toks", AllMarkers)
       s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents)
          |SELECT doc_id,

@@ -1,6 +1,10 @@
 package graft.operators
 
+import graft.Catalog
 import org.apache.spark.Partitioner
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Size-aware reduce partitioner — the Spark-native form of the reference's
   * heuristic shuffle pre-scheduler (reference `sim/sim.py:223-263`,
@@ -97,7 +101,12 @@ class WeightedKeyPartitioner(
               if (size + w2 <= (1.1 * w).toLong) { size += w2; back += kb }
             }
             val newTarget = loads(p) - size + w
-            if (back.nonEmpty && newTarget <= targetCap) {
+            // both ends of the swap must respect the balance cap: the origin
+            // bin receives the move-back set (up to 1.1x the departing
+            // weight, a net +0.1w), so chained swaps could otherwise push it
+            // past the documented 10%-worse-than-LPT bound
+            val newOrigin = loads(from) - w + size
+            if (back.nonEmpty && newTarget <= targetCap && newOrigin <= targetCap) {
               back.foreach { case kb @ (k2, _) =>
                 cur(k2) = from
                 binKeys(p) -= kb
@@ -107,7 +116,7 @@ class WeightedKeyPartitioner(
               binKeys(p) += ((k, w))
               cur(k) = p
               loads(p) = newTarget
-              loads(from) = loads(from) - w + size
+              loads(from) = newOrigin
             }
           }
         }
@@ -130,4 +139,72 @@ class WeightedKeyPartitioner(
     case _ => false
   }
   override def hashCode(): Int = 31 * numPartitions + assignment.hashCode()
+}
+
+/** w1: the partitioner driven by REAL data — the end-to-end registered form
+  * of the reference's pre-scheduler (`sim/sim.py:223-263`), previously
+  * reachable only from spec fixtures.
+  *
+  * A deliberately skewed reduce key is derived from lineitem (suppkeys
+  * below [[WeightedKeyPartitioner.CollapseBelow]] collapse to key 0, ~30%
+  * of all rows — a key no hash partition can balance around), then:
+  *
+  *   1. histogram pre-agg: `groupBy(skey).count` — partial-aggregated
+  *      map-side, the driver sees |distinct keys| rows (bounded, ~70 here;
+  *      at 100 TB this is the stored key-frequency statistic);
+  *   2. locality preferences: each key reports bin `key mod m` holding 60%
+  *      of its map-side bytes (a deterministic stand-in for the map-output
+  *      size vectors the reference reads from its MapOutputTracker) — the
+  *      swap pass therefore actually runs, exercised end-to-end;
+  *   3. the aggregation itself: `reduceByKey` UNDER the partitioner —
+  *      map-side combine first, so the skewed key ships one partial per
+  *      input partition, never its raw rows.
+  *
+  * The oracle is the plain GROUP BY: the partitioner must change WHERE
+  * work lands (spec-asserted within the 4/3 LPT bound on this real
+  * histogram, locality swap included) while never changing WHAT is
+  * computed. */
+object WeightedKeyPartitioner {
+  private[graft] val NumBins = 8
+  private[graft] val CollapseBelow = 30L
+
+  /** (histogram, partitioner) for `dir`'s lineitem under the collapsed
+    * key — shared by the w1 query and the real-distribution spec. */
+  private[graft] def partitionerFor(
+      spark: SparkSession, dir: String): (Seq[(Any, Long)], WeightedKeyPartitioner) = {
+    val hist = skeyed(spark, dir).groupBy("skey").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0): Any, r.getLong(1))).toSeq
+    val locality = hist.map { case (k, _) =>
+      (k, (k.asInstanceOf[Long] % NumBins).toInt, 0.6) }
+    (hist, new WeightedKeyPartitioner(NumBins, hist, locality))
+  }
+
+  private def skeyed(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "lineitem").select(
+      when(col("l_suppkey") < CollapseBelow, 0L)
+        .otherwise(col("l_suppkey")).cast(LongType).as("skey"),
+      col("l_partkey").cast(LongType).as("pk"))
+
+  def weightedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (_, part) = partitionerFor(spark, dir)
+    val agg = skeyed(spark, dir).rdd
+      .map(r => (r.getLong(0), (1L, r.getLong(1))))
+      .reduceByKey(part, (a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (k, (n, s)) => Row(k, n, s) }
+    val schema = StructType(Seq(
+      StructField("skey", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("sum_partkey", LongType, nullable = false)))
+    spark.createDataFrame(agg, schema).orderBy("skey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("w1_weighted_shuffle" -> weightedAgg)
+
+  val oracles: Map[String, String] = Map(
+    "w1_weighted_shuffle" ->
+      s"""SELECT CAST(CASE WHEN l_suppkey < $CollapseBelow THEN 0 ELSE l_suppkey END AS BIGINT) AS skey,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
+         |FROM lineitem GROUP BY skey ORDER BY skey""".stripMargin)
 }

@@ -4,7 +4,8 @@ import graft.{Catalog, Sql}
 import graft.Sql._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY.md §2D
@@ -393,6 +394,66 @@ object StreamingOps {
     }
   }
 
+  /** s19: s17's latest-K buffer BOOTSTRAPPED from a batch snapshot — the
+    * state-migration shape (`StatefulProcessorWithInitialState`): a running
+    * feature store is re-deployed without replaying its full history. The
+    * corpus is split at a deterministic mid-range time cut; events BEFORE
+    * the cut are compacted in batch to each user's top-K buffer (a
+    * user_id-PARTITIONED window — bounded per-partition work, not the
+    * global-order funnel RangeRank exists to avoid) and handed to the
+    * processor as its initial state; only the tail replays as a stream.
+    *
+    * Correctness rests on latest-K being an associative top-k: merging
+    * {top-K of history} with the tail events yields exactly {top-K of
+    * everything}, so the output must be BIT-IDENTICAL to s17's
+    * full-history run — the migration guarantee, asserted query-vs-query
+    * in TransformWithStateSpec and against the same full-table oracle
+    * here. Users absent from the tail flush via the timer their
+    * [[LatestKInitProcessor.handleInitialState]] parks (the inclusive
+    * expiry again: every snapshot timestamp precedes the cut, hence the
+    * final watermark).
+    *
+    * At 100 TB this is THE way to stand up a stateful pipeline: the
+    * snapshot is a bounded batch job (top-K per key, partial-aggregated),
+    * and the stream starts from the cut instead of re-shuffling months of
+    * history through the state store. */
+  def latestKBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.eventsNorm(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val bounds = ev.agg(min(col("us")), max(col("us"))).head()
+    val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val snapshot = ev.filter(col("us") < cutUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LatestK)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("us"), col("event_id"), col("event_type")))
+        .as("items"))
+      .as[(Long, Seq[(Long, Long, String)])]
+      .groupByKey(_._1).mapValues(_._2)
+    val tail = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .filter(col("us") >= cutUs)
+      .as[(Long, Long, Long, String)]
+    val latest = tail.groupByKey(_._1)
+      .transformWithState(new LatestKInitProcessor(LatestK),
+        TimeMode.EventTime(), OutputMode.Append(), snapshot)
+      .toDF("user_id", "rank", "event_id", "event_ts_s", "event_type")
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, latest, OutputMode.Append())
+      .orderBy("user_id", "rank")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -685,6 +746,7 @@ object StreamingOps {
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
     "s18_type_tallies_tws" -> typeTalliesTws,
+    "s19_latest_k_bootstrap" -> latestKBootstrap,
     "s15_stream_full_outer" -> streamFullOuterJoin,
     "s14_foreachbatch_merge" -> foreachBatchMerge,
     "s13_dedup_within_watermark" -> streamDedupWithinWatermark,
@@ -787,6 +849,17 @@ object StreamingOps {
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // s19: snapshot+tail must equal the full-history run (latest-K is an
+    // associative top-k), so the oracle is s17's, verbatim
+    "s19_latest_k_bootstrap" ->
+      s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
+         |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
+         |FROM (SELECT user_id, event_id, ts, event_type,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn <= $LatestK
+         |ORDER BY user_id, rank""".stripMargin,
     "s17_latest_k_events" ->
       s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
          |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
@@ -1021,6 +1094,66 @@ private class LatestKProcessor(k: Int)
     if (buf.exists) {
       val items = buf.get().toSeq // stored sorted newest-first
       // only flush on the CURRENT timer (same stale-expiry guard as s16)
+      if (items.nonEmpty && info.getExpiryTimeInMs >= items.head._1 / 1000) {
+        buf.clear()
+        items.iterator.zipWithIndex.map { case ((us, id, tpe), i) =>
+          (uid, (i + 1).toLong, id, us / 1000000, tpe)
+        }
+      } else Iterator.empty
+    } else Iterator.empty
+}
+
+/** [[LatestKProcessor]] plus the BOOTSTRAP hook for
+  * [[StreamingOps.latestKBootstrap]] (s19): `handleInitialState` seeds the
+  * ListState from the batch snapshot (re-sorting and trimming — the
+  * processor, not the snapshot job, owns the buffer invariant) and parks
+  * the flush timer at the seeded head, exactly where a live run would have
+  * left it — so a user with no tail events still flushes, and a user with
+  * tail events finds state indistinguishable from a never-stopped run.
+  *
+  * Deliberately mirrors [[LatestKProcessor]]'s input/expiry logic rather
+  * than sharing it: the two sit in disjoint class hierarchies
+  * (`StatefulProcessor` vs `StatefulProcessorWithInitialState`) and the
+  * shared ~20 lines would need `getHandle` threaded through a helper —
+  * the spec asserts the outputs identical instead. */
+private class LatestKInitProcessor(k: Int)
+    extends StatefulProcessorWithInitialState[
+      Long, (Long, Long, Long, String), (Long, Long, Long, Long, String),
+      Seq[(Long, Long, String)]] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var buf: ListState[(Long, Long, String)] = _
+
+  private val newest: Ordering[(Long, Long, String)] =
+    Ordering.by { case (us, id, _) => (-us, -id) }
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Long, String)]("latest",
+      E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+
+  override def handleInitialState(uid: Long, items: Seq[(Long, Long, String)],
+      tv: TimerValues): Unit = {
+    val seeded = items.sorted(newest).take(k)
+    if (seeded.nonEmpty) {
+      buf.put(seeded.toArray)
+      getHandle.registerTimer(seeded.head._1 / 1000)
+    }
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long, String)],
+      tv: TimerValues): Iterator[(Long, Long, Long, Long, String)] = {
+    val prev = if (buf.exists) buf.get().toSeq else Seq.empty
+    prev.headOption.foreach { case (us0, _, _) => getHandle.deleteTimer(us0 / 1000) }
+    val merged = (prev ++ rows.map(r => (r._2, r._3, r._4))).sorted(newest).take(k)
+    buf.put(merged.toArray)
+    getHandle.registerTimer(merged.head._1 / 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, String)] =
+    if (buf.exists) {
+      val items = buf.get().toSeq
       if (items.nonEmpty && info.getExpiryTimeInMs >= items.head._1 / 1000) {
         buf.clear()
         items.iterator.zipWithIndex.map { case ((us, id, tpe), i) =>

@@ -36,7 +36,14 @@ class PlanAuditSpec extends SparkSpec {
       // iterative Lloyd loop / two-pass rank: both materialize eagerly and
       // return a LocalRelation; their join/sort shapes are spec-audited in
       // SimilaritySpec and TextMultimodalSpec respectively
-      n == "sim8_kmeans_iterate" || n == "t9_quality_deciles"
+      n == "sim8_kmeans_iterate" || n == "t9_quality_deciles" ||
+      // RangeRank prefix-sum consumers: the two-pass scan collects the
+      // per-partition totals at build (driver sees P longs) and the packed
+      // manifest is collected-and-released, so the returned frame is a
+      // LocalRelation; the distributed sort shape is audited in
+      // PipelineOpsSpec on the pinned sortedFrame
+      n == "p5_token_shards" || n == "p7_incremental_shards" ||
+      n == "p8_curriculum_shards"
 
   test("no undeclared cartesian/nested-loop join in any registry plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -77,6 +77,95 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("s19 snapshot+tail run is bit-identical to s17's full-history run") {
+    // the migration guarantee: bootstrapping from the batch snapshot and
+    // replaying only the tail must be indistinguishable from having run
+    // the stream over all history
+    val full = streaming.StreamingOps.latestKEvents(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val boot = streaming.StreamingOps.latestKBootstrap(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(boot == full, "bootstrap run diverged from the full-history run")
+    // the fixture really exercises BOTH arms: events exist on each side of
+    // the mid-range cut (otherwise the test proves nothing about merging)
+    val ev = Catalog.eventsNorm(spark, sf)
+      .select(unix_micros(col("ts")).as("us"))
+    val b = ev.agg(min(col("us")), max(col("us"))).head()
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    assert(ev.filter(col("us") < cut).count() > 0, "empty history side")
+    assert(ev.filter(col("us") >= cut).count() > 0, "empty tail side")
+  }
+
+  test("state schema EVOLVES across a checkpoint restart (avro encoding)") {
+    // operational completeness for the s16-s18 family: a deployed processor
+    // gets a new feature → its state case class grows a field. Under the
+    // default unsaferow encoding a state schema change on restart is
+    // rejected; with spark.sql.streaming.stateStore.encodingFormat=avro the
+    // store evolves the schema (new OPTIONAL field, read as absent for
+    // pre-evolution rows). Drive it end-to-end: run V1 (state = CountV1),
+    // stop, restart the SAME checkpoint with V2 (state = CountV2 adding an
+    // Option[Long] field), feed a second batch, and assert the totals
+    // CONTINUE from V1's state — evolution, not a reset.
+    val base = java.nio.file.Files.createTempDirectory("graft-tws-evo")
+    val provPrev = spark.conf.getOption(streaming.StreamingOps.ProviderKnob)
+    val encKnob = "spark.sql.streaming.stateStore.encodingFormat"
+    val encPrev = spark.conf.getOption(encKnob)
+    try {
+      val src = s"$base/src"
+      val cp = s"$base/cp"
+      // the memory sink cannot recover from a checkpoint (the restart is
+      // the whole point here) — use the recoverable parquet FILE sink and
+      // read results back through its commit log (the s10 pattern)
+      val out = s"$base/out"
+      spark.conf.set(streaming.StreamingOps.ProviderKnob,
+        streaming.StreamingOps.RocksDbProvider)
+      spark.conf.set(encKnob, "avro")
+      import spark.implicits._
+      def run(mkOut: org.apache.spark.sql.Dataset[(Long, Long)]
+          => org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+        val stream = spark.readStream.schema("k LONG, v LONG").parquet(src)
+        val q = mkOut(stream.as[(Long, Long)])
+          .writeStream.outputMode(OutputMode.Append()).format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.parquet(out).groupBy("k").agg(max("n").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      // batch 1: 3 rows for key 0, 1 row for key 1
+      Seq((0L, 1L), (0L, 1L), (0L, 1L), (1L, 1L)).toDF("k", "v")
+        .write.mode("append").parquet(src)
+      val v1 = run(_.groupByKey(_._1)
+        .transformWithState(new EvoV1Processor, TimeMode.None(), OutputMode.Append())
+        .toDF("k", "n"))
+      assert(v1 == Map(0L -> 3L, 1L -> 1L), s"V1 totals wrong: $v1")
+      // batch 2 lands AFTER the stop; the file source's checkpoint replays
+      // only these new files into the restarted query
+      Seq((0L, 1L), (1L, 1L), (2L, 1L)).toDF("k", "v")
+        .write.mode("append").parquet(src)
+      val v2 = run(_.groupByKey(_._1)
+        .transformWithState(new EvoV2Processor, TimeMode.None(), OutputMode.Append())
+        .toDF("k", "n"))
+      // continuation across the schema change: key 0 = 3+1, key 1 = 1+1,
+      // and the brand-new key 2 starts fresh at 1
+      assert(v2 == Map(0L -> 4L, 1L -> 2L, 2L -> 1L),
+        s"state did not survive the schema evolution: $v2")
+    } finally {
+      provPrev match {
+        case Some(v) => spark.conf.set(streaming.StreamingOps.ProviderKnob, v)
+        case None    => spark.conf.unset(streaming.StreamingOps.ProviderKnob)
+      }
+      encPrev match {
+        case Some(v) => spark.conf.set(encKnob, v)
+        case None    => spark.conf.unset(encKnob)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
+
   test("value-state TTL evicts between micro-batches; TTLConfig.NONE persists") {
     // 4-file replay with maxFilesPerTrigger=1 → 4 sequential micro-batches
     // with real wall-time between commits (orders of magnitude > the 1 ms
@@ -147,6 +236,45 @@ class TransformWithStateSpec extends SparkSpec {
       rm(base.toFile)
     }
   }
+}
+
+/** V1 state for the schema-evolution test: the original deployment. */
+private case class CountV1(n: Long)
+/** V2 state: the SAME record grown by one optional field — the avro-legal
+  * evolution (new field, nullable, absent in pre-evolution rows). */
+private case class CountV2(n: Long, extra: Option[Long])
+
+/** Evolution test, original processor: running count in `CountV1`. */
+private class EvoV1Processor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var st: ValueState[CountV1] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CountV1]("count", E.product[CountV1], TTLConfig.NONE)
+  override def handleInputRows(k: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val total = (if (st.exists) st.get.n else 0L) + rows.size
+    st.update(CountV1(total))
+    Iterator((k, total))
+  }
+  override def handleExpiredTimer(k: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = Iterator.empty
+}
+
+/** Evolution test, redeployed processor: same state name, `CountV2` schema.
+  * Reads V1-written rows (extra decodes as None) and keeps counting. */
+private class EvoV2Processor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var st: ValueState[CountV2] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CountV2]("count", E.product[CountV2], TTLConfig.NONE)
+  override def handleInputRows(k: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val total = (if (st.exists) st.get.n else 0L) + rows.size
+    st.update(CountV2(total, Some(total)))
+    Iterator((k, total))
+  }
+  override def handleExpiredTimer(k: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = Iterator.empty
 }
 
 /** Counting processor for the TTL test: emits the state found on entry

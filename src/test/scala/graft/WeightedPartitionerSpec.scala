@@ -84,6 +84,21 @@ class WeightedPartitionerSpec extends SparkSpec {
     }
   }
 
+  test("balance cap holds on BOTH swap ends under chained adversarial swaps") {
+    // every key prefers bin 0 with frac 1.0: each accepted swap pushes its
+    // move-back set into a different origin bin (net +0.1w there), so
+    // chained swaps stress the ORIGIN side of the cap — the side the first
+    // fixture never pressured. The 1.1x-of-LPT invariant must hold for
+    // every bin by construction, not just the fixture's max.
+    val lptMax = loads(new WeightedKeyPartitioner(numParts, weights)).values.max
+    val locality = weights.map { case (k, _) => (k, 0, 1.0) }
+    val p = new WeightedKeyPartitioner(numParts, weights, locality)
+    loads(p).foreach { case (bin, load) =>
+      assert(load <= (1.1 * lptMax).toLong,
+        s"bin $bin at $load exceeds 1.1x LPT max $lptMax")
+    }
+  }
+
   test("uniform-baseline locality fractions never trigger a swap") {
     // frac = 1/numPartitions normalizes to acceptance 0 (the reference's
     // (prob - 1/m)/(1 - 1/m)) — assignment must equal plain LPT exactly
@@ -94,6 +109,35 @@ class WeightedPartitionerSpec extends SparkSpec {
     weights.foreach { case (k, _) =>
       assert(p.getPartition(k) == lpt.getPartition(k))
     }
+  }
+
+  test("w1: real lineitem histogram packs within the 4/3 LPT bound, swap included") {
+    val (hist, p) = WeightedKeyPartitioner.partitionerFor(spark, sf)
+    val total = hist.map(_._2).sum
+    val heaviest = hist.map(_._2).max
+    // the collapsed key really is the skew the query advertises: it alone
+    // exceeds the ideal bin, so hash partitioning cannot balance this
+    val ideal = total.toDouble / operators.WeightedKeyPartitioner.NumBins
+    assert(heaviest > ideal, s"fixture lost its skew: $heaviest <= $ideal")
+    val binLoads = hist.groupBy { case (k, _) => p.getPartition(k) }
+      .map { case (b, ks) => b -> ks.map(_._2).sum }
+    // LPT bound, with the locality pass's documented 1.1x allowance on top
+    val bound = math.max(heaviest.toDouble, ideal * 4.0 / 3.0) * 1.1
+    assert(binLoads.values.max <= bound + 1,
+      s"real-histogram max bin ${binLoads.values.max} above $bound")
+    // and the registered query's result is partitioner-invariant: it must
+    // equal the plain Catalyst groupBy on the same derived key
+    import org.apache.spark.sql.functions._
+    val viaQuery = operators.WeightedKeyPartitioner.weightedAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaGroupBy = Catalog.table(spark, sf, "lineitem")
+      .groupBy(when(col("l_suppkey") < operators.WeightedKeyPartitioner.CollapseBelow, 0L)
+        .otherwise(col("l_suppkey")).as("skey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_partkey")).as("sum_partkey"))
+      .orderBy("skey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaQuery.nonEmpty && viaQuery == viaGroupBy,
+      "weighted-partitioner aggregation diverged from the plain groupBy")
   }
 
   test("keys outside the weight map fall back to hash range") {
