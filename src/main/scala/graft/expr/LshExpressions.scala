@@ -24,6 +24,22 @@ object RandomHyperplanes {
     ((j * Dim + i + 1).toLong * 2654435761L % 2147483647L) % 2001L - 1000L
   val Planes: Seq[Array[Double]] =
     (0 until NumPlanes).map(j => Array.tabulate(Dim)(i => planeVal(j, i).toDouble))
+
+  /** Banded family for MULTI-band sign-LSH (sim12): [[NumBands]] bands of
+    * [[BandBits]] planes each, drawn from the same deterministic generator
+    * with the global plane index running on past the single-probe family —
+    * so band 0 IS the sim3/sim4 signature (planes 0-5) and sim12's
+    * candidate set is a SUPERSET of sim3's by construction, while bands 1
+    * and 2 are fresh independent projections. A vector pair is a candidate
+    * if ANY band signature matches (the dd3 MinHash banding pattern applied
+    * to sign-LSH): per-band collision keeps sim3's N/64 selectivity, and
+    * the OR over 3 bands triples recall at ≤3x the candidates. */
+  val NumBands = 3
+  val BandBits = 6
+  /** All banded planes, global index j in [0, NumBands*BandBits); band(j) =
+    * j / BandBits, bit(j) = j % BandBits. */
+  val BandedPlanes: Seq[Array[Double]] =
+    (0 until NumBands * BandBits).map(j => Array.tabulate(Dim)(i => planeVal(j, i).toDouble))
 }
 
 /** Opt-in LSH candidate-generation MARKER: `lsh_candidates(a, b)` in a join

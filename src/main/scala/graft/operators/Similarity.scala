@@ -116,6 +116,117 @@ object Similarity {
     topk(pairs, IvfTopK)
   }
 
+  // ---- sim11: IVF multi-probe ------------------------------------------
+  private[operators] val NProbe = 3
+
+  /** sim11: IVF MULTI-PROBE top-k — the standard remedy for sim2's
+    * single-probe recall collapse (sim9 measures it near zero on
+    * structure-free embeddings: the true neighbors of a probe are spread
+    * over ALL cells, and one cell holds ~1/|cells| of them). Each probe
+    * searches the [[NProbe]] cells whose centroids lie nearest its vector
+    * PLUS its own cell (so the candidate set is a strict superset of
+    * sim2's) — still nothing but equi-joins, with ~(NProbe+1)/|cells| of
+    * the corpus scanned per probe instead of 1/|cells|.
+    *
+    * Cell ranking is EXACT INTEGER arithmetic so both engines pick
+    * identical cells: vectors are quantized to the sim5 int8 grid, cell
+    * centroids kept as (BIGINT component sums s_d, count n), and the
+    * probe-to-centroid distance compared via the n²-scaled form
+    * `Σ_d (n·q_d − s_d)²` — BIGINT-exact, no float mean ordering to
+    * disagree on (the sim8 exact-centroid discipline). The n² scaling
+    * bounds the exact form to ~10^7 vectors per cell before BIGINT
+    * overflow; a production deployment at larger cell sizes drops to
+    * double means (cell CHOICE needs no bit-exactness outside this
+    * verification harness).
+    *
+    * SCALE SHAPE: cell stats are one partial-aggregated groupBy over
+    * (cell, dim) — |cells|·64 rows; scoring joins the per-dim probe
+    * expansion (|probes|·64 rows) against them on dim; candidate
+    * generation is the sim2 equi-join with an exploded (probe, cell) pair
+    * list broadcast instead of one cell per probe. At 100 TB the fact scan
+    * still reads only the probed cells' partitions. */
+  def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val m = array_max(transform(col("e"), x => abs(x)))
+    // int8 grid, kept as LONG (Spark floor(double) yields LongType): the
+    // centroid math below must stay integer-exact
+    val quant = all.withColumn("q",
+      transform(col("e"), x => floor(x * lit(127.0) / m + lit(0.5))))
+    val cells = quant
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("cn"))
+    val probesQ = quant.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("label").as("plabel"),
+        posexplode(col("q")).as(Seq("dim", "pqv")))
+    val diff = col("cn") * col("pqv") - col("s")
+    val nearest = probesQ.join(cells, Seq("dim"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(diff * diff).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score"), col("label"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("label").as("clabel"))
+    val own = quant.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("label").as("clabel"))
+    val probeCells = nearest.unionAll(own).distinct()
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = all.join(
+      broadcast(probes.join(probeCells, Seq("query_id"))),
+      col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
+    topk(pairs, IvfTopK)
+  }
+
+  // ---- sim12: multi-band sign-LSH --------------------------------------
+  private val NumBands = graft.expr.RandomHyperplanes.NumBands
+  private val BandBits = graft.expr.RandomHyperplanes.BandBits
+  private val BandedPlanes: Seq[Array[Double]] = graft.expr.RandomHyperplanes.BandedPlanes
+
+  /** sim12: MULTI-BAND sign-LSH top-k — the dd3 banding pattern applied to
+    * sim3's single signature (whose all-6-bits-must-match collision
+    * probability sim9 measures near zero on the fixture). [[NumBands]]
+    * independent [[BandBits]]-bit signatures per vector; a pair is a
+    * candidate if ANY band matches. Band 0 is exactly sim3's signature
+    * ([[graft.expr.RandomHyperplanes.BandedPlanes]] runs the same
+    * generator on past it), so sim12's candidates are a SUPERSET of
+    * sim3's by construction; per-band selectivity stays N/2^bits and the
+    * OR costs at most [[NumBands]]x the candidates.
+    *
+    * SCALE SHAPE: the banded index is the standard LSH table layout —
+    * [[NumBands]] rows of (band, sig, vec_id) per vector, generated
+    * map-side; candidate generation is an equi-join on the composite key
+    * (band, sig) against the broadcast probe bands; a pair matching in
+    * several bands is deduplicated on (query_id, vec_id) BEFORE the
+    * cosine join, so rescoring cost is per-candidate, not per-collision. */
+  def bandLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    def bandSig(b: Int): Column =
+      (0 until BandBits).map { i =>
+        val j = b * BandBits + i
+        when(dot(col("e"), typedlit(BandedPlanes(j).toSeq)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bandRows = array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
+    val banded = all
+      .select(col("vec_id"), explode(bandRows).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val probeBands = banded.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("band").as("qband"),
+        col("sig").as("qsig"))
+    val cand = banded.join(broadcast(probeBands),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = cand
+      .join(all, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id"))
+    topk(pairs, IvfTopK)
+  }
+
   /** sim4: the NAIVE pair query — no signature column, no equi-key, just
     * the `lsh_candidates` marker in the join condition — lowered by the
     * [[graft.plans.LshBucketRewrite]] optimizer rule into the same
@@ -238,6 +349,11 @@ object Similarity {
     }
     score("ivf", ivf).unionAll(score("lsh", lsh))
       .unionAll(score("pq", pqTopK(spark, dir)))
+      // the round-7 multi-probe arms: same probe budget and k, candidate
+      // sets supersets of their single-probe parents — sim9 is the harness
+      // that PROVES the remedy (SimilaritySpec asserts strict dominance)
+      .unionAll(score("ivf_multi", ivfMultiProbeTopK(spark, dir)))
+      .unionAll(score("lsh_bands", bandLshTopK(spark, dir)))
       .orderBy("method", "query_id")
   }
 
@@ -472,7 +588,9 @@ object Similarity {
     "sim3_lsh_topk" -> lshTopK,
     "sim4_lsh_rewrite" -> lshRewriteTopK,
     "sim9_recall_at_k" -> recallAtK,
-    "sim10_pq_topk" -> pqTopK)
+    "sim10_pq_topk" -> pqTopK,
+    "sim11_ivf_multiprobe" -> ivfMultiProbeTopK,
+    "sim12_band_lsh" -> bandLshTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -567,12 +685,18 @@ object Similarity {
        |           ROW_NUMBER() OVER (PARTITION BY query_id
        |                              ORDER BY score DESC, vec_id) AS rank
        |         FROM pqscores) WHERE rank <= $IvfTopK),
+       |mp AS (SELECT query_id, neighbor_id AS vec_id FROM ($Sim11Oracle) mpx),
+       |mb AS (SELECT query_id, neighbor_id AS vec_id FROM ($Sim12Oracle) mbx),
        |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
        |${scored("ivf", "iv")}
        |UNION ALL
        |${scored("lsh", "ls")}
        |UNION ALL
        |${scored("pq", "pq")}
+       |UNION ALL
+       |${scored("ivf_multi", "mp")}
+       |UNION ALL
+       |${scored("lsh_bands", "mb")}
        |ORDER BY method, query_id""".stripMargin
   }
 
@@ -615,6 +739,94 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        |       round(score, 6) AS adc_score
        |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+
+  /** sim11 mirror: the same int8 grid (sim5's floor(+0.5) SQL), BIGINT cell
+    * sums, the n²-scaled integer distance with the same (score, label)
+    * tie-break, own-cell union, then the sim2 candidate join + rank. */
+  private lazy val Sim11Oracle: String =
+    s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |qz AS (SELECT vec_id, label,
+       |         list_transform(ae, x -> CAST(floor(x * 127.0
+       |           / list_max(list_transform(ae, y -> abs(y))) + 0.5) AS BIGINT)) AS q
+       |       FROM nz),
+       |cells AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+       |            CAST(count(*) AS BIGINT) AS cn
+       |          FROM (SELECT label, unnest(generate_series(1, len(q))) AS dim,
+       |                  unnest(q) AS qv FROM qz) t
+       |          GROUP BY label, dim),
+       |pq AS (SELECT vec_id AS query_id, unnest(generate_series(1, len(q))) AS dim,
+       |         unnest(q) AS pqv
+       |       FROM qz WHERE vec_id < $ProbeCount),
+       |cscore AS (SELECT pq.query_id, c.label,
+       |             CAST(sum((c.cn * pq.pqv - c.s) * (c.cn * pq.pqv - c.s)) AS BIGINT) AS score
+       |           FROM pq JOIN cells c ON pq.dim = c.dim
+       |           GROUP BY pq.query_id, c.label),
+       |pcells AS (SELECT DISTINCT query_id, label FROM (
+       |             SELECT query_id, label FROM (
+       |               SELECT query_id, label,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                    ORDER BY score, label) AS rk
+       |               FROM cscore) WHERE rk <= $NProbe
+       |             UNION ALL
+       |             SELECT vec_id AS query_id, label FROM nz
+       |             WHERE vec_id < $ProbeCount) u),
+       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm FROM nz
+       |      WHERE vec_id < $ProbeCount),
+       |pairs AS (SELECT p.query_id, nz.vec_id, p.qnrm, nz.nrm,
+       |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
+       |          FROM nz JOIN pcells pc ON nz.label = pc.label
+       |                  JOIN p ON p.query_id = pc.query_id AND nz.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+       |             d / (qnrm * nrm) AS cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+       |           FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+
+  /** sim12 mirror: 18 banded plane literals, per-(vector, band) signatures
+    * with bit = global plane index mod bits, OR-of-bands via the DISTINCT
+    * candidate join, then the shared cosine rank. */
+  private lazy val Sim12Oracle: String = {
+    val planeRows = (0 until NumBands * BandBits).map { j =>
+      s"($j, [${BandedPlanes(j).map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |planes AS (SELECT * FROM (VALUES
+       |        $planeRows) pl(j, r)),
+       |sigs AS (SELECT nz.vec_id, pl.j // $BandBits AS band,
+       |          CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(nz.ae)),
+       |                                      i -> nz.ae[i] * pl.r[i])) >= 0
+       |                   THEN (CAST(1 AS BIGINT) << (pl.j % $BandBits)) ELSE 0 END) AS BIGINT) AS sig
+       |        FROM nz CROSS JOIN planes pl GROUP BY nz.vec_id, pl.j // $BandBits),
+       |ps AS (SELECT * FROM sigs WHERE vec_id < $ProbeCount),
+       |cand AS (SELECT DISTINCT ps.vec_id AS query_id, s.vec_id
+       |         FROM sigs s JOIN ps ON s.band = ps.band AND s.sig = ps.sig
+       |                             AND s.vec_id <> ps.vec_id),
+       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm FROM nz
+       |      WHERE vec_id < $ProbeCount),
+       |pairs AS (SELECT c.query_id, c.vec_id, p.qnrm, z.nrm,
+       |            list_sum(list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] * z.ae[i])) AS d
+       |          FROM cand c JOIN nz z ON z.vec_id = c.vec_id
+       |                      JOIN p ON p.query_id = c.query_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+       |             d / (qnrm * nrm) AS cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+       |           FROM pairs)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+  }
 
   private val Sim3Oracle: String = {
     val planeRows = (0 until NumPlanes).map { j =>
@@ -755,6 +967,8 @@ object Similarity {
     "sim9_recall_at_k" -> RecallOracle,
     "sim10_pq_topk" -> PqOracle,
     "sim3_lsh_topk" -> Sim3Oracle,
+    "sim11_ivf_multiprobe" -> Sim11Oracle,
+    "sim12_band_lsh" -> Sim12Oracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,
     "sim5_int8_topk" ->

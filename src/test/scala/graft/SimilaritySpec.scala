@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
   test("sim9 recall is an exact set intersection against brute force") { try {
     val rows = Similarity.recallAtK(spark, sf).collect()
     val methods = rows.map(_.getString(0)).toSet
-    assert(methods === Set("ivf", "lsh", "pq"))
+    assert(methods === Set("ivf", "lsh", "pq", "ivf_multi", "lsh_bands"))
     rows.foreach { r =>
       val (nEx, nHits, rec) = (r.getLong(2), r.getLong(3), r.getDouble(4))
       assert(nEx >= 1 && nHits >= 0 && nHits <= nEx)
@@ -70,6 +70,48 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(3) === expectedHits.getOrElse(r.getLong(1), 0L))
     }
   } finally spark.catalog.clearCache() } // release sim9's pinned exact set
+
+  test("sim11/sim12 multi-probe arms strictly dominate their single-probe parents") { try {
+    val rows = Similarity.recallAtK(spark, sf).collect()
+    def hits(m: String): Map[Long, Long] = rows.filter(_.getString(0) == m)
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val (iv, mp) = (hits("ivf"), hits("ivf_multi"))
+    val (ls, mb) = (hits("lsh"), hits("lsh_bands"))
+    // candidate SUPERSET + exact rescoring ⇒ per-probe hits are monotone
+    // (a superset candidate can displace an exact-top-k member only by
+    // another exact-top-k member)…
+    iv.keys.foreach { q =>
+      assert(mp(q) >= iv(q), s"probe $q: multi-probe lost hits ${mp(q)} < ${iv(q)}")
+      assert(mb(q) >= ls(q), s"probe $q: banded LSH lost hits ${mb(q)} < ${ls(q)}")
+    }
+    // …and the remedy must actually buy recall: strict aggregate dominance
+    assert(mp.values.sum > iv.values.sum,
+      s"ivf_multi ${mp.values.sum} must strictly beat ivf ${iv.values.sum}")
+    assert(mb.values.sum > ls.values.sum,
+      s"lsh_bands ${mb.values.sum} must strictly beat lsh ${ls.values.sum}")
+    // bounded candidate growth, not brute force in disguise: every sim12
+    // neighbor must share at least one of the 3 driver-recomputed band
+    // signatures with its probe (i.e. it came out of an LSH bucket)
+    import graft.expr.RandomHyperplanes.{BandBits, BandedPlanes, NumBands}
+    val vecs = Catalog.table(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def sigs(v: Array[Float]): Seq[Long] = (0 until NumBands).map { b =>
+      (0 until BandBits).map { i =>
+        var d = 0.0
+        var x = 0
+        while (x < v.length) { d += v(x).toDouble * BandedPlanes(b * BandBits + i)(x); x += 1 }
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    }
+    val bandTopk = Similarity.bandLshTopK(spark, sf).collect()
+    assert(bandTopk.nonEmpty)
+    bandTopk.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(sigs(vecs(q)).zip(sigs(vecs(n))).exists { case (a, b) => a == b },
+        s"sim12 pair ($q, $n) shares no band signature — not an LSH candidate")
+    }
+  } finally spark.catalog.clearCache() }
 
   test("sim10 PQ codes and ADC ranking match a driver-side reimplementation") {
     val vecs = Catalog.table(spark, sf, "embeddings")
