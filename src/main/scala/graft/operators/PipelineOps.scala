@@ -302,6 +302,57 @@ object PipelineOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
+  private[graft] val ShuffleEpoch = 7
+  private[graft] val ShuffleBucket = 100L
+
+  /** p9: deterministic EPOCH SHUFFLE — the dataloader's other ordering
+    * need (p5/p8 pack; this one permutes): each epoch the corpus is read
+    * in a fresh pseudo-random order, but the order must be reproducible
+    * across reruns and auditable by an independent engine — so the
+    * permutation key is the salted md5 hash (`epoch<N>:doc_id`, the
+    * p2/p3/p6 identity-hash discipline), NOT `rand()`. Changing the epoch
+    * number yields a fresh independent permutation (spec), which is
+    * exactly "reshuffle each epoch" without any state.
+    *
+    * Global position comes from [[RangeRank.withGlobalRank]] over
+    * (hash, doc_id) — the two-pass distributed sort, no single-task
+    * window. The registered output is the BUCKET MANIFEST (position DIV
+    * [[ShuffleBucket]]): per-bucket doc counts, position ranges and
+    * language spread — what a dataloader shards on — so the driver
+    * collects ~N/bucket rows while the per-doc permutation itself stays
+    * distributed (in production it is written straight to the shard
+    * store, never collected). */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleAt(spark, dir, ShuffleEpoch)
+
+  private[graft] def epochShuffleAt(spark: SparkSession, dir: String, epoch: Int): DataFrame = {
+    val key = Text.sharedHash(concat(lit(s"epoch$epoch:"), col("doc_id").cast(StringType)))
+    val ranked = RangeRank.withGlobalRank(
+      Catalog.tableSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), key.as("sk")),
+      "position", col("sk"), col("doc_id"))
+    // the manifest must PIN the permutation, not just the bucket sizes
+    // (those are permutation-invariant): boundary docs via min_by/max_by
+    // on the unique position, plus an exact membership digest (sum of the
+    // per-doc hashes mod a prime — 100 x 1e6 stays far under 2^63)
+    val agg = ranked.df
+      .select(col("lang"), col("doc_id"), col("position"),
+        expr(s"position DIV $ShuffleBucket").as("bucket"),
+        (col("sk") % 1000003L).as("skm"))
+      .groupBy(col("bucket"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(min(col("position"))).as("min_pos"),
+        asLong(max(col("position"))).as("max_pos"),
+        asLong(min_by(col("doc_id"), col("position"))).as("first_doc"),
+        asLong(max_by(col("doc_id"), col("position"))).as("last_doc"),
+        asLong(sum(col("skm"))).as("sk_digest"),
+        asLong(countDistinct(col("lang"))).as("n_langs"))
+      .orderBy("bucket")
+    val rows = agg.collect() // N/bucket rows — the manifest
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -309,6 +360,7 @@ object PipelineOps {
     "p6_epoch_upsample" -> epochUpsample,
     "p7_incremental_shards" -> tokenShardsIncremental,
     "p8_curriculum_shards" -> curriculumShards,
+    "p9_epoch_shuffle" -> epochShuffle,
     "dd10_source_cap" -> sourceCap)
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +427,22 @@ object PipelineOps {
          |       CAST(min(doc_id) AS BIGINT) AS first_doc,
          |       CAST(max(doc_id) AS BIGINT) AS last_doc
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "p9_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             ${Text.sqlHash(s"concat('epoch$ShuffleEpoch:', CAST(doc_id AS VARCHAR))")} AS sk
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang, sk,
+         |        ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS position
+         |      FROM h)
+         |SELECT CAST(position // $ShuffleBucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(position) AS BIGINT) AS min_pos,
+         |       CAST(max(position) AS BIGINT) AS max_pos,
+         |       CAST(arg_min(doc_id, position) AS BIGINT) AS first_doc,
+         |       CAST(arg_max(doc_id, position) AS BIGINT) AS last_doc,
+         |       CAST(sum(sk % 1000003) AS BIGINT) AS sk_digest,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     // same window formulation as p5's oracle, over the curriculum order
     "p8_curriculum_shards" ->
       s"""WITH base AS (${TextAnalysis.QualityOracle}),

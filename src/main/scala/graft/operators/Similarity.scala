@@ -117,7 +117,7 @@ object Similarity {
   }
 
   // ---- sim11: IVF multi-probe ------------------------------------------
-  private[operators] val NProbe = 3
+  private[graft] val NProbe = 3
 
   /** sim11: IVF MULTI-PROBE top-k — the standard remedy for sim2's
     * single-probe recall collapse (sim9 measures it near zero on
@@ -145,8 +145,10 @@ object Similarity {
     * generation is the sim2 equi-join with an exploded (probe, cell) pair
     * list broadcast instead of one cell per probe. At 100 TB the fact scan
     * still reads only the probed cells' partitions. */
-  def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir)
+  /** (query_id, clabel) pairs: the [[NProbe]] nearest cells by the exact
+    * integer centroid metric, unioned with the probe's own cell — shared by
+    * sim11 (exact rescoring) and sim13 (ADC rescoring). */
+  private def multiProbeCells(all: DataFrame): DataFrame = {
     val m = array_max(transform(col("e"), x => abs(x)))
     // int8 grid, kept as LONG (Spark floor(double) yields LongType): the
     // centroid math below must stay integer-exact
@@ -169,11 +171,15 @@ object Similarity {
       .select(col("query_id"), col("label").as("clabel"))
     val own = quant.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("label").as("clabel"))
-    val probeCells = nearest.unionAll(own).distinct()
+    nearest.unionAll(own).distinct()
+  }
+
+  def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.join(
-      broadcast(probes.join(probeCells, Seq("query_id"))),
+      broadcast(probes.join(multiProbeCells(all), Seq("query_id"))),
       col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
     topk(pairs, IvfTopK)
   }
@@ -354,6 +360,9 @@ object Similarity {
       // that PROVES the remedy (SimilaritySpec asserts strict dominance)
       .unionAll(score("ivf_multi", ivfMultiProbeTopK(spark, dir)))
       .unionAll(score("lsh_bands", bandLshTopK(spark, dir)))
+      // the composite index: ivf_multi's candidates scored by sim10's ADC —
+      // measures what the 4-byte compression costs ON TOP of the pruning
+      .unionAll(score("ivf_pq", ivfPqTopK(spark, dir)))
       .orderBy("method", "query_id")
   }
 
@@ -380,46 +389,88 @@ object Similarity {
     * each distance fold evaluated once. Search is the sim1 bounded-probe
     * broadcast over the (vec_id, codes) index — at 100 TB the scan reads 4
     * bytes a vector, and rank error comes only from quantization. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir)
+  /** Codebook literals: cb(m)(k) = seed k's m-th subvector (collected once
+    * at index build — the bounded-constant contract). */
+  private def pqCodebook(all: DataFrame): IndexedSeq[Column] = {
     val seeds = all.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("e")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     require(seeds.length == PqK, s"expected $PqK non-zero seed vectors")
-    // codebook(m)(k) = seed k's m-th subvector, embedded as a literal
-    val cb: IndexedSeq[Column] = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       typedlit(seeds.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub).toSeq))
     }
-    def sub(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
-    // per-subspace code: argmin_k ||x_sub - c_k||^2, ties to the lowest k,
-    // via one array_sort over (distance, k) structs
-    def code(m: Int): Column = {
-      val entries = (0 until PqK).map { k =>
-        val cw = element_at(cb(m), k + 1)
-        val d2 = aggregate(zip_with(sub(col("e"), m), cw, (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(d2.as("d"), lit(k).as("k"))
-      }
-      array_sort(array(entries: _*)).getItem(0).getField("k")
+  }
+
+  private def pqSubvec(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
+
+  /** Per-subspace code: argmin_k ||x_sub - c_k||^2, ties to the lowest k,
+    * via one array_sort over (distance, k) structs. */
+  private def pqCode(cb: IndexedSeq[Column], m: Int): Column = {
+    val entries = (0 until PqK).map { k =>
+      val cw = element_at(cb(m), k + 1)
+      val d2 = aggregate(zip_with(pqSubvec(col("e"), m), cw, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(k).as("k"))
     }
-    val index = all.select(
-      (col("vec_id") +: (0 until PqM).map(m => code(m).as(s"c$m"))): _*)
-    val probes = all.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    // ADC: fixed-order sum of per-subspace (raw query sub) . (codeword)
-    val score = (0 until PqM).map { m =>
-      dot(sub(col("qe"), m), element_at(cb(m), col(s"c$m") + 1))
+    array_sort(array(entries: _*)).getItem(0).getField("k")
+  }
+
+  /** ADC: fixed-order sum of per-subspace (raw query sub) . (codeword). */
+  private def pqAdcScore(cb: IndexedSeq[Column]): Column =
+    (0 until PqM).map { m =>
+      dot(pqSubvec(col("qe"), m), element_at(cb(m), col(s"c$m") + 1))
     }.reduce(_ + _)
+
+  /** Shared ADC rank/output tail for sim10/sim13. */
+  private def pqRank(pairs: DataFrame, cb: IndexedSeq[Column]): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    index.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", score)
+    pairs
+      .withColumn("score", pqAdcScore(cb))
       .withColumn("rank", asLong(row_number().over(w)))
       .filter(col("rank") <= IvfTopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("score"), 6).as("adc_score"))
       .orderBy("query_id", "rank")
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val cb = pqCodebook(all)
+    val index = all.select(
+      (col("vec_id") +: (0 until PqM).map(m => pqCode(cb, m).as(s"c$m"))): _*)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    pqRank(index.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id")), cb)
+  }
+
+  /** sim13: IVF-PQ — the production composite ANN index (FAISS's IVFPQ
+    * shape): sim11's multi-probe cell pruning picks WHICH inverted lists a
+    * probe scans, sim10's 4-byte PQ codes are WHAT those lists store, and
+    * scoring is the asymmetric ADC dot against the reconstructed
+    * codewords. The two compression/pruning axes compose: per probe the
+    * scan touches ~(NProbe+1)/|cells| of the corpus at 4 bytes a vector —
+    * at 100 TB that is the difference between an index that fits on the
+    * cluster and one that does not.
+    *
+    * SCALE SHAPE: the codebook is the bounded literal of sim10; the
+    * candidate join is the sim11 equi-join on cell id against the exploded
+    * (probe, cell) broadcast; nothing new shuffles. Rank error now comes
+    * from BOTH sources (pruned lists + quantized scores) — sim9 carries an
+    * `ivf_pq` arm so that trade is measured, not assumed. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val cb = pqCodebook(all)
+    val index = all.select(
+      (Seq(col("vec_id"), col("label")) ++
+        (0 until PqM).map(m => pqCode(cb, m).as(s"c$m"))): _*)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val pairs = index.join(
+      broadcast(probes.join(multiProbeCells(all), Seq("query_id"))),
+      col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
+    pqRank(pairs, cb)
   }
 
   private val NumCentroids = 8
@@ -590,7 +641,8 @@ object Similarity {
     "sim9_recall_at_k" -> recallAtK,
     "sim10_pq_topk" -> pqTopK,
     "sim11_ivf_multiprobe" -> ivfMultiProbeTopK,
-    "sim12_band_lsh" -> bandLshTopK)
+    "sim12_band_lsh" -> bandLshTopK,
+    "sim13_ivf_pq" -> ivfPqTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -687,6 +739,7 @@ object Similarity {
        |         FROM pqscores) WHERE rank <= $IvfTopK),
        |mp AS (SELECT query_id, neighbor_id AS vec_id FROM ($Sim11Oracle) mpx),
        |mb AS (SELECT query_id, neighbor_id AS vec_id FROM ($Sim12Oracle) mbx),
+       |cp AS (SELECT query_id, neighbor_id AS vec_id FROM ($Sim13Oracle) cpx),
        |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
        |${scored("ivf", "iv")}
        |UNION ALL
@@ -697,6 +750,8 @@ object Similarity {
        |${scored("ivf_multi", "mp")}
        |UNION ALL
        |${scored("lsh_bands", "mb")}
+       |UNION ALL
+       |${scored("ivf_pq", "cp")}
        |ORDER BY method, query_id""".stripMargin
   }
 
@@ -787,6 +842,72 @@ object Similarity {
        |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
        |           FROM pairs)
        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+
+  /** sim13 mirror: Sim11's exact-integer cell selection CTEs composed with
+    * PqOracle's codes/ADC-parts pattern, the parts join restricted to the
+    * probed cells; same fixed-order pivot and (score DESC, vec_id) rank. */
+  private lazy val Sim13Oracle: String =
+    s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |qz AS (SELECT vec_id, label,
+       |         list_transform(ae, x -> CAST(floor(x * 127.0
+       |           / list_max(list_transform(ae, y -> abs(y))) + 0.5) AS BIGINT)) AS q
+       |       FROM nz),
+       |cells AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+       |            CAST(count(*) AS BIGINT) AS cn
+       |          FROM (SELECT label, unnest(generate_series(1, len(q))) AS dim,
+       |                  unnest(q) AS qv FROM qz) t
+       |          GROUP BY label, dim),
+       |pdims AS (SELECT vec_id AS query_id, unnest(generate_series(1, len(q))) AS dim,
+       |            unnest(q) AS pqv
+       |          FROM qz WHERE vec_id < $ProbeCount),
+       |cscore AS (SELECT pdims.query_id, c.label,
+       |             CAST(sum((c.cn * pdims.pqv - c.s) * (c.cn * pdims.pqv - c.s)) AS BIGINT) AS score
+       |           FROM pdims JOIN cells c ON pdims.dim = c.dim
+       |           GROUP BY pdims.query_id, c.label),
+       |pcells AS (SELECT DISTINCT query_id, label FROM (
+       |             SELECT query_id, label FROM (
+       |               SELECT query_id, label,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                    ORDER BY score, label) AS rk
+       |               FROM cscore) WHERE rk <= $NProbe
+       |             UNION ALL
+       |             SELECT vec_id AS query_id, label FROM nz
+       |             WHERE vec_id < $ProbeCount) u),
+       |seeds AS (SELECT vec_id AS k, ae FROM nz WHERE vec_id < $PqK),
+       |dists AS (SELECT nz.vec_id, g.m, s.k,
+       |            list_sum(list_transform(generate_series(1, $PqSub),
+       |              i -> (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i])
+       |                 * (nz.ae[g.m * $PqSub + i] - s.ae[g.m * $PqSub + i]))) AS d2
+       |          FROM nz, generate_series(0, ${PqM - 1}) g(m), seeds s),
+       |codes AS (SELECT vec_id, m, k FROM (
+       |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                         ORDER BY d2, k) AS rk
+       |            FROM dists) WHERE rk = 1),
+       |p AS (SELECT vec_id AS query_id, ae AS qe FROM nz WHERE vec_id < $ProbeCount),
+       |parts AS (SELECT p.query_id, c.vec_id, c.m,
+       |            list_sum(list_transform(generate_series(1, $PqSub),
+       |              i -> p.qe[c.m * $PqSub + i] * s.ae[c.m * $PqSub + i])) AS pt
+       |          FROM codes c JOIN seeds s ON c.k = s.k
+       |               JOIN nz z ON z.vec_id = c.vec_id
+       |               JOIN pcells pc ON z.label = pc.label
+       |               JOIN p ON p.query_id = pc.query_id
+       |          WHERE c.vec_id <> p.query_id),
+       |scores AS (SELECT query_id, vec_id,
+       |             MAX(CASE WHEN m = 0 THEN pt END) + MAX(CASE WHEN m = 1 THEN pt END)
+       |           + MAX(CASE WHEN m = 2 THEN pt END) + MAX(CASE WHEN m = 3 THEN pt END) AS score
+       |           FROM parts GROUP BY query_id, vec_id),
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id, score,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY score DESC, vec_id) AS rank
+       |           FROM scores)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       round(score, 6) AS adc_score
        |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
 
   /** sim12 mirror: 18 banded plane literals, per-(vector, band) signatures
@@ -969,6 +1090,7 @@ object Similarity {
     "sim3_lsh_topk" -> Sim3Oracle,
     "sim11_ivf_multiprobe" -> Sim11Oracle,
     "sim12_band_lsh" -> Sim12Oracle,
+    "sim13_ivf_pq" -> Sim13Oracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,
     "sim5_int8_topk" ->

@@ -64,7 +64,19 @@ class ExtendedSpec extends SparkSpec {
     // conf surface also gets it FOR FREE on a plain shuffle join — the
     // 100 TB case, where the dimension side exceeds any broadcast
     // threshold (modeled here by disabling auto-broadcast) and the scan
-    // threshold is met (forced to 0 at test scale)
+    // threshold is met (forced to 0 at test scale).
+    //
+    // WHEN EACH APPLIES: the automatic injection fires only when the
+    // optimizer sees a selective filter on the build side of a shuffle
+    // equi-join AND its size heuristics line up (creation-side under
+    // bloomFilter.creationSideThreshold, application side over
+    // applicationSideScanSizeThreshold, no broadcast). The x26 manual form
+    // is for everything the heuristics cannot see: a key set produced by
+    // an aggregate or UDF (no selectivity estimate), a reused sketch
+    // across several queries, pruning through a non-join consumer, or a
+    // conf-locked cluster. Same mechanics either way — scalar-subquery
+    // sketch planted into the fact scan's filter — so the manual pattern
+    // is the documented escape hatch, not a different feature.
     val keep = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->

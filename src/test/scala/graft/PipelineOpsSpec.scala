@@ -134,6 +134,20 @@ class PipelineOpsSpec extends SparkSpec {
     } finally ranked.release()
   }
 
+  test("p9 epoch shuffle: deterministic per epoch, fresh permutation across epochs") {
+    import graft.operators.PipelineOps
+    val e7a = PipelineOps.epochShuffleAt(spark, sf, 7).collect().map(_.toSeq).toSeq
+    val e7b = PipelineOps.epochShuffleAt(spark, sf, 7).collect().map(_.toSeq).toSeq
+    assert(e7a == e7b, "same epoch must reproduce the identical manifest")
+    // bucket STRUCTURE is permutation-invariant (same sizes/ranges) but the
+    // membership digest and boundary docs must change with the epoch salt —
+    // that is what "reshuffle each epoch" means
+    val e8 = PipelineOps.epochShuffleAt(spark, sf, 8).collect().map(_.toSeq).toSeq
+    assert(e7a.map(r => (r(0), r(1), r(2), r(3))) == e8.map(r => (r(0), r(1), r(2), r(3))),
+      "bucket sizes and position ranges must not depend on the epoch")
+    assert(e7a != e8, "epoch 8 must yield a different permutation than epoch 7")
+  }
+
   test("dd10 cap bounds every source at the cap") {
     val res = operators.PipelineOps.queries("dd10_source_cap")(spark, sf).collect()
     assert(res.nonEmpty)

@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
   test("sim9 recall is an exact set intersection against brute force") { try {
     val rows = Similarity.recallAtK(spark, sf).collect()
     val methods = rows.map(_.getString(0)).toSet
-    assert(methods === Set("ivf", "lsh", "pq", "ivf_multi", "lsh_bands"))
+    assert(methods === Set("ivf", "lsh", "pq", "ivf_multi", "lsh_bands", "ivf_pq"))
     rows.foreach { r =>
       val (nEx, nHits, rec) = (r.getLong(2), r.getLong(3), r.getDouble(4))
       assert(nEx >= 1 && nHits >= 0 && nHits <= nEx)
@@ -112,6 +112,44 @@ class SimilaritySpec extends SparkSpec {
         s"sim12 pair ($q, $n) shares no band signature — not an LSH candidate")
     }
   } finally spark.catalog.clearCache() }
+
+  test("sim13 IVF-PQ neighbors come only from driver-recomputed probed cells") {
+    // replicate the exact-integer cell selection (int8 grid, BIGINT cell
+    // sums, n²-scaled distance, (score, label) tie-break, own-cell union)
+    // and assert every engine neighbor's label is a probed cell
+    val rows = Catalog.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+        r.getAs[Int]("label")))
+      .filter { case (_, v, _) => v.exists(_ != 0f) }
+    def grid(v: Array[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+    }
+    val labels = rows.map { case (id, _, l) => id -> l }.toMap
+    val cells = rows.groupBy(_._3).view.mapValues { members =>
+      val qs = members.map(m => grid(m._2))
+      (qs.length.toLong, Array.tabulate(64)(d => qs.map(_(d)).sum))
+    }.toMap
+    def probedCells(v: Array[Float], own: Int): Set[Int] = {
+      val pq = grid(v)
+      val scored = cells.toSeq.map { case (label, (cn, s)) =>
+        (label, (0 until 64).map(d => { val x = cn * pq(d) - s(d); x * x }).sum)
+      }
+      scored.sortBy { case (label, score) => (score, label) }
+        .take(graft.operators.Similarity.NProbe).map(_._1).toSet + own
+    }
+    val got = graft.operators.Similarity.ivfPqTopK(spark, sf).collect()
+    assert(got.nonEmpty)
+    val vecById = rows.map { case (id, v, _) => id -> v }.toMap
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val probed = probedCells(vecById(q), labels(q))
+      assert(probed.contains(labels(n)),
+        s"sim13 neighbor $n (cell ${labels(n)}) of probe $q outside probed cells $probed")
+      assert(probed.size <= graft.operators.Similarity.NProbe + 1)
+    }
+  }
 
   test("sim10 PQ codes and ADC ranking match a driver-side reimplementation") {
     val vecs = Catalog.table(spark, sf, "embeddings")
