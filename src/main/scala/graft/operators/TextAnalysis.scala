@@ -71,6 +71,46 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScores0(spark, dir).orderBy("doc_id")
 
+  private[graft] val TfidfTopK = 5
+
+  /** t11: per-document KEYWORDS by tf-idf — the relevance/routing statistic
+    * (retrieval scoring, near-duplicate triage, topic tagging) over the
+    * corpus vocabulary: each document's top-[[TfidfTopK]] terms by
+    * `tf x (N / df)`.
+    *
+    * The idf is LINEAR (unlogged), a deliberate determinism call: no `ln`
+    * appears anywhere in this engine because libm natural log is not
+    * correctly-rounded and the JVM and DuckDB can disagree in the last ulp
+    * — while `tf x N` is an exact integer below 2^53 and one IEEE division
+    * by `df` is correctly rounded, so the score is BIT-IDENTICAL across
+    * engines with no rounding step at all (the output carries the raw
+    * double). Linear idf is monotone in rarity, so the per-doc RANKING —
+    * the thing this operator exists for — matches the logged variant
+    * wherever df differs; ties break on the term text.
+    *
+    * SCALE SHAPE: tf is a two-stage aggregation keyed on (doc_id, term) —
+    * the t8 discipline, no corpus-sized distinct under a hot key; df
+    * partial-aggregates tf's output on term; N is one driver scalar (dd8
+    * control flow); the scoring join is vocab-keyed and the final rank a
+    * doc_id-PARTITIONED window (bounded per-group work). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).filter(size(col("_toks")) > 0)
+    val n = base.count()
+    val tf = base.select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(asLong(count(lit(1))).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(asLong(count(lit(1))).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score",
+        (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rank", asLong(row_number().over(w)))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** t9: quality DECILE binning — the curriculum/threshold-filtering step
     * (e.g. "train only on the top decile", "sample decile-weighted").
     * Bins follow ntile(10) over the total order (quality DESC, doc_id) —
@@ -306,6 +346,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_bigram_support" -> bigramSupport,
+    "t11_tfidf_keywords" -> tfidfKeywords,
     "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
@@ -396,6 +437,24 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_obs
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // t11: N computed over docs with tokens; score carried as the RAW
+    // double (exact integer numerator, one correctly-rounded division —
+    // no round() step to tie-break differently across engines)
+    "t11_tfidf_keywords" ->
+      s"""WITH d AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM d GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |       WHERE len($Toks) > 0),
+         |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |        CAST(tf.tf * (SELECT n FROM nn) AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+         |      FROM tf JOIN df ON tf.tok = df.tok),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, tok) AS rank
+         |      FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, score
+         |FROM r WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "t2_quality_score" -> QualityOracle,
     "t9_quality_deciles" ->
       s"""WITH base AS ($QualityOracle),

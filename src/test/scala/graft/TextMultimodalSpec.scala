@@ -111,6 +111,28 @@ class TextMultimodalSpec extends SparkSpec {
       s"countDistinct expansion reappeared in t8:\n$plan")
   }
 
+  test("t11 tf-idf keywords: exact score identity, contiguous ranks, rare-term order") {
+    val n = Text.withTokens(Catalog.table(spark, sf, "documents"))
+      .filter(size(col("_toks")) > 0).count()
+    val rows = TextAnalysis.tfidfKeywords(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val ranked = rs.sortBy(_.getLong(1))
+      // at most K rows, ranks 1..m contiguous
+      assert(ranked.length <= TextAnalysis.TfidfTopK)
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length).toSeq)
+      ranked.foreach { r =>
+        val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+        // the exact linear-idf identity: integer numerator, one division
+        assert(score == tf * n / df.toDouble, s"doc $doc term ${r.getString(2)}")
+        assert(df >= 1 && df <= n && tf >= 1)
+      }
+      // scores non-increasing down the ranks
+      val scores = ranked.map(_.getDouble(5)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+  }
+
   test("t10 attested-bigram counts satisfy the model-side identity") { try {
     val rows = TextAnalysis.bigramSupport(spark, sf).collect()
     assert(rows.nonEmpty)
