@@ -225,6 +225,45 @@ object Extended {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  private val PctAccuracy = 1000 // GK accuracy: rank error <= n/accuracy
+
+  /** x27: `approx_percentile` with an IN-ENGINE rank-error bound — x8's
+    * verification discipline applied to quantiles, the other aggregate
+    * whose exact form dies first at 100 TB (exact `percentile` sorts every
+    * group; the Greenwald-Khanna sketch is the streaming-mergeable scale
+    * path). The sketch value itself cannot hash-match a DuckDB oracle
+    * (summary implementations differ), so the verified output carries the
+    * exact median alongside `pct_ok`, asserting GK's DETERMINISTIC
+    * worst-case guarantee in-engine: the returned value's rank lies within
+    * ±n/[[PctAccuracy]] of the target. The rank test is tie-aware — heavy
+    * tie blocks (integer quantities) make `#{v <= approx}` overshoot any
+    * rank bound, so the check is the two-sided form
+    * `#{v < approx} <= (q+ε)n  AND  #{v >= approx-side} via #{v <= approx}
+    * >= (q-ε)n`, i.e. SOME rank inside the tie block satisfies the bound.
+    * Unlike x8's HLL (a one-sigma figure needing margin), GK's bound is
+    * hard — pct_ok = 1 is not a flaky gate at any SF. */
+  def approxPercentileBound(spark: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val base = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_quantity, 0.5, $PctAccuracy)").as("ap"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n"))
+    val eps = lit(1.0) / PctAccuracy
+    li.join(broadcast(base), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("median_qty")).as("median_qty"),
+        asLong(first(col("n"))).as("n_rows"),
+        sum(when(col("l_quantity") < col("ap"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("l_quantity") <= col("ap"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("l_returnflag"), col("median_qty"), col("n_rows"),
+        asLong(when(
+          col("n_lt").cast(DoubleType) <= (lit(0.5) + eps) * col("n_rows").cast(DoubleType)
+            && col("n_le").cast(DoubleType) >= (lit(0.5) - eps) * col("n_rows").cast(DoubleType),
+          1L).otherwise(0L)).as("pct_ok"))
+      .orderBy("l_returnflag")
+  }
+
   private val BloomPriceFloor = 450000.0
 
   /** x26: bloom-pruned semi join — the manual runtime-filter pattern.
@@ -279,7 +318,8 @@ object Extended {
     "x6_json_roundtrip" -> jsonRoundtrip,
     "x7_orc_roundtrip" -> orcRoundtrip,
     "x8_approx_distinct" -> approxDistinct,
-    "x9_second_max" -> secondMax)
+    "x9_second_max" -> secondMax,
+    "x27_approx_percentile" -> approxPercentileBound)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -313,6 +353,15 @@ object Extended {
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x27: exact columns hash-match; pct_ok = 1 asserts the GK sketch's
+    // hard rank bound held in-engine (the x8 pattern, minus the sigma
+    // margin — GK's guarantee is worst-case, not probabilistic)
+    "x27_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS pct_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // epoch_us(..) everywhere the engine compares times: Spark sees
     // µs-truncated timestamps (ns parquet → TimestampType), so the oracle
