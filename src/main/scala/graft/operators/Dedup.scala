@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Catalog
+import graft.Sql.asLong
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -454,7 +455,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private[graft] val DecontamMinShared = 5L
+
+  /** dd11: train/test DECONTAMINATION — the benchmark-leakage gate every
+    * LLM corpus build runs before training: a train-split document sharing
+    * ≥ [[DecontamMinShared]] distinct word 3-shingles with ANY test-split
+    * document is flagged (with its contamination ratio) for removal or
+    * audit. Splits are p2's salted-hash assignment REPRODUCED EXACTLY
+    * ([[PipelineOps.splitHash]] — decontamination against the wrong split
+    * boundary is worse than none), shingles are dd3's hashed 3-gram
+    * machinery (one md5 per shingle; strings never leave the map stage).
+    *
+    * SCALE SHAPE: the test side collapses to DISTINCT shingle hashes — in
+    * production the benchmark suite is tiny relative to the corpus, so
+    * that side is broadcastable and the probe is map-side; here it is a
+    * plain equi-join on the 8-byte hash that AQE can downgrade the same
+    * way. The build side is deduplicated, so a boilerplate shingle
+    * appearing in every train doc probes a unique key — skew on the probe
+    * side of a hash join costs nothing. Per-doc tallies then aggregate on
+    * doc_id with map-side partials. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val h = PipelineOps.splitHash("split")
+    val split = when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
+    val sh = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"), split.as("split"),
+        array_distinct(transform(Text.shingles3(col("_toks")),
+          s => Text.sharedHash(s))).as("shh"))
+    val exploded = sh.select(col("doc_id"), col("split"),
+      size(col("shh")).as("n_sh"), explode(col("shh")).as("g"))
+    val testSet = exploded.filter(col("split") === "test")
+      .select(col("g")).distinct()
+    exploded.filter(col("split") === "train")
+      .join(testSet, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(asLong(first(col("n_sh"))).as("n_shingles"),
+        asLong(count(lit(1))).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_decontaminate" -> decontaminate,
     "dd9_incremental_dedup" -> incrementalDedup,
     "p1_pipeline_manifest" -> pipelineManifest,
     "dd8_dedup_clusters" -> dedupClusters,
@@ -493,6 +538,28 @@ object Dedup {
        |   AND len(a.bg) * 5 >= len(b.bg) * 3 AND len(b.bg) * 5 >= len(a.bg) * 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dd11: p2's split expression verbatim, dd3's hashed 3-shingles,
+    // distinct-after-hash on both engines; the contamination ratio is the
+    // raw IEEE division of two BIGINTs (bit-identical, no rounding step)
+    "dd11_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks,
+         |             ${PipelineOps.sqlSplitHash("split")} AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+         |             ELSE 'test' END AS split,
+         |        list_distinct(list_transform(${Text.sqlShingles3("toks")},
+         |          x -> ${Text.sqlHash("x")})) AS shh
+         |      FROM d WHERE len(toks) >= 3),
+         |e AS (SELECT doc_id, split, len(shh) AS n_sh, unnest(shh) AS g FROM s),
+         |t AS (SELECT DISTINCT g FROM e WHERE split = 'test'),
+         |c AS (SELECT e.doc_id, CAST(min(e.n_sh) AS BIGINT) AS n_shingles,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM e JOIN t ON e.g = t.g WHERE e.split = 'train'
+         |      GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+         |FROM c WHERE n_shared >= $DecontamMinShared ORDER BY doc_id""".stripMargin,
     "dd5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),

@@ -67,11 +67,12 @@ private[graft] object CapTopK
 
 object PipelineOps {
 
-  /** Salted split hash in [0, 1000): md5-based, engine-portable. */
-  private def splitHash(salt: String): Column =
+  /** Salted split hash in [0, 1000): md5-based, engine-portable. Shared
+    * with dd11, which must reproduce p2's split assignment exactly. */
+  private[operators] def splitHash(salt: String): Column =
     Text.sharedHash(concat(lit(s"$salt:"), col("doc_id").cast(StringType))) % 1000
 
-  private def sqlSplitHash(salt: String): String =
+  private[operators] def sqlSplitHash(salt: String): String =
     s"${Text.sqlHash(s"concat('$salt:', CAST(doc_id AS VARCHAR))")} % 1000"
 
   /** p2: deterministic 80/10/10 train/val/test split of `documents`, with

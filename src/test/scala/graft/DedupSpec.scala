@@ -67,6 +67,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd11 flags exactly the train docs sharing >= threshold shingles with test") {
+    // independent driver-side recompute of the whole contamination tally
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    val sh = Text.withTokens(Catalog.table(spark, sf, "documents"))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(Text.shingles3(col("_toks")),
+          s => Text.sharedHash(s))).as("shh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def splitOf(id: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md5.map("%02x".format(_)).mkString.take(15), 16) % 1000
+      if (h < 800) "train" else if (h < 900) "val" else "test"
+    }
+    val testShingles = sh.collect { case (id, s) if splitOf(id) == "test" => s }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val expected = sh.collect { case (id, s) if splitOf(id) == "train" =>
+      id -> (s & testShingles).size
+    }.filter(_._2 >= Dedup.DecontamMinShared).toMap
+    val got = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong },
+      "engine contamination tally diverged from the driver recompute")
+    assert(got.nonEmpty, "fixture must actually contain contamination")
+  }
+
   test("dedup(dedup(x)) == dedup(x) on generated corpora (property)") {
     val gen = Gen.listOfN(30, Gen.oneOf("aa bb cc", "dd ee ff", "gg hh ii"))
     (1 to 5).foreach { seed =>
