@@ -59,4 +59,65 @@ class ExprPropertySpec extends SparkSpec {
     assert(out(0).isNullAt(0))
     assert(out(1).getDouble(0) == 11.0)
   }
+
+  test("RangeRank equals the window formulation on random frames (property)") {
+    // the two-pass distributed scan exists to REPLACE the unpartitioned
+    // window — on arbitrary data (duplicate sort keys, zero weights,
+    // skewed sizes) rank and exclusive prefix sum must match it exactly
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(200)
+      val rows = Seq.tabulate(n) { i =>
+        (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(5).toLong) // id, key (ties!), weight
+      }
+      val df = rows.toDF("id", "key", "w").repartition(7)
+      val ranked = operators.RangeRank.withGlobalRank(df, "r", col("key"), col("id"))
+      val ran = try ranked.df.select(col("id"), col("r")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally ranked.release()
+      val win = Window.orderBy(col("key"), col("id"))
+      val ref = df.withColumn("r", row_number().over(win) - 1)
+        .select(col("id"), col("r")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(ran == ref, s"trial $trial: rank diverged from window")
+
+      val summed = operators.RangeRank.withRunningTotal(df, "w", "cum",
+        col("key"), col("id"))
+      val got = try summed.df.select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally summed.release()
+      val refSum = df.withColumn("cum",
+          coalesce(sum(col("w")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refSum, s"trial $trial: prefix sum diverged from window")
+      assert(summed.total == rows.map(_._3).sum, s"trial $trial: grand total wrong")
+    }
+  }
+
+  test("WeightedKeyPartitioner holds the LPT bound on random weight histograms (property)") {
+    val rnd = new scala.util.Random(77L)
+    (0 until 20).foreach { trial =>
+      val bins = 2 + rnd.nextInt(15)
+      val keys = 1 + rnd.nextInt(60)
+      // heavy-tailed weights: exercise both the many-small and the
+      // single-dominant regimes
+      val ws: Seq[(Any, Long)] = (0 until keys).map { k =>
+        (k: Any) -> (1L + (if (rnd.nextInt(4) == 0) rnd.nextInt(10000) else rnd.nextInt(50)).toLong)
+      }
+      val p = new operators.WeightedKeyPartitioner(bins, ws)
+      val loads = ws.groupBy { case (k, _) => p.getPartition(k) }
+        .map { case (_, g) => g.map(_._2).sum }
+      val total = ws.map(_._2).sum
+      val bound = math.max(ws.map(_._2).max.toDouble,
+        total.toDouble / bins * (4.0 / 3.0))
+      assert(loads.max <= bound + 1,
+        s"trial $trial (bins=$bins keys=$keys): max ${loads.max} above $bound")
+      ws.foreach { case (k, _) =>
+        val b = p.getPartition(k)
+        assert(b >= 0 && b < bins)
+      }
+    }
+  }
 }
