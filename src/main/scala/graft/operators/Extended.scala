@@ -111,6 +111,37 @@ object Extended {
       .orderBy("l_orderkey")
   }
 
+  /** x28: batch SCHEMA EVOLUTION across parquet file generations — the
+    * data-lake reality at 100 TB: partitions are written over months by
+    * jobs whose output schema GROWS (a new enrichment column), and a scan
+    * must read old and new files together without rewriting history. Two
+    * generations are written here (even doc_ids with the original 3
+    * columns; odd doc_ids adding `source`), then read back in ONE scan
+    * under `mergeSchema=true`: the union schema resolves by NAME, the
+    * added column reads as NULL for pre-evolution files, and the
+    * aggregation proves exactly the new-generation rows carry it — the
+    * same nullable-extension contract the streaming state evolution spec
+    * proves for RocksDB state, here for the batch lake. (Per-file footer
+    * merging is a driver-side listing cost; production pins the evolved
+    * schema in a catalog and drops the per-query merge.) */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"$roundtripBase/evolve"
+    val docs = Catalog.table(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(sum(when(col("source").isNotNull, 1L).otherwise(0L))).as("n_with_source"))
+      .orderBy("lang")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -319,7 +350,8 @@ object Extended {
     "x7_orc_roundtrip" -> orcRoundtrip,
     "x8_approx_distinct" -> approxDistinct,
     "x9_second_max" -> secondMax,
-    "x27_approx_percentile" -> approxPercentileBound)
+    "x27_approx_percentile" -> approxPercentileBound,
+    "x28_schema_evolution" -> schemaEvolution)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -354,6 +386,13 @@ object Extended {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x28: the merged scan must reproduce the source table exactly, with
+    // the evolved column present precisely on new-generation (odd) rows
+    "x28_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // x27: exact columns hash-match; pct_ok = 1 asserts the GK sketch's
     // hard rank bound held in-engine (the x8 pattern, minus the sigma
     // margin — GK's guarantee is worst-case, not probabilistic)
