@@ -111,6 +111,84 @@ object Extended {
       .orderBy("l_orderkey")
   }
 
+  /** x29: AVRO container-file sink+source roundtrip WITHOUT the spark-avro
+    * DataSource module — the module is absent from this environment (see
+    * README's gap record), but Spark ships the core `avro` + `avro-mapred`
+    * jars, and the Hadoop-format bridge (`newAPIHadoopFile` /
+    * `saveAsNewAPIHadoopFile` with `AvroKeyInput/OutputFormat`) is the
+    * PRE-spark-avro production path for exactly this situation. The writer
+    * builds `GenericRecord`s inside the writing task (records never cross
+    * a shuffle — they are not Spark-serializable and must not need to be);
+    * the reader extracts primitive fields immediately in the scan-side map
+    * (Hadoop RecordReaders reuse key objects, so copying out fields before
+    * any buffering is REQUIRED, not a style choice). Same subset, same
+    * aggregate, same oracle as the x5/x6/x7 roundtrips — proving the avro
+    * container files carry the data losslessly.
+    *
+    * At 100 TB this is a real scan path: splittable container files, one
+    * task per block, schema embedded per file; only the convenience column
+    * mapping of spark-avro is missing, not the capability. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+
+    val tmp = s"$roundtripBase/avro/data"
+    val schemaJson =
+      """{"type":"record","name":"lineitem_slice","fields":[
+        |  {"name":"l_orderkey","type":"long"},
+        |  {"name":"l_linenumber","type":"int"},
+        |  {"name":"l_quantity","type":"double"},
+        |  {"name":"l_extendedprice","type":"double"}]}""".stripMargin
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+
+    val src = Catalog.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .filter(col("l_orderkey") % 10 === 0)
+    val writeJob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(writeJob, new Schema.Parser().parse(schemaJson))
+    src.rdd.mapPartitions { it =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      it.map { r =>
+        val rec = new GenericData.Record(sch)
+        rec.put("l_orderkey", r.getLong(0))
+        rec.put("l_linenumber", r.getInt(1))
+        rec.put("l_quantity", r.getDouble(2))
+        rec.put("l_extendedprice", r.getDouble(3))
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(tmp, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      writeJob.getConfiguration)
+
+    val readJob = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(readJob, new Schema.Parser().parse(schemaJson))
+    val rows = spark.sparkContext.newAPIHadoopFile(tmp,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        readJob.getConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        org.apache.spark.sql.Row(rec.get("l_orderkey").asInstanceOf[Long],
+          rec.get("l_linenumber").asInstanceOf[Int],
+          rec.get("l_quantity").asInstanceOf[Double],
+          rec.get("l_extendedprice").asInstanceOf[Double])
+      }
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val schema = StructType(cols.map(c => Catalog.lineitem(Catalog.lineitem.fieldIndex(c))))
+    spark.createDataFrame(rows, schema)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+  }
+
   /** x28: batch SCHEMA EVOLUTION across parquet file generations — the
     * data-lake reality at 100 TB: partitions are written over months by
     * jobs whose output schema GROWS (a new enrichment column), and a scan
@@ -351,7 +429,8 @@ object Extended {
     "x8_approx_distinct" -> approxDistinct,
     "x9_second_max" -> secondMax,
     "x27_approx_percentile" -> approxPercentileBound,
-    "x28_schema_evolution" -> schemaEvolution)
+    "x28_schema_evolution" -> schemaEvolution,
+    "x29_avro_roundtrip" -> avroRoundtrip)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -445,6 +524,7 @@ object Extended {
     "x5_csv_roundtrip" -> RoundtripSql,
     "x6_json_roundtrip" -> RoundtripSql,
     "x7_orc_roundtrip" -> RoundtripSql,
+    "x29_avro_roundtrip" -> RoundtripSql,
     // the exact columns hash-match; hll_ok = 1 asserts the sketch stayed
     // within 5% of exact (an in-engine bound, pinned by the oracle)
     "x8_approx_distinct" ->

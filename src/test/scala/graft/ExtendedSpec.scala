@@ -59,6 +59,35 @@ class ExtendedSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
   }
 
+  test("x29 writes genuine avro container files (magic bytes + embedded schema)") {
+    // the roundtrip oracle proves the DATA survives; this proves the files
+    // really are avro object-container format — readable by any avro tool
+    // — not some accidental serialization
+    val out = Extended.avroRoundtrip(spark, sf)
+    assert(out.collect().nonEmpty)
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft-roundtrip") && f.isDirectory)
+      .map(f => new java.io.File(f, "avro/data"))
+      .find(_.isDirectory)
+      .getOrElse(fail("avro output dir not found"))
+    val parts = dir.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(parts.nonEmpty, s"no .avro part files in $dir")
+    parts.foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        val head = new Array[Byte](512)
+        val n = in.read(head)
+        // avro object container magic: 'O' 'b' 'j' 0x01
+        assert(n > 4 && head(0) == 'O' && head(1) == 'b' && head(2) == 'j'
+          && head(3) == 1, s"${f.getName} lacks avro container magic")
+        // the writer schema is embedded in the file header metadata
+        assert(new String(head, "ISO-8859-1").contains("lineitem_slice"),
+          s"${f.getName} header missing embedded schema")
+      } finally in.close()
+    }
+  }
+
   test("Spark's own InjectRuntimeFilter plants the same bloom probe at scale") {
     // x26 writes the runtime filter explicitly; this proves the engine's
     // conf surface also gets it FOR FREE on a plain shuffle join — the
