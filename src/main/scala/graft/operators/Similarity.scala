@@ -176,10 +176,16 @@ object Similarity {
 
   def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
+    ivfMultiProbe(all, multiProbeCells(all))
+  }
+
+  /** sim11 body over precomputed pieces — sim9 shares one cell-selection
+    * job across its ivf_multi and ivf_pq arms instead of re-running it. */
+  private def ivfMultiProbe(all: DataFrame, cells: DataFrame): DataFrame = {
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.join(
-      broadcast(probes.join(multiProbeCells(all), Seq("query_id"))),
+      broadcast(probes.join(cells, Seq("query_id"))),
       col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
     topk(pairs, IvfTopK)
   }
@@ -353,16 +359,24 @@ object Similarity {
         .withColumn("recall",
           col("n_hits").cast(DoubleType) / col("n_exact").cast(DoubleType))
     }
+    // shared index-build work across arms: ONE cell-selection job (its
+    // ≤ (NProbe+1)·|probes| rows re-planted as a LocalRelation so two
+    // consumers don't re-run it) and ONE codebook seeds collect
+    val cells = {
+      val c = multiProbeCells(all)
+      spark.createDataFrame(java.util.Arrays.asList(c.collect(): _*), c.schema)
+    }
+    val cb = pqCodebook(all)
     score("ivf", ivf).unionAll(score("lsh", lsh))
-      .unionAll(score("pq", pqTopK(spark, dir)))
+      .unionAll(score("pq", pqScan(all, cb)))
       // the round-7 multi-probe arms: same probe budget and k, candidate
       // sets supersets of their single-probe parents — sim9 is the harness
       // that PROVES the remedy (SimilaritySpec asserts strict dominance)
-      .unionAll(score("ivf_multi", ivfMultiProbeTopK(spark, dir)))
+      .unionAll(score("ivf_multi", ivfMultiProbe(all, cells)))
       .unionAll(score("lsh_bands", bandLshTopK(spark, dir)))
       // the composite index: ivf_multi's candidates scored by sim10's ADC —
       // measures what the 4-byte compression costs ON TOP of the pruning
-      .unionAll(score("ivf_pq", ivfPqTopK(spark, dir)))
+      .unionAll(score("ivf_pq", ivfPq(all, cb, cells)))
       .orderBy("method", "query_id")
   }
 
@@ -436,7 +450,10 @@ object Similarity {
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val cb = pqCodebook(all)
+    pqScan(all, pqCodebook(all))
+  }
+
+  private def pqScan(all: DataFrame, cb: IndexedSeq[Column]): DataFrame = {
     val index = all.select(
       (col("vec_id") +: (0 until PqM).map(m => pqCode(cb, m).as(s"c$m"))): _*)
     val probes = all.filter(col("vec_id") < ProbeCount)
@@ -461,14 +478,17 @@ object Similarity {
     * `ivf_pq` arm so that trade is measured, not assumed. */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val cb = pqCodebook(all)
+    ivfPq(all, pqCodebook(all), multiProbeCells(all))
+  }
+
+  private def ivfPq(all: DataFrame, cb: IndexedSeq[Column], cells: DataFrame): DataFrame = {
     val index = all.select(
       (Seq(col("vec_id"), col("label")) ++
         (0 until PqM).map(m => pqCode(cb, m).as(s"c$m"))): _*)
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val pairs = index.join(
-      broadcast(probes.join(multiProbeCells(all), Seq("query_id"))),
+      broadcast(probes.join(cells, Seq("query_id"))),
       col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
     pqRank(pairs, cb)
   }
