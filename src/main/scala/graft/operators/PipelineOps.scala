@@ -354,6 +354,61 @@ object PipelineOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
+  private[graft] val BuildQualityFloor = 0.40
+
+  /** p10: the FULL corpus-build pipeline in one query — the round-7 ops
+    * composed the way a production training-data build actually runs them
+    * (p1 is the dedup-centric composition; this is the curation-centric
+    * one):
+    *
+    *   1. SPLIT: train docs only (p2's salted-hash boundary);
+    *   2. QUALITY GATE: t2 score ≥ [[BuildQualityFloor]] (the exact
+    *      comparison is engine-safe: both engines compute bit-identical
+    *      quality doubles);
+    *   3. DECONTAMINATE: anti-join against dd11's flagged manifest —
+    *      REUSING the registered query as a subplan, benchmark leakage
+    *      removed before training, not after;
+    *   4. EXACT DEDUP: keep the min doc_id per text digest (dd1's rule);
+    *   5. CURRICULUM PACK: p8's quality-descending token-budget shards
+    *      over the survivors, via the same [[RangeRank.withRunningTotal]].
+    *
+    * Output is the final shard manifest with per-shard quality envelope —
+    * the artifact a dataloader consumes. Every stage keeps its audited
+    * scale shape (hash splits map-side, dd11's broadcastable test side,
+    * digest groupBy on 16-byte keys, two-pass prefix scan); composing
+    * them adds joins on doc_id only. */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScores0(spark, dir)
+      .select(col("doc_id"), col("quality"),
+        col("n_tokens").cast(LongType).as("n_tok"))
+    val docs = Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), (splitHash("split") < 800).as("is_train"))
+    val gated = q.join(docs, Seq("doc_id"))
+      .filter(col("is_train") && col("quality") >= BuildQualityFloor)
+    val contaminated = Dedup.decontaminate(spark, dir).select(col("doc_id"))
+    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("quality"), col("n_tok"))
+    val keep = clean.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = clean.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("quality"), col("n_tok"))
+    val ranked = RangeRank.withRunningTotal(survivors, "n_tok", "prev_toks",
+      col("quality").desc, col("doc_id"))
+    val agg = ranked.df
+      .select(col("n_tok"), col("quality"),
+        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_tok"))).as("sum_tokens"),
+        round(max(col("quality")), 6).as("max_q"),
+        round(min(col("quality")), 6).as("min_q"))
+      .orderBy("shard_id")
+    val rows = agg.collect()
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -362,9 +417,13 @@ object PipelineOps {
     "p7_incremental_shards" -> tokenShardsIncremental,
     "p8_curriculum_shards" -> curriculumShards,
     "p9_epoch_shuffle" -> epochShuffle,
+    "p10_corpus_build" -> corpusBuild,
     "dd10_source_cap" -> sourceCap)
 
-  val oracles: Map[String, String] = Map(
+  // lazy: the p10 entry embeds Dedup's dd11 oracle while Dedup's own init
+  // calls back into this object's split helpers — a strict val here would
+  // deadlock the two objects' initializers into a null read
+  lazy val oracles: Map[String, String] = Map(
     "p2_hash_split" ->
       s"""WITH s AS (SELECT CASE WHEN ${sqlSplitHash("split")} < 800 THEN 'train'
          |                       WHEN ${sqlSplitHash("split")} < 900 THEN 'val'
@@ -428,6 +487,31 @@ object PipelineOps {
          |       CAST(min(doc_id) AS BIGINT) AS first_doc,
          |       CAST(max(doc_id) AS BIGINT) AS last_doc
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // p10: the same five stages as CTEs, each reusing its parent query's
+    // oracle formulation (quality base = t2's, contamination = dd11's
+    // full oracle as a subquery, digest rule = dd1's, pack = p8's window)
+    "p10_corpus_build" ->
+      s"""WITH base AS (SELECT * FROM (${TextAnalysis.QualityOracle}) qb),
+         |flt AS (SELECT b.doc_id, b.n_tokens, b.quality, d.text
+         |        FROM base b JOIN documents d USING (doc_id)
+         |        WHERE ${sqlSplitHash("split")} < 800
+         |          AND b.quality >= $BuildQualityFloor),
+         |cont AS (SELECT doc_id FROM (${Dedup.oracles("dd11_decontaminate")}) cc),
+         |clean AS (SELECT * FROM flt
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+         |surv AS (SELECT c.doc_id, c.n_tokens, c.quality
+         |         FROM clean c JOIN keep k USING (doc_id)),
+         |cum AS (SELECT doc_id, n_tokens, quality,
+         |          COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |        FROM surv)
+         |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       round(max(quality), 6) AS max_q,
+         |       round(min(quality), 6) AS min_q
+         |FROM cum GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "p9_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |             ${Text.sqlHash(s"concat('epoch$ShuffleEpoch:', CAST(doc_id AS VARCHAR))")} AS sk

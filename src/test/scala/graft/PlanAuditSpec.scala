@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
       // LocalRelation; the distributed sort shape is audited in
       // PipelineOpsSpec on the pinned sortedFrame
       n == "p5_token_shards" || n == "p7_incremental_shards" ||
-      n == "p8_curriculum_shards" || n == "p9_epoch_shuffle"
+      n == "p8_curriculum_shards" || n == "p9_epoch_shuffle" ||
+      n == "p10_corpus_build"
 
   test("no undeclared cartesian/nested-loop join in any registry plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
