@@ -58,6 +58,15 @@ object Text {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Distinct word 5-shingles (long spans, the decontamination length —
+    * see Dedup.decontaminate); empty array under 5 tokens. */
+  def shingles5(toks: Column): Column =
+    when(size(toks) >= 5,
+      array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** 60-bit deterministic hash of a string, identical in Spark and DuckDB:
     * first 15 hex chars of md5, parsed base-16. */
   def sharedHash(s: Column): Column =
@@ -97,6 +106,13 @@ object Text {
     s"""CASE WHEN len($toksExpr) >= 3
        | THEN list_distinct(list_transform(generate_series(1, len($toksExpr)-2),
        |   i -> concat_ws(' ', ($toksExpr)[i], ($toksExpr)[i+1], ($toksExpr)[i+2])))
+       | ELSE []::VARCHAR[] END""".stripMargin
+
+  def sqlShingles5(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) >= 5
+       | THEN list_distinct(list_transform(generate_series(1, len($toksExpr)-4),
+       |   i -> concat_ws(' ', ($toksExpr)[i], ($toksExpr)[i+1], ($toksExpr)[i+2],
+       |                  ($toksExpr)[i+3], ($toksExpr)[i+4])))
        | ELSE []::VARCHAR[] END""".stripMargin
 
   def sqlHash(sExpr: String): String =

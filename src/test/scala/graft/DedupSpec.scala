@@ -72,9 +72,9 @@ class DedupSpec extends SparkSpec {
     import graft.functions.Text
     import org.apache.spark.sql.functions._
     val sh = Text.withTokens(Catalog.table(spark, sf, "documents"))
-      .filter(size(col("_toks")) >= 3)
+      .filter(size(col("_toks")) >= 5)
       .select(col("doc_id"),
-        array_distinct(transform(Text.shingles3(col("_toks")),
+        array_distinct(transform(Text.shingles5(col("_toks")),
           s => Text.sharedHash(s))).as("shh"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
