@@ -487,25 +487,36 @@ object Dedup {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val h = PipelineOps.splitHash("split")
     val split = when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
+    // persisted: BOTH the test-set branch and the train branch read the
+    // shingled frame — without the pin the tokenize → 5-shingle → md5 map
+    // stage runs over the corpus twice (the dd3 reuse lesson). Released
+    // below after the small flagged manifest is collected (the sim8
+    // lifecycle), so p10's embedding of this query costs one LocalRelation,
+    // not a re-run.
     val sh = Text.withTokens(Catalog.table(spark, dir, "documents"))
       .filter(size(col("_toks")) >= 5)
       .select(col("doc_id"), split.as("split"),
         array_distinct(transform(Text.shingles5(col("_toks")),
           s => Text.sharedHash(s))).as("shh"))
-    val exploded = sh.select(col("doc_id"), col("split"),
-      size(col("shh")).as("n_sh"), explode(col("shh")).as("g"))
-    val testSet = exploded.filter(col("split") === "test")
-      .select(col("g")).distinct()
-    exploded.filter(col("split") === "train")
-      .join(testSet, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(asLong(first(col("n_sh"))).as("n_shingles"),
-        asLong(count(lit(1))).as("n_shared"))
-      .filter(col("n_shared") >= DecontamMinShared)
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-        (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
-          .as("contamination"))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exploded = sh.select(col("doc_id"), col("split"),
+        size(col("shh")).as("n_sh"), explode(col("shh")).as("g"))
+      val testSet = exploded.filter(col("split") === "test")
+        .select(col("g")).distinct()
+      val flagged = exploded.filter(col("split") === "train")
+        .join(testSet, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(asLong(first(col("n_sh"))).as("n_shingles"),
+          asLong(count(lit(1))).as("n_shared"))
+        .filter(col("n_shared") >= DecontamMinShared)
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+            .as("contamination"))
+        .orderBy("doc_id")
+      spark.createDataFrame(
+        java.util.Arrays.asList(flagged.collect(): _*), flagged.schema)
+    } finally { sh.unpersist(): Unit }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -128,6 +128,10 @@ object Extended {
     * At 100 TB this is a real scan path: splittable container files, one
     * task per block, schema embedded per file; only the convenience column
     * mapping of spark-avro is missing, not the capability. */
+  /** x29's actual output location — exposed so the container-format spec
+    * inspects THIS run's files, never a stale tmp dir from a crashed JVM. */
+  private[graft] def avroOutputDir: String = s"$roundtripBase/avro/data"
+
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericRecord}
@@ -136,7 +140,7 @@ object Extended {
     import org.apache.hadoop.io.NullWritable
     import org.apache.hadoop.mapreduce.Job
 
-    val tmp = s"$roundtripBase/avro/data"
+    val tmp = avroOutputDir
     val schemaJson =
       """{"type":"record","name":"lineitem_slice","fields":[
         |  {"name":"l_orderkey","type":"long"},
@@ -466,11 +470,14 @@ object Extended {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // x28: the merged scan must reproduce the source table exactly, with
-    // the evolved column present precisely on new-generation (odd) rows
+    // the evolved column present precisely on new-generation (odd) rows —
+    // AND non-null there (`source` is semantically nullable; a regenerated
+    // fixture with a NULL source must not fail the scan's semantics)
     "x28_schema_evolution" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // x27: exact columns hash-match; pct_ok = 1 asserts the GK sketch's
     // hard rank bound held in-engine (the x8 pattern, minus the sigma

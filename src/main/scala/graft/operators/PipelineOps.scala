@@ -4,6 +4,7 @@ import graft.Catalog
 import graft.Sql.asLong
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -283,12 +284,17 @@ object PipelineOps {
     * Quality doubles are rounded to 6 decimals only in the OUTPUT (the
     * sim-family rule); the sort key is the unrounded double, identically
     * computed in both engines (the t9 precedent). */
-  def curriculumShards(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = RangeRank.withRunningTotal(
+  def curriculumShards(spark: SparkSession, dir: String): DataFrame =
+    curriculumManifest(spark, RangeRank.withRunningTotal(
       TextAnalysis.qualityScores0(spark, dir)
         .select(col("doc_id"), col("quality"),
           col("n_tokens").cast(LongType).as("n_tok")),
-      "n_tok", "prev_toks", col("quality").desc, col("doc_id"))
+      "n_tok", "prev_toks", col("quality").desc, col("doc_id")))
+
+  /** Shard manifest with the per-shard quality envelope, materialized
+    * eagerly so the pinned pass-1 sort is released here — shared by p8 and
+    * p10 (one place to change the manifest shape, two oracles mirror it). */
+  private def curriculumManifest(spark: SparkSession, ranked: RangeRank.Ranked): DataFrame = {
     val agg = ranked.df
       .select(col("n_tok"), col("quality"),
         expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
@@ -388,25 +394,17 @@ object PipelineOps {
     val contaminated = Dedup.decontaminate(spark, dir).select(col("doc_id"))
     val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), col("quality"), col("n_tok"))
-    val keep = clean.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val survivors = clean.join(keep, Seq("doc_id"), "left_semi")
+    // dd1's keep-min-per-digest rule as a digest-PARTITIONED window (groups
+    // are tiny — copies of one text), NOT a groupBy + self-semi-join: the
+    // self-join form re-executes the whole unpersisted `clean` lineage
+    // (quality scores + contamination anti-join) a second time
+    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val survivors = clean
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
       .select(col("doc_id"), col("quality"), col("n_tok"))
-    val ranked = RangeRank.withRunningTotal(survivors, "n_tok", "prev_toks",
-      col("quality").desc, col("doc_id"))
-    val agg = ranked.df
-      .select(col("n_tok"), col("quality"),
-        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
-      .groupBy(col("shard_id"))
-      .agg(asLong(count(lit(1))).as("n_docs"),
-        asLong(sum(col("n_tok"))).as("sum_tokens"),
-        round(max(col("quality")), 6).as("max_q"),
-        round(min(col("quality")), 6).as("min_q"))
-      .orderBy("shard_id")
-    val rows = agg.collect()
-    ranked.release()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    curriculumManifest(spark, RangeRank.withRunningTotal(survivors,
+      "n_tok", "prev_toks", col("quality").desc, col("doc_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,8 +110,12 @@ class ExprPropertySpec extends SparkSpec {
       val loads = ws.groupBy { case (k, _) => p.getPartition(k) }
         .map { case (_, g) => g.map(_._2).sum }
       val total = ws.map(_._2).sum
-      val bound = math.max(ws.map(_._2).max.toDouble,
-        total.toDouble / bins * (4.0 / 3.0))
+      // Graham's list-scheduling bound — the COMPUTABLE valid bound:
+      // makespan <= total/m + (1 - 1/m)·heaviest. (4/3·max(heaviest,
+      // total/m) is NOT valid on arbitrary inputs: four equal weights into
+      // three bins has OPT = 2w but 4/3·max(w, 4w/3) = 16w/9 < 2w.)
+      val heaviest = ws.map(_._2).max.toDouble
+      val bound = total.toDouble / bins + (1.0 - 1.0 / bins) * heaviest
       assert(loads.max <= bound + 1,
         s"trial $trial (bins=$bins keys=$keys): max ${loads.max} above $bound")
       ws.foreach { case (k, _) =>

@@ -65,12 +65,10 @@ class ExtendedSpec extends SparkSpec {
     // — not some accidental serialization
     val out = Extended.avroRoundtrip(spark, sf)
     assert(out.collect().nonEmpty)
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir")).listFiles()
-      .filter(f => f.getName.startsWith("graft-roundtrip") && f.isDirectory)
-      .map(f => new java.io.File(f, "avro/data"))
-      .find(_.isDirectory)
-      .getOrElse(fail("avro output dir not found"))
+    // THIS run's output dir, not a tmpdir scan (a crashed prior JVM can
+    // leave a stale graft-roundtrip* tree that would be inspected instead)
+    val dir = new java.io.File(Extended.avroOutputDir)
+    assert(dir.isDirectory, s"avro output dir not found: $dir")
     val parts = dir.listFiles().filter(_.getName.endsWith(".avro"))
     assert(parts.nonEmpty, s"no .avro part files in $dir")
     parts.foreach { f =>

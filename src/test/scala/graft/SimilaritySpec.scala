@@ -48,7 +48,9 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sim9 recall is an exact set intersection against brute force") { try {
+  // recallAtK is self-cleaning since the round-7 refactor (collects and
+  // unpersists its exact set in a finally) — no clearCache finalizers here
+  test("sim9 recall is an exact set intersection against brute force") {
     val rows = Similarity.recallAtK(spark, sf).collect()
     val methods = rows.map(_.getString(0)).toSet
     assert(methods === Set("ivf", "lsh", "pq", "ivf_multi", "lsh_bands", "ivf_pq"))
@@ -69,9 +71,9 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_.getString(0) == "ivf").foreach { r =>
       assert(r.getLong(3) === expectedHits.getOrElse(r.getLong(1), 0L))
     }
-  } finally spark.catalog.clearCache() } // release sim9's pinned exact set
+  }
 
-  test("sim11/sim12 multi-probe arms strictly dominate their single-probe parents") { try {
+  test("sim11/sim12 multi-probe arms strictly dominate their single-probe parents") {
     val rows = Similarity.recallAtK(spark, sf).collect()
     def hits(m: String): Map[Long, Long] = rows.filter(_.getString(0) == m)
       .map(r => r.getLong(1) -> r.getLong(3)).toMap
@@ -111,7 +113,7 @@ class SimilaritySpec extends SparkSpec {
       assert(sigs(vecs(q)).zip(sigs(vecs(n))).exists { case (a, b) => a == b },
         s"sim12 pair ($q, $n) shares no band signature — not an LSH candidate")
     }
-  } finally spark.catalog.clearCache() }
+  }
 
   test("sim13 IVF-PQ neighbors come only from driver-recomputed probed cells") {
     // replicate the exact-integer cell selection (int8 grid, BIGINT cell
