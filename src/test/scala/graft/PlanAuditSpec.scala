@@ -57,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
       // and the arms' join shapes are audited via sim2/sim3/sim10/sim12's
       // still-lazy plans + SimilaritySpec's driver recomputes
       n == "sim9_recall_at_k" || n == "sim11_ivf_multiprobe" ||
-      n == "sim13_ivf_pq"
+      n == "sim13_ivf_pq" || n == "sim14_recall_bar"
 
   test("no undeclared cartesian/nested-loop join in any registry plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

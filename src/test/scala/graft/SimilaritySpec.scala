@@ -156,6 +156,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim14 clears the recall bar within its candidate-fraction bound") {
+    import graft.operators.Similarity.{BarNProbe, RecallBar}
+    val rows = Similarity.recallBar(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the BAR: aggregate recall over the probe set must clear RecallBar —
+    // the acceptance criterion the sim9 scaladoc promises a registered
+    // configuration for ("tuned until recall clears a bar")
+    val (hits, exact) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(1)).sum)
+    assert(hits.toDouble / exact >= RecallBar,
+      s"aggregate recall ${hits.toDouble / exact} below the $RecallBar bar")
+    // the BOUND: driver-recomputed probed cells (the sim13 spec's exact
+    // integer cell selection, at BarNProbe) must cover ≤ (BarNProbe+1)
+    // cells per probe and a bounded fraction of the corpus — the bar must
+    // not be cleared by brute force in disguise
+    val all = Catalog.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+        r.getAs[Int]("label")))
+      .filter { case (_, v, _) => v.exists(_ != 0f) }
+    def grid(v: Array[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+    }
+    val cellStats = all.groupBy(_._3).view.mapValues { members =>
+      val qs = members.map(m => grid(m._2))
+      (qs.length.toLong, Array.tabulate(64)(d => qs.map(_(d)).sum))
+    }.toMap
+    val cellSizes = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val n = all.length.toLong
+    all.filter(_._1 < 10).foreach { case (q, v, own) =>
+      val pq = grid(v)
+      val probed = cellStats.toSeq.map { case (label, (cn, s)) =>
+        (label, (0 until 64).map(d => { val x = cn * pq(d) - s(d); x * x }).sum)
+      }.sortBy { case (label, score) => (score, label) }
+        .take(BarNProbe).map(_._1).toSet + own
+      assert(probed.size <= BarNProbe + 1)
+      val frac = probed.toSeq.map(cellSizes).sum.toDouble / n
+      assert(frac <= 0.85,
+        s"probe $q candidate fraction $frac — the bar is being cleared by near-brute-force")
+    }
+  }
+
   test("sim10 PQ codes and ADC ranking match a driver-side reimplementation") {
     val vecs = Catalog.table(spark, sf, "embeddings")
       .collect().map(r => r.getAs[Long]("vec_id") ->
