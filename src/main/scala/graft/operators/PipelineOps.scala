@@ -383,7 +383,13 @@ object PipelineOps {
     * scale shape (hash splits map-side, dd11's broadcastable test side,
     * digest groupBy on 16-byte keys, two-pass prefix scan); composing
     * them adds joins on doc_id only. */
-  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame =
+    curriculumManifest(spark, buildRanked(spark, dir))
+
+  /** p10's survivors with their running token total — the frame p10
+    * aggregates into the manifest and p11 physically LANDS as
+    * shard-partitioned files. */
+  private def buildRanked(spark: SparkSession, dir: String): RangeRank.Ranked = {
     val q = TextAnalysis.qualityScores0(spark, dir)
       .select(col("doc_id"), col("quality"),
         col("n_tokens").cast(LongType).as("n_tok"))
@@ -403,8 +409,61 @@ object PipelineOps {
       .withColumn("_rn", row_number().over(dedupW))
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("quality"), col("n_tok"))
-    curriculumManifest(spark, RangeRank.withRunningTotal(survivors,
-      "n_tok", "prev_toks", col("quality").desc, col("doc_id")))
+    RangeRank.withRunningTotal(survivors,
+      "n_tok", "prev_toks", col("quality").desc, col("doc_id"))
+  }
+
+  // One unique shard-store base per JVM (the Extended.roundtripBase
+  // pattern: collision-free across processes, cleaned up on exit)
+  private lazy val shardStoreBase: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-shards")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
+  /** p11's landed layout — exposed so the spec reads THIS run's files. */
+  private[graft] def shardStoreDir: String = s"$shardStoreBase/corpus"
+
+  /** p11: LAND the packed corpus — the durable-write lifecycle step every
+    * packing query (p5-p10) stops short of, and the Spark-native analogue
+    * of the reference's put path (blocks durably landed for a later
+    * reader — `deploy/Daemon.scala:45-64` `putBlock` →
+    * `BlockManager.putBytes`). p10's per-doc sharded survivors are
+    * WRITTEN as `shard_id`-partitioned parquet (the x19 layout mechanics:
+    * one directory per shard, the layout a dataloader opens shard by
+    * shard), then the registered result is aggregated FROM THE READ-BACK
+    * of that layout — so the green oracle row (p10's own manifest oracle,
+    * shared) proves write → read → manifest round-trips losslessly, with
+    * the landed files as the query's actual input.
+    *
+    * SCALE SHAPE: the write is one distributed job (each task writes its
+    * rows into per-shard subdirectories — no driver funnel, no
+    * repartition beyond the pack's own range partitioning); the read-back
+    * is a partition-discovering scan whose `shard_id` comes from the
+    * directory tree, prunable per shard (spec asserts PartitionFilters).
+    * The read-side shard_id arrives as the partition-inferred INT and is
+    * cast back to BIGINT so the manifest schema matches p10's. */
+  def landShards(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = buildRanked(spark, dir)
+    val out = shardStoreDir
+    ranked.df
+      .select(col("doc_id"), col("quality"), col("n_tok"),
+        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    ranked.release()
+    spark.read.parquet(out)
+      .groupBy(col("shard_id"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_tok"))).as("sum_tokens"),
+        round(max(col("quality")), 6).as("max_q"),
+        round(min(col("quality")), 6).as("min_q"))
+      .select(asLong(col("shard_id")).as("shard_id"), col("n_docs"),
+        col("sum_tokens"), col("max_q"), col("min_q"))
+      .orderBy("shard_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,7 +475,34 @@ object PipelineOps {
     "p8_curriculum_shards" -> curriculumShards,
     "p9_epoch_shuffle" -> epochShuffle,
     "p10_corpus_build" -> corpusBuild,
+    "p11_landed_shards" -> landShards,
     "dd10_source_cap" -> sourceCap)
+
+  // lazy: embeds Dedup's dd11 oracle while Dedup's own init calls back
+  // into this object's split helpers — a strict val here would deadlock
+  // the two objects' initializers into a null read (the Sim11 lesson)
+  private lazy val P10Oracle: String =
+    s"""WITH base AS (SELECT * FROM (${TextAnalysis.QualityOracle}) qb),
+       |flt AS (SELECT b.doc_id, b.n_tokens, b.quality, d.text
+       |        FROM base b JOIN documents d USING (doc_id)
+       |        WHERE ${sqlSplitHash("split")} < 800
+       |          AND b.quality >= $BuildQualityFloor),
+       |cont AS (SELECT doc_id FROM (${Dedup.oracles("dd11_decontaminate")}) cc),
+       |clean AS (SELECT * FROM flt
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+       |surv AS (SELECT c.doc_id, c.n_tokens, c.quality
+       |         FROM clean c JOIN keep k USING (doc_id)),
+       |cum AS (SELECT doc_id, n_tokens, quality,
+       |          COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+       |        FROM surv)
+       |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       round(max(quality), 6) AS max_q,
+       |       round(min(quality), 6) AS min_q
+       |FROM cum GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   // lazy: the p10 entry embeds Dedup's dd11 oracle while Dedup's own init
   // calls back into this object's split helpers — a strict val here would
@@ -487,29 +573,12 @@ object PipelineOps {
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // p10: the same five stages as CTEs, each reusing its parent query's
     // oracle formulation (quality base = t2's, contamination = dd11's
-    // full oracle as a subquery, digest rule = dd1's, pack = p8's window)
-    "p10_corpus_build" ->
-      s"""WITH base AS (SELECT * FROM (${TextAnalysis.QualityOracle}) qb),
-         |flt AS (SELECT b.doc_id, b.n_tokens, b.quality, d.text
-         |        FROM base b JOIN documents d USING (doc_id)
-         |        WHERE ${sqlSplitHash("split")} < 800
-         |          AND b.quality >= $BuildQualityFloor),
-         |cont AS (SELECT doc_id FROM (${Dedup.oracles("dd11_decontaminate")}) cc),
-         |clean AS (SELECT * FROM flt
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
-         |surv AS (SELECT c.doc_id, c.n_tokens, c.quality
-         |         FROM clean c JOIN keep k USING (doc_id)),
-         |cum AS (SELECT doc_id, n_tokens, quality,
-         |          COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
-         |        FROM surv)
-         |SELECT CAST(prev_toks // $ShardTokenBudget AS BIGINT) AS shard_id,
-         |       CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-         |       round(max(quality), 6) AS max_q,
-         |       round(min(quality), 6) AS min_q
-         |FROM cum GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // full oracle as a subquery, digest rule = dd1's, pack = p8's window).
+    // p11 shares this oracle VERBATIM: its result is the same manifest
+    // aggregated from the landed shard files instead of the lineage, so
+    // "read-back == manifest" is exactly the oracle equality.
+    "p10_corpus_build" -> P10Oracle,
+    "p11_landed_shards" -> P10Oracle,
     "p9_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |             ${Text.sqlHash(s"concat('epoch$ShuffleEpoch:', CAST(doc_id AS VARCHAR))")} AS sk

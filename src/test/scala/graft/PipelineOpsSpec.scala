@@ -29,6 +29,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
 
+  test("p11 landed shards: read-back equals the p10 manifest and the layout prunes") {
+    // the landed artifact must round-trip: aggregating the WRITTEN files
+    // reproduces the lineage-computed manifest row for row
+    val landed = operators.PipelineOps.landShards(spark, sf).collect().map(_.toSeq)
+    val manifest = operators.PipelineOps.corpusBuild(spark, sf).collect().map(_.toSeq)
+    assert(landed.nonEmpty)
+    assert(landed.toSeq === manifest.toSeq)
+    // the layout is the real lever: a single-shard read must prune at the
+    // scan via PartitionFilters, not row-filter the whole corpus
+    val one = spark.read.parquet(operators.PipelineOps.shardStoreDir)
+      .filter(col("shard_id") === 0)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("shard_id"), s"expected shard pruning:\n$scan")
+  }
+
   test("sim6 assigns every non-zero vector to exactly one centroid") {
     val res = operators.Similarity.queries("sim6_kmeans_assign")(spark, sf)
       .collect()

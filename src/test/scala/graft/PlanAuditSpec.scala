@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
       n == "p5_token_shards" || n == "p7_incremental_shards" ||
       n == "p8_curriculum_shards" || n == "p9_epoch_shuffle" ||
       n == "p10_corpus_build" ||
+      // p11 writes the shard layout at build; the returned frame is the
+      // read-back scan+aggregate over the landed files (join-free), its
+      // pruning asserted in PipelineOpsSpec
+      n == "p11_landed_shards" ||
       // collect-and-release of the pinned shingle frame: the flagged
       // manifest returns as a LocalRelation; the join shape is audited by
       // the dd11 oracle + DedupSpec's driver recompute
