@@ -229,6 +229,72 @@ object Extended {
       .orderBy("lang")
   }
 
+  /** x30's corrupted JSON-lines location — exposed for the
+    * FAILFAST/DROPMALFORMED contrast spec (same sequential-harness
+    * assumption as [[avroOutputDir]]). */
+  private[graft] def corruptDir: String = s"$roundtripBase/corrupt"
+
+  /** x30: CORRUPT-RECORD ingestion — the first thing a real 100 TB ingest
+    * hits: some fraction of the feed is malformed, and the job must (a)
+    * not die, (b) keep every clean row losslessly, and (c) QUARANTINE the
+    * bad rows with enough structure to triage them. A deterministically
+    * corrupted JSON-lines variant of `documents` is generated in setup
+    * (every doc_id ≡ 3 (mod 7) gets an unparseable prefix), read back
+    * PERMISSIVE with `_corrupt_record`, and the output carries BOTH
+    * populations: per-lang counts + a text-hash digest over the parsed
+    * rows (proving clean rows survive bit-exactly), and a quarantine row
+    * whose digest is built from doc_ids regexp-extracted OUT OF the raw
+    * corrupt strings — the triage step, proving the quarantined rows are
+    * exactly the injected ones, not merely the right count. The oracle
+    * recomputes both sides from the parquet table by the injection rule.
+    *
+    * SCALE SHAPE: the parse, the corrupt-null filter and the regexp
+    * extraction are all scan-side map work; the aggregation is a
+    * low-cardinality (|langs|+1) two-stage hash agg. FAILFAST-vs-
+    * PERMISSIVE-vs-DROPMALFORMED is spec-contrasted on the same files. */
+  def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = corruptDir
+    val jsonLine = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+    Catalog.table(spark, dir, "documents")
+      .select(when(col("doc_id") % 7 === 3, concat(lit("{corrupt!"), jsonLine))
+        .otherwise(jsonLine).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val readSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    // persisted: (a) Spark disallows querying ONLY `_corrupt_record` off a
+    // raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the quarantine
+    // branch is exactly that shape, and the documented remedy is caching
+    // the parsed frame; (b) one parse pass feeds both populations. The
+    // (|langs|+1)-row result is collected and the cache released in the
+    // finally (the sim8 lifecycle).
+    val parsed = spark.read.schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .persist()
+    try {
+      val clean = parsed.filter(col("_corrupt_record").isNull)
+        .groupBy(col("lang").as("k"))
+        .agg(asLong(count(lit(1))).as("n_rows"),
+          asLong(sum(col("n_chars"))).as("sum_chars"),
+          asLong(sum(graft.functions.Text.sharedHash(col("text")) % 1000003L)).as("digest"))
+        .select(lit("clean").as("kind"), col("k"), col("n_rows"),
+          col("sum_chars"), col("digest"))
+      val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+        .select(regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+          .cast(LongType).as("bad_id"))
+        .agg(asLong(count(lit(1))).as("n_rows"),
+          asLong(sum(col("bad_id") % 1000003L)).as("digest"))
+        .select(lit("corrupt").as("kind"), lit("json").as("k"), col("n_rows"),
+          lit(0L).as("sum_chars"), col("digest"))
+      val out = clean.unionAll(corrupt).orderBy("kind", "k")
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { parsed.unpersist(): Unit }
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -447,7 +513,8 @@ object Extended {
     "x9_second_max" -> secondMax,
     "x27_approx_percentile" -> approxPercentileBound,
     "x28_schema_evolution" -> schemaEvolution,
-    "x29_avro_roundtrip" -> avroRoundtrip)
+    "x29_avro_roundtrip" -> avroRoundtrip,
+    "x30_corrupt_ingest" -> corruptIngest)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -557,5 +624,19 @@ object Extended {
         |SELECT m.l_returnflag, m.max_qty,
         |  (SELECT MAX(l_quantity) FROM lineitem li
         |   WHERE li.l_returnflag = m.l_returnflag AND li.l_quantity < m.max_qty) AS second_qty
-        |FROM m ORDER BY m.l_returnflag""".stripMargin)
+        |FROM m ORDER BY m.l_returnflag""".stripMargin,
+    // x30: both populations recomputed from the parquet table by the
+    // injection rule (doc_id ≡ 3 mod 7 is corrupted); the clean digest is
+    // the shared text hash, the quarantine digest the extracted doc_ids
+    "x30_corrupt_ingest" ->
+      s"""SELECT 'clean' AS kind, lang AS k, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(${graft.functions.Text.sqlHash("text")} % 1000003) AS BIGINT) AS digest
+         |FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+         |UNION ALL
+         |SELECT 'corrupt' AS kind, 'json' AS k, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS sum_chars,
+         |       CAST(sum(doc_id % 1000003) AS BIGINT) AS digest
+         |FROM documents WHERE doc_id % 7 = 3
+         |ORDER BY kind, k""".stripMargin)
 }

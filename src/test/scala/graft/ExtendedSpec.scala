@@ -59,6 +59,34 @@ class ExtendedSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
   }
 
+  test("x30 parse modes: FAILFAST dies, DROPMALFORMED keeps exactly the clean rows") {
+    // run the registered query first — it generates the corrupted files
+    val out = Extended.corruptIngest(spark, sf).collect()
+    val cleanRows = out.filter(_.getString(0) == "clean").map(_.getLong(2)).sum
+    val corruptRows = out.filter(_.getString(0) == "corrupt").map(_.getLong(2)).sum
+    assert(cleanRows > 0 && corruptRows > 0, "fixture must exercise both populations")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    // FAILFAST: the first malformed line aborts the read — the mode a
+    // pipeline uses when corrupt input must stop the job, not leak past it
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(Extended.corruptDir).collect()
+    }
+    // DROPMALFORMED: silently keeps exactly the clean population
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(Extended.corruptDir).count()
+    assert(dropped === cleanRows)
+    // PERMISSIVE without a corrupt column: malformed lines become all-null
+    // rows — total row count is preserved
+    val permissive = spark.read.schema(schema).option("mode", "PERMISSIVE")
+      .json(Extended.corruptDir).count()
+    assert(permissive === cleanRows + corruptRows)
+  }
+
   test("x29 writes genuine avro container files (magic bytes + embedded schema)") {
     // the roundtrip oracle proves the DATA survives; this proves the files
     // really are avro object-container format — readable by any avro tool
