@@ -145,12 +145,111 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- mm6: perceptual-hash near-dup -------------------------------------
+  /** dHash grid: a [[DHashW]]x[[DHashH]] nearest-neighbor downsample of the
+    * payload (the mm4 access pattern, 72 sample points), each of the 64
+    * bits comparing horizontally adjacent grid bytes — the standard
+    * difference-hash a real image pipeline computes over the decoded
+    * luminance grid (here over the opaque payload bytes, the mm2 stub
+    * discipline: swap the sampler for the decoder, everything downstream
+    * is unchanged). The signature is kept as FOUR 16-bit band values, b0-b3
+    * (never one 64-bit word: bit 63 would need `1 << 63`, which DuckDB
+    * rejects as BIGINT overflow — and the bands are what the bucketing
+    * needs anyway). */
+  val DHashW = 9
+  val DHashH = 8
+  val DHashPoints: Int = DHashW * DHashH // 72
+  val DHashBands = 4
+  /** Near-dup acceptance: ≤ [[HammingMax]] of 64 bits differ. */
+  val HammingMax = 6
+  /** Copies injected as the demonstration fixture get `doc_id + this`. */
+  val CopyIdOffset = 1000000L
+
+  /** mm6: PERCEPTUAL near-duplicate detection over binary payloads — the
+    * dedup x multimodal composition (dd1-dd11 are text-only; this is the
+    * member that catches a re-encoded/slightly-edited image). Pipeline is
+    * the dd3/dd4 LSH shape applied to the dHash signature:
+    *
+    *   1. FIXTURE: the corpus plus a deterministic near-dup copy of every
+    *      doc_id ≡ 7 (mod 11) (one byte perturbed, length preserved) — at
+    *      the test SFs the raw corpus has no near-dup pairs to find, so
+    *      the operator ships with its own controlled positives (the
+    *      x28/x30 setup discipline); production drops the union and runs
+    *      on the raw payload column.
+    *   2. SIGNATURE: 64-bit dHash as 4x16-bit bands, computed
+    *      partition-locally from the payload bytes (typed map — this IS
+    *      the opaque-binary decode tier).
+    *   3. BUCKET: the dd3 banding — a pair is a candidate iff SOME band
+    *      matches exactly (any ≤6-bit-distant pair must agree on ≥1 of 4
+    *      bands when ≤3 bands are touched; a uniform 6-bit spread can
+    *      touch all 4, so [[HammingMax]] pairs concentrated in ≤3 bands
+    *      are guaranteed, the standard banding recall trade), deduped on
+    *      (doc_a, doc_b) BEFORE rescoring (the sim12 discipline).
+    *   4. VERIFY: exact Hamming distance as the fixed-order sum of 4
+    *      per-band `bit_count(xor)` terms; keep pairs ≤ [[HammingMax]].
+    *
+    * SCALE SHAPE: signatures are 4 small longs per payload (the payload
+    * itself never shuffles); the candidate join is an equi-join on
+    * (band, bsig) — 2^16 buckets per band bound the collision rate; the
+    * verify join carries only (doc_id, 4 longs). Never all-pairs. */
+  def perceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val copies = base
+      .filter(col("doc_id") % 11 === 7 && length(col("text")) >= DHashPoints)
+      .select((col("doc_id") + CopyIdOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("~"),
+          substring(col("text"), 12, Int.MaxValue)).as("text"))
+    val sigs = base.unionAll(copies)
+      .filter(length(col("text")) >= DHashPoints)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val n = p.length
+        def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
+        val bands = new Array[Long](DHashBands)
+        var bit = 0
+        var r = 0
+        while (r < DHashH) {
+          var c = 0
+          while (c < DHashW - 1) {
+            val i = r * DHashW + c
+            if (pt(i) < pt(i + 1)) bands(bit / 16) |= 1L << (bit % 16)
+            bit += 1; c += 1
+          }
+          r += 1
+        }
+        (id, bands(0), bands(1), bands(2), bands(3))
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until DHashBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bsig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("b0").as("v0"),
+      col("b1").as("v1"), col("b2").as("v2"), col("b3").as("v3"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("hamming", asLong(
+        expr("bit_count(a0 ^ v0) + bit_count(a1 ^ v1) + bit_count(a2 ^ v2) + bit_count(a3 ^ v3)")))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm5_payload_chunks" -> payloadChunks,
     "mm1_media_meta" -> mediaMeta,
     "mm2_decode_features" -> decodeFeatures,
     "mm3_frame_sample" -> frameSample,
-    "mm4_resize_stub" -> resizeStub)
+    "mm4_resize_stub" -> resizeStub,
+    "mm6_perceptual_neardup" -> perceptualNearDup)
 
   val oracles: Map[String, String] = Map(
     "mm5_payload_chunks" ->
@@ -198,5 +297,49 @@ object Multimodal {
          |  substr(md5(text), 1, 8) AS sig8,
          |  concat('{"lang":"', lang, '","source":"', source, '"}') AS meta_json,
          |  ${Text.sqlHash("substr(text, 1, 16)")} % 256 AS header_code
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm6: same fixture union, the dHash bits as ascii(substr) comparisons
+    // over the ASCII corpus (1 byte/char — the mm3/mm4 precedent), bands
+    // summed from the per-bit shifts (all < 2^16, no 1<<63 overflow),
+    // banding join + fixed-order 4-term Hamming
+    "mm6_perceptual_neardup" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + $CopyIdOffset,
+         |                    substr(text, 1, 10) || '~' || substr(text, 12)
+         |             FROM documents
+         |             WHERE doc_id % 11 = 7 AND length(text) >= $DHashPoints),
+         |d AS (SELECT doc_id, text, length(text) AS n FROM aug
+         |      WHERE length(text) >= $DHashPoints),
+         |bits AS (SELECT doc_id, r * ${DHashW - 1} + c AS bit,
+         |           CASE WHEN ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1))
+         |                   < ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1))
+         |                THEN 1 ELSE 0 END AS v
+         |         FROM d, generate_series(0, ${DHashH - 1}) t1(r),
+         |                 generate_series(0, ${DHashW - 2}) t2(c)),
+         |sigs AS (SELECT doc_id,
+         |           CAST(sum(CASE WHEN bit // 16 = 0 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+         |           CAST(sum(CASE WHEN bit // 16 = 1 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+         |           CAST(sum(CASE WHEN bit // 16 = 2 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+         |           CAST(sum(CASE WHEN bit // 16 = 3 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+         |         FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band,
+         |            CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                      WHEN 2 THEN b2 ELSE b3 END AS bsig
+         |          FROM sigs, generate_series(0, ${DHashBands - 1}) g(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+         |     + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS BIGINT) AS hamming
+         |FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+         |            JOIN sigs sb ON c.doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+         |    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }

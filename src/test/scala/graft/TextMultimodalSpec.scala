@@ -57,6 +57,59 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f2.h0 == 0.25 && f2.h1 == 0.25 && f2.h2 == 0.25 && f2.h3 == 0.25)
   }
 
+  test("mm6 perceptual near-dup matches a driver recompute at the Hamming boundary") {
+    import graft.operators.Multimodal.{CopyIdOffset, DHashPoints, HammingMax}
+    // replicate fixture + dHash + banding + verify entirely driver-side
+    val docs = Catalog.table(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val aug = docs ++ docs.collect {
+      case (id, t) if id % 11 == 7 && t.length >= DHashPoints =>
+        (id + CopyIdOffset) -> (t.substring(0, 10) + "~" + t.substring(11))
+    }
+    def sig(t: String): Array[Long] = {
+      val p = t.getBytes("UTF-8"); val n = p.length
+      def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
+      val bands = new Array[Long](4)
+      var bit = 0
+      for (r <- 0 until 8; c <- 0 until 8) {
+        if (pt(r * 9 + c) < pt(r * 9 + c + 1)) bands(bit / 16) |= 1L << (bit % 16)
+        bit += 1
+      }
+      bands
+    }
+    val sigs = aug.filter(_._2.length >= DHashPoints)
+      .map { case (id, t) => id -> sig(t) }.toMap
+    val buckets = sigs.toSeq
+      .flatMap { case (id, bs) => bs.zipWithIndex.map { case (s, b) => (b, s) -> id } }
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val candidates = buckets.flatMap(ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length; if ids(i) != ids(j))
+        yield (ids(i), ids(j)))
+      .toSet
+      .map { p: (Long, Long) =>
+        val h = sigs(p._1).zip(sigs(p._2))
+          .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum.toLong
+        (p._1, p._2, h)
+      }
+    val expected = candidates.filter(_._3 <= HammingMax)
+    val got = operators.Multimodal.perceptualNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the boundary is exercised from both sides: every injected copy pair
+    // is found (perturbing one sampled byte flips ≤ 2 adjacent comparisons)
+    // and at least one candidate pair was REJECTED for exceeding the max
+    val injected = sigs.keys.filter(_ >= CopyIdOffset)
+      .map(c => (c - CopyIdOffset, c)).toSet
+    assert(injected.nonEmpty)
+    injected.foreach { case (a, b) =>
+      assert(got.exists(p => p._1 == a && p._2 == b),
+        s"injected near-dup pair ($a, $b) not detected")
+    }
+    assert(got.forall(_._3 <= HammingMax))
+    assert(candidates.exists(_._3 > HammingMax),
+      "fixture must include a bucketed candidate REJECTED by the verify step")
+  }
+
   test("typed media pipeline runs distributed and is deterministic") {
     val a = Multimodal.decodeFeatures(spark, sf).collect()
     val b = Multimodal.decodeFeatures(spark, sf).collect()
