@@ -92,6 +92,94 @@ object PipelineOps {
       .orderBy("split")
   }
 
+  /** Group-level split hash: p2's salted md5 per-mille hash keyed on the
+    * GROUP (source) instead of the document. */
+  private[operators] def groupSplitHash: Column =
+    Text.sharedHash(concat(lit("gsplit:"), col("source"))) % 1000
+
+  private[operators] def sqlGroupSplitHash: String =
+    s"${Text.sqlHash("concat('gsplit:', source)")} % 1000"
+
+  /** p12: GROUP-aware train/val/test split — the leakage-free variant of
+    * p2. Web-corpus near-duplicates concentrate WITHIN a source (mirrors,
+    * re-crawls, templated pages), so assigning documents independently
+    * (p2) puts a source's near-identical pages on both sides of the
+    * train/test boundary; p12 hashes the SOURCE, so a group lands in
+    * exactly one split by construction — the standard "split by domain"
+    * discipline for pretraining corpora (the reason GroupShuffleSplit
+    * exists). Output is the per-split manifest (groups, docs, chars) plus
+    * `n_moved`: how many docs p2's doc-level assignment would have placed
+    * in a DIFFERENT split than their group — the leakage surface this
+    * operator closes, quantified (~20% of every group at p2's 80/10/10
+    * rates, since doc- and group-hashes are independent).
+    *
+    * SCALE SHAPE: identical to p2 — the assignment is pure per-row
+    * compute inside the scan stage (no join against a group table: the
+    * group key is ON the row, so its hash is too), and the aggregation
+    * key has exactly 3 values. countDistinct(source) under it is the
+    * safe distinct shape (|sources| is catalog-sized, not corpus-sized —
+    * the t8 rule). */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val gh = groupSplitHash
+    val gsplit = when(gh < 800, "train").when(gh < 900, "val").otherwise(lit("test"))
+    val dh = splitHash("split")
+    val dsplit = when(dh < 800, "train").when(dh < 900, "val").otherwise(lit("test"))
+    Catalog.tableSpread(spark, dir, "documents")
+      .withColumn("split", gsplit)
+      .withColumn("doc_split", dsplit)
+      .groupBy(col("split"))
+      .agg(asLong(countDistinct(col("source"))).as("n_groups"),
+        asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(sum(when(col("doc_split") =!= col("split"), 1L).otherwise(0L)))
+          .as("n_moved"))
+      .orderBy("split")
+  }
+
+  /** p13 per-source token budget: small enough to CUT every source at the
+    * test SFs (~25 docs x ~55 tokens per source at sf0.01), so the
+    * boundary is exercised everywhere; production sets it per mixture
+    * row. */
+  private[graft] val SourceTokenBudget = 600L
+
+  /** p13: token-BUDGET mixture sampling — the complement of p3 (keep
+    * fraction) and dd10 (keep count): each source contributes documents,
+    * in salted-hash order, until its TOKEN budget is exhausted — how a
+    * production mixture spec is actually written ("50B tokens of web, 5B
+    * of code"). A document is kept iff its source-local exclusive prefix
+    * total is under budget (first doc always kept — a budget never
+    * silences a source; the last kept doc may overshoot, the p5 boundary
+    * convention). Hash order makes the kept set a deterministic UNIFORM
+    * sample of the source (no bias toward early-crawled doc_ids); the
+    * trade vs p5/p7's doc_id order is that a grown corpus can insert new
+    * candidates AHEAD of the boundary and rotate survivors out — budget
+    * sampling re-runs per mixture build, it is not incrementally
+    * maintained (use p7's append-stable packing when that is the need).
+    *
+    * SCALE SHAPE: tokenize is map-side; the running total is one window
+    * keyed on source (shuffle by source, sort by (hash, doc_id) within) —
+    * partition size is bounded by the largest SOURCE, not the corpus, and
+    * the window's frame is the running-sum special case (streaming, no
+    * buffering). A corpus dominated by ONE source would range-partition
+    * that source through [[RangeRank.withRunningTotal]] instead (the p5
+    * two-pass); the manifest is |sources| rows. */
+  def budgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val h = splitHash("budget")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Catalog.tableSpread(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), h.as("h"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("prev_toks", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("keep", col("prev_toks") < SourceTokenBudget)
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_total"),
+        asLong(sum(when(col("keep"), 1L).otherwise(0L))).as("n_kept"),
+        asLong(sum(when(col("keep"), col("n_tok")).otherwise(0L))).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   // p3 sampling rates per mille: downsample the dominant language hard,
   // mid-sample zh, keep the low-resource tail whole — the standard recipe
   // for rebalancing a web corpus before training
@@ -476,6 +564,8 @@ object PipelineOps {
     "p9_epoch_shuffle" -> epochShuffle,
     "p10_corpus_build" -> corpusBuild,
     "p11_landed_shards" -> landShards,
+    "p12_group_split" -> groupSplit,
+    "p13_budget_mix" -> budgetMix,
     "dd10_source_cap" -> sourceCap)
 
   // lazy: embeds Dedup's dd11 oracle while Dedup's own init calls back
@@ -508,6 +598,33 @@ object PipelineOps {
   // calls back into this object's split helpers — a strict val here would
   // deadlock the two objects' initializers into a null read
   lazy val oracles: Map[String, String] = Map(
+    "p12_group_split" ->
+      s"""WITH s AS (SELECT source, n_chars,
+         |             CASE WHEN $sqlGroupSplitHash < 800 THEN 'train'
+         |                  WHEN $sqlGroupSplitHash < 900 THEN 'val'
+         |                  ELSE 'test' END AS split,
+         |             CASE WHEN ${sqlSplitHash("split")} < 800 THEN 'train'
+         |                  WHEN ${sqlSplitHash("split")} < 900 THEN 'val'
+         |                  ELSE 'test' END AS doc_split
+         |           FROM documents)
+         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "p13_budget_mix" ->
+      s"""WITH d AS (SELECT source, doc_id, ${sqlSplitHash("budget")} AS h,
+         |             CAST(len(${Text.sqlTokens("text")}) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT source, n_tok,
+         |        COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |          ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |      FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN prev_toks < $SourceTokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN prev_toks < $SourceTokenBudget THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "p2_hash_split" ->
       s"""WITH s AS (SELECT CASE WHEN ${sqlSplitHash("split")} < 800 THEN 'train'
          |                       WHEN ${sqlSplitHash("split")} < 900 THEN 'val'

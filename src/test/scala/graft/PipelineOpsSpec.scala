@@ -29,6 +29,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
 
+  test("p12 group split: no source straddles a split; doc-level split would leak") {
+    import graft.functions.Text
+    // group integrity, checked on the ROW level (the registered query
+    // aggregates): every source's docs carry exactly one split value
+    val gh = Text.sharedHash(concat(lit("gsplit:"), col("source"))) % 1000
+    val gsplit = when(gh < 800, "train").when(gh < 900, "val").otherwise(lit("test"))
+    val perSource = Catalog.table(spark, sf, "documents")
+      .select(col("source"), gsplit.as("s"))
+      .groupBy("source").agg(countDistinct(col("s")).as("n"))
+      .collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) == 1L))
+    // and the operator's reason to exist: p2's doc-level assignment DOES
+    // scatter group members across splits (n_moved > 0 somewhere)
+    val out = operators.PipelineOps.queries("p12_group_split")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_moved")).sum > 0)
+    // conservation against p2: same corpus, same totals
+    val p2 = operators.PipelineOps.queries("p2_hash_split")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === p2.map(_.getAs[Long]("n_docs")).sum)
+  }
+
+  test("p13 budget mix: boundary semantics per source") {
+    import graft.functions.Text
+    val budget = operators.PipelineOps.SourceTokenBudget
+    val maxDocTok = Catalog.table(spark, sf, "documents")
+      .select(max(size(Text.tokens(col("text")))).cast("long")).collect()(0).getLong(0)
+    val rows = operators.PipelineOps.queries("p13_budget_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nTotal, nKept, kept) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // a budget never silences a source (first doc always kept)
+      assert(nKept >= 1, s"$src silenced")
+      // overshoot is bounded by ONE document (the p5 boundary convention)
+      assert(kept < budget + maxDocTok, s"$src overshot: $kept")
+      // the budget is exhausted unless the source ran out of docs first
+      assert(kept >= budget || nKept == nTotal,
+        s"$src stopped early: kept=$kept n_kept=$nKept n_total=$nTotal")
+    }
+    // the test corpus must actually exercise the CUT (not all-kept)
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("p11 landed shards: read-back equals the p10 manifest and the layout prunes") {
     // the landed artifact must round-trip: aggregating the WRITTEN files
     // reproduces the lineage-computed manifest row for row
