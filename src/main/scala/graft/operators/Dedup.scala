@@ -519,7 +519,66 @@ object Dedup {
     } finally { sh.unpersist(): Unit }
   }
 
+  /** dd13: BLOOM-PRUNED decontamination — dd11's exact semantics on the
+    * x26 scale path. dd11's probe side is every exploded train shingle:
+    * at 100 TB that is the dominant shuffle (shingles ≈ tokens, so the
+    * exchange carries roughly the tokenized corpus in 8-byte keys), and
+    * almost all of it misses — the benchmark suite's shingle vocabulary
+    * is tiny relative to the corpus. Here the distinct test-side hashes
+    * are first folded into a bloom sketch ([[graft.expr.BloomFunctions]],
+    * the x26 mechanics: scalar-subquery sketch planted as a literal into
+    * the probe-side filter), so non-colliding train shingles die INSIDE
+    * the scan/explode stage and the join exchange carries only probable
+    * hits. The sketch has no false negatives and the exact equi-join
+    * stays downstream, so the flagged manifest is bit-identical to
+    * dd11's — the oracle is dd11's oracle verbatim, and the spec asserts
+    * both the equivalence and that the probe sits below the join.
+    *
+    * The shingle hashes are ALREADY 64-bit ([[Text.sharedHash]] md5
+    * prefix), i.e. pre-hashed exactly as the bloom pair's contract
+    * requires — `g` feeds build and probe directly, no second xxhash64. */
+  private[graft] def decontaminateBloomPlan(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.expr.BloomFunctions.register(spark)
+    val h = PipelineOps.splitHash("split")
+    val split = when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
+    // persisted for the same reason as dd11: test-distinct, sketch build
+    // and train probe all read the shingled frame
+    val sh = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .filter(size(col("_toks")) >= 5)
+      .select(col("doc_id"), split.as("split"),
+        array_distinct(transform(Text.shingles5(col("_toks")),
+          s => Text.sharedHash(s))).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.select(col("doc_id"), col("split"), size(col("shh")).as("n_sh"),
+        explode(col("shh")).as("g"))
+      .createOrReplaceTempView("dd13_sh")
+    val flagged = spark.sql(
+      s"""WITH t AS (SELECT DISTINCT g FROM dd13_sh WHERE split = 'test'),
+         |c AS (SELECT e.doc_id,
+         |        CAST(min(e.n_sh) AS BIGINT) AS n_shingles,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM dd13_sh e JOIN t ON e.g = t.g
+         |      WHERE e.split = 'train'
+         |        AND graft_might_contain((SELECT graft_bloom_agg(g) FROM t),
+         |                                e.g)
+         |      GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+         |FROM c WHERE n_shared >= $DecontamMinShared
+         |ORDER BY doc_id""".stripMargin)
+    (flagged, sh)
+  }
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (flagged, sh) = decontaminateBloomPlan(spark, dir)
+    try spark.createDataFrame(
+      java.util.Arrays.asList(flagged.collect(): _*), flagged.schema)
+    finally { sh.unpersist(): Unit }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_decontaminate_bloom" -> decontaminateBloom,
     "dd11_decontaminate" -> decontaminate,
     "dd9_incremental_dedup" -> incrementalDedup,
     "p1_pipeline_manifest" -> pipelineManifest,
@@ -558,13 +617,13 @@ object Dedup {
        |   AND a.doc_id < b.doc_id
        |   AND len(a.bg) * 5 >= len(b.bg) * 3 AND len(b.bg) * 5 >= len(a.bg) * 3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // dd11: p2's split expression verbatim, hashed 5-shingles (see the
-    // span-length scaladoc), distinct-after-hash on both engines; the
-    // contamination ratio is the raw IEEE division of two BIGINTs
-    // (bit-identical, no rounding step)
-    "dd11_decontaminate" ->
-      s"""WITH d AS (SELECT doc_id, $Toks AS toks,
+  // dd11: p2's split expression verbatim, hashed 5-shingles (see the
+  // span-length scaladoc), distinct-after-hash on both engines; the
+  // contamination ratio is the raw IEEE division of two BIGINTs
+  // (bit-identical, no rounding step). Also dd13's oracle verbatim: the
+  // bloom prune is result-transparent (no false negatives + exact join).
+  private lazy val DecontamOracleSql =
+    s"""WITH d AS (SELECT doc_id, $Toks AS toks,
          |             ${PipelineOps.sqlSplitHash("split")} AS h
          |           FROM documents),
          |s AS (SELECT doc_id,
@@ -581,7 +640,11 @@ object Dedup {
          |      GROUP BY e.doc_id)
          |SELECT doc_id, n_shingles, n_shared,
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
-         |FROM c WHERE n_shared >= $DecontamMinShared ORDER BY doc_id""".stripMargin,
+         |FROM c WHERE n_shared >= $DecontamMinShared ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd11_decontaminate" -> DecontamOracleSql,
+    "dd13_decontaminate_bloom" -> DecontamOracleSql,
     "dd5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),

@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must actually contain contamination")
   }
 
+  test("dd13 bloom prune is result-transparent and probes below the join") {
+    val (flagged, sh) = Dedup.decontaminateBloomPlan(spark, sf)
+    try {
+      val optimized = flagged.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg"),
+        s"bloom sketch aggregate missing from the plan:\n$optimized")
+      // the probe must sit BELOW the join (prune before the exchange):
+      // the Join node appears above the Filter carrying might_contain
+      val joinIdx = optimized.indexOf("Join Inner")
+      val probeIdx = optimized.indexOf("might_contain")
+      assert(joinIdx >= 0 && probeIdx > joinIdx,
+        s"bloom probe is not below the join:\n$optimized")
+      // no false negatives + exact join downstream => identical manifest
+      val exact = Dedup.decontaminate(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val pruned = flagged.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(pruned == exact,
+        "bloom-pruned manifest diverged from dd11's exact manifest")
+      assert(pruned.nonEmpty, "fixture must actually contain contamination")
+    } finally { sh.unpersist(): Unit }
+  }
+
   test("dedup(dedup(x)) == dedup(x) on generated corpora (property)") {
     val gen = Gen.listOfN(30, Gen.oneOf("aa bb cc", "dd ee ff", "gg hh ii"))
     (1 to 5).foreach { seed =>
