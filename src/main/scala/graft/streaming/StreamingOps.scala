@@ -454,6 +454,62 @@ object StreamingOps {
     }
   }
 
+  /** s20: STREAMING corpus dedup bootstrapped from the landed digest
+    * index — dd9's incoming-vs-index classification moved onto the
+    * continuous-ingest path. The already-landed corpus (doc_id % 5 ≠ 0,
+    * dd9's split) is compacted in batch to one canonical min-id per
+    * bag-of-words fingerprint ([[graft.functions.Text.contentFingerprint]]
+    * — dd2's digest, which actually collides on this corpus where exact
+    * text does not) and handed to a `transformWithState` processor as
+    * initial state (the s19 migration shape); the incoming 20% then
+    * replays as a document stream and each arrival is classified against
+    * BOTH the index and the stream's own history:
+    * `new` (first holder of its fingerprint anywhere), `dup_index`
+    * (fingerprint already landed), `dup_stream` (first seen earlier in
+    * the stream) — the status is a pure function of the canonical id, so
+    * the state is ONE long per distinct fingerprint.
+    *
+    * At 100 TB this is the production ingest gate: the index bootstrap is
+    * a bounded batch agg over digests (16 bytes a row, never the text),
+    * the stream holds one ValueState per distinct fingerprint (bounded by
+    * corpus vocabulary, not stream length), and no timer/watermark is
+    * needed because classification is emit-on-arrival. Determinism: the
+    * per-key iterator is sorted by doc_id before assignment, and the
+    * bounded fixture replays in one AvailableNow batch, so the stream-side
+    * canonical is the min incoming doc_id — exactly the oracle's window
+    * min. */
+  def streamDedupBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Text
+    val isIncoming = col("doc_id") % 5 === 0
+    val dig = Text.withTokens(Catalog.table(spark, dir, "documents"))
+      .select(col("doc_id"), Text.contentFingerprint(col("_toks")).as("fp"))
+    val index = dig.filter(!isIncoming)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canon"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+    val incoming = Text.withTokens(
+        spark.readStream.schema(Catalog.documents)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+      .filter(isIncoming)
+      .select(Text.contentFingerprint(col("_toks")).as("fp"), col("doc_id"))
+      .as[(String, Long)]
+    val classified = incoming.groupByKey(_._1)
+      .transformWithState(new DigestDedupInitProcessor,
+        TimeMode.None(), OutputMode.Append(), index)
+      .toDF("doc_id", "canonical_id")
+    val out = classified.select(col("doc_id"), col("canonical_id"),
+      when(col("canonical_id") === col("doc_id"), lit("new"))
+        .when(col("canonical_id") % 5 =!= 0, lit("dup_index"))
+        .otherwise(lit("dup_stream")).as("status"))
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, out, OutputMode.Append()).orderBy("doc_id")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -743,6 +799,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
     "s18_type_tallies_tws" -> typeTalliesTws,
@@ -849,6 +906,28 @@ object StreamingOps {
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // s20: classification is a pure function of the canonical id =
+    // min(doc_id) holding the fingerprint across index ∪ stream history
+    // (the processor's sorted single-batch replay), so the oracle is the
+    // batch formulation: index canon via group-min, stream canon via a
+    // per-fingerprint window min over the incoming side
+    "s20_stream_dedup_bootstrap" -> {
+      val fp = graft.functions.Text.sqlContentFingerprint(
+        graft.functions.Text.sqlTokens("text"))
+      s"""WITH dig AS (SELECT doc_id, $fp AS fp FROM documents),
+         |idx AS (SELECT fp, min(doc_id) AS canon FROM dig
+         |        WHERE doc_id % 5 <> 0 GROUP BY fp),
+         |inc AS (SELECT d.doc_id, d.fp, i.canon AS idx_canon,
+         |          min(d.doc_id) OVER (PARTITION BY d.fp) AS stream_min
+         |        FROM dig d LEFT JOIN idx i USING (fp)
+         |        WHERE d.doc_id % 5 = 0)
+         |SELECT doc_id,
+         |  CAST(COALESCE(idx_canon, stream_min) AS BIGINT) AS canonical_id,
+         |  CASE WHEN COALESCE(idx_canon, stream_min) = doc_id THEN 'new'
+         |       WHEN idx_canon IS NOT NULL THEN 'dup_index'
+         |       ELSE 'dup_stream' END AS status
+         |FROM inc ORDER BY doc_id""".stripMargin
+    },
     // s19: snapshot+tail must equal the full-history run (latest-K is an
     // associative top-k), so the oracle is s17's, verbatim
     "s19_latest_k_bootstrap" ->
@@ -1161,6 +1240,36 @@ private class LatestKInitProcessor(k: Int)
         }
       } else Iterator.empty
     } else Iterator.empty
+}
+
+/** Per-fingerprint canonical-id assignment for
+  * [[StreamingOps.streamDedupBootstrap]] (s20). State is ONE long — the
+  * min doc_id ever seen holding this fingerprint (index snapshot or
+  * stream history). Rows are sorted by doc_id before assignment so the
+  * first incoming holder of an unindexed fingerprint is the smallest id
+  * in the batch — the deterministic canonical the oracle recomputes. */
+private class DigestDedupInitProcessor
+    extends StatefulProcessorWithInitialState[
+      String, (String, Long), (Long, Long), Long] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var canon: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    canon = getHandle.getValueState[Long]("canon", E.scalaLong, TTLConfig.NONE)
+
+  override def handleInitialState(fp: String, minId: Long,
+      tv: TimerValues): Unit =
+    canon.update(minId)
+
+  override def handleInputRows(fp: String, rows: Iterator[(String, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val ids = rows.map(_._2).toArray.sorted
+    ids.iterator.map { id =>
+      val c = if (canon.exists()) canon.get() else { canon.update(id); id }
+      (id, c)
+    }
+  }
 }
 
 /** Per-key event-type tally for [[StreamingOps.typeTalliesTws]] (s18).

@@ -96,6 +96,36 @@ class TransformWithStateSpec extends SparkSpec {
     assert(ev.filter(col("us") >= cut).count() > 0, "empty tail side")
   }
 
+  test("s20 streaming dedup matches a driver recompute and hits all three statuses") {
+    import graft.functions.Text
+    // independent driver-side recompute: fingerprint every doc, index
+    // canon = min landed id, stream canon = min incoming id
+    val dig = Text.withTokens(Catalog.table(spark, sf, "documents"))
+      .select(col("doc_id"), Text.contentFingerprint(col("_toks")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val idxCanon = dig.filter(_._1 % 5 != 0).groupBy(_._2)
+      .map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val streamMin = dig.filter(_._1 % 5 == 0).groupBy(_._2)
+      .map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val expected = dig.filter(_._1 % 5 == 0).map { case (id, fp) =>
+      val canon = idxCanon.getOrElse(fp, streamMin(fp))
+      val status =
+        if (canon == id) "new"
+        else if (canon % 5 != 0) "dup_index"
+        else "dup_stream"
+      (id, canon, status)
+    }.sortBy(_._1).toSeq
+    val got = streaming.StreamingOps.streamDedupBootstrap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected, "streaming classification diverged from recompute")
+    // the fixture must exercise every branch or the test proves nothing
+    // about one of them (dup_stream in particular needs an unindexed
+    // fingerprint shared by two incoming docs)
+    val statuses = got.map(_._3).toSet
+    assert(statuses == Set("new", "dup_index", "dup_stream"),
+      s"fixture covers only $statuses")
+  }
+
   test("state schema EVOLVES across a checkpoint restart (avro encoding)") {
     // operational completeness for the s16-s18 family: a deployed processor
     // gets a new feature → its state case class grows a field. Under the
