@@ -178,5 +178,8 @@ object VectorExpressions {
       binaryBuilder("sorted_intersect_count", SortedLongIntersectCount), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_candidates", binaryBuilder("lsh_candidates", LshCandidates), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_interleave",
+      binaryBuilder("zorder_interleave", ZOrderInterleave), "built-in")
   }
 }

@@ -295,6 +295,60 @@ object Extended {
     } finally { parsed.unpersist(): Unit }
   }
 
+  /** x31's z-ordered layout location — exposed for the data-skipping spec
+    * (same sequential-harness assumption as [[avroOutputDir]]). */
+  private[graft] def zorderDir: String = s"$roundtripBase/zorder"
+  private[graft] val ZOrderFiles = 16
+
+  /** x31: Z-ORDER clustered layout — MULTI-dimensional data skipping, the
+    * layout trick single-column sorting cannot give. `lineitem` is
+    * rewritten clustered by the Morton code of (l_orderkey, l_partkey)
+    * ([[graft.expr.ZOrderInterleave]]: both keys min-max scaled to 16 bits,
+    * bits interleaved, then `repartitionByRange` + `sortWithinPartitions`
+    * on the code — each output file covers a compact Z-region, i.e. a
+    * small min-max box in BOTH key dimensions at once). The registered
+    * result is a 2-D box aggregate computed FROM the landed layout; the
+    * oracle runs the same box over the original table — the layout is
+    * result-invisible, and the skipping claim itself is spec-asserted
+    * from per-file min/max stats against a plain orderkey-sorted layout
+    * (strictly fewer files overlap a partkey predicate; the sorted
+    * layout prunes NOTHING on its non-sort dimension).
+    *
+    * SCALE SHAPE: at 100 TB this is how a fact table serves range
+    * predicates on two independent keys without storing it twice — N
+    * files cluster into a ~√N × √N grid over the key plane, so EITHER
+    * single-key predicate touches ~√N files (vs N for the unsorted
+    * dimension of a linear sort) and a 2-D box touches its corner cells
+    * only. The write is one range-shuffle job (the Terasort shape, q19);
+    * parquet row-group pruning applies the same stats WITHIN files, so
+    * the mechanics compound at both granularities. The min-max bounds
+    * come from one tiny agg job; on an append pipeline they'd be
+    * maintained, not recomputed. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val li = Catalog.table(spark, dir, "lineitem")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (okLo, okHi) = (b.getLong(0), b.getLong(1))
+    val (pkLo, pkHi) = (b.getLong(2), b.getLong(3))
+    li.withColumn("_z", call_function("zorder_interleave",
+        expr(s"(l_orderkey - $okLo) * 65535 DIV ${math.max(okHi - okLo, 1L)}"),
+        expr(s"(l_partkey - $pkLo) * 65535 DIV ${math.max(pkHi - pkLo, 1L)}")))
+      .repartitionByRange(ZOrderFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(zorderDir)
+    // the bottom-left 10% x 10% box on both keys, read FROM the layout;
+    // bounds are data-derived so the predicate bites at every SF
+    spark.read.parquet(zorderDir)
+      .filter(col("l_orderkey") <= okLo + (okHi - okLo) / 10 &&
+        col("l_partkey") <= pkLo + (pkHi - pkLo) / 10)
+      .groupBy(col("l_returnflag"))
+      .agg(asLong(count(lit(1))).as("n_rows"),
+        Sql.dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -514,7 +568,8 @@ object Extended {
     "x27_approx_percentile" -> approxPercentileBound,
     "x28_schema_evolution" -> schemaEvolution,
     "x29_avro_roundtrip" -> avroRoundtrip,
-    "x30_corrupt_ingest" -> corruptIngest)
+    "x30_corrupt_ingest" -> corruptIngest,
+    "x31_zorder_layout" -> zorderLayout)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -638,5 +693,20 @@ object Extended {
          |       CAST(0 AS BIGINT) AS sum_chars,
          |       CAST(sum(doc_id % 1000003) AS BIGINT) AS digest
          |FROM documents WHERE doc_id % 7 = 3
-         |ORDER BY kind, k""".stripMargin)
+         |ORDER BY kind, k""".stripMargin,
+    // x31: the layout is result-invisible, so the oracle is the same 2-D
+    // box straight over the original table, bounds data-derived the same
+    // way (integer // matches Spark's long division on positive keys)
+    "x31_zorder_layout" ->
+      """WITH b AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+        |                  min(l_partkey) AS pklo, max(l_partkey) AS pkhi
+        |           FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem, b
+        |WHERE l_orderkey <= oklo + (okhi - oklo) // 10
+        |  AND l_partkey <= pklo + (pkhi - pklo) // 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

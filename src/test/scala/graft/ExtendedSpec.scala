@@ -150,6 +150,78 @@ class ExtendedSpec extends SparkSpec {
     } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("zorder_interleave matches a reference Morton code (codegen + interpreted)") {
+    graft.expr.VectorExpressions.register(spark)
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (65536L + 7L, 3L)) // out-of-range masks to low 16
+    val got = pts.toDF("x", "y")
+      .select(call_function("zorder_interleave", col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map { case (x, y) => ref(x & 0xFFFF, y & 0xFFFF) },
+      "codegen Morton diverged from the bit-loop reference")
+  }
+
+  test("x31 z-layout skips files on BOTH dimensions; linear only on its sort key") {
+    // land the z-ordered layout, then a linear (orderkey-sorted) layout of
+    // the same table into the same file count, and compare how many files'
+    // min/max boxes overlap each predicate. The per-file stats are computed
+    // by scan (input_file_name groupBy) — the same bounds parquet footers
+    // carry, without depending on footer-reader internals.
+    val zResult = Extended.zorderLayout(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val li = Catalog.table(spark, sf, "lineitem")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (okLo, okHi, pkLo, pkHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val okCut = okLo + (okHi - okLo) / 10
+    val pkCut = pkLo + (pkHi - pkLo) / 10
+    // result-transparency: same box straight over the table
+    val straight = li
+      .filter(col("l_orderkey") <= okCut && col("l_partkey") <= pkCut)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.Sql.asLong(count(lit(1))).as("n_rows"),
+        graft.Sql.dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(zResult == straight, "z-layout changed the query result")
+
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    li.repartitionByRange(Extended.ZOrderFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+    def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+          min(col("l_partkey")), max(col("l_partkey")))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val zBoxes = fileBoxes(Extended.zorderDir)
+    val linBoxes = fileBoxes(linDir)
+    assert(zBoxes.size == linBoxes.size, "layouts must have equal file counts")
+    // partkey-only predicate: the linear layout's non-sort dimension —
+    // every linear file spans ~the whole partkey range, z-files cluster it
+    val zPk = zBoxes.count(f => f._3 <= pkCut)
+    val linPk = linBoxes.count(f => f._3 <= pkCut)
+    assert(zPk < linPk,
+      s"z-layout must skip files on the non-sort dimension: z=$zPk lin=$linPk")
+    // 2-D box: z touches its corner cells, never more than linear
+    val zBox = zBoxes.count(f => f._1 <= okCut && f._3 <= pkCut)
+    val linBox = linBoxes.count(f => f._1 <= okCut && f._3 <= pkCut)
+    assert(zBox <= linBox && zBox < zBoxes.size,
+      s"2-D box should touch few z-files: z=$zBox lin=$linBox of ${zBoxes.size}")
+  }
+
   test("x26 plants a bloom probe on the fact scan and stays transparent") {
     val df = Extended.bloomPruneJoin(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString
