@@ -349,6 +349,28 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** x32: scan through the engine's DataSourceV2 BLOCK-STORE connector
+    * ([[graft.sources.BlockStoreSource]] — the reference's putBlock/getBlock
+    * lifecycle on Spark's public source API). Setup loads `documents` into
+    * the in-memory store executor-side (once per JVM+dir); the query then
+    * reads THROUGH the connector with a doc_id range predicate (pushed →
+    * block pruning on min/max stats) and a 3-column projection (pushed →
+    * only those fields are materialized), aggregating per-lang counts. The
+    * oracle is the same aggregate straight over the parquet table — the
+    * source must be a lossless, layout-invisible reader. Pruning itself is
+    * spec-asserted (BlockStoreSpec: reader-open counts + scan description). */
+  def blockStoreScan(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    val cut = graft.sources.BlockStore.maxDocId(store) / 2
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .filter(col("doc_id") <= cut)
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -569,7 +591,8 @@ object Extended {
     "x28_schema_evolution" -> schemaEvolution,
     "x29_avro_roundtrip" -> avroRoundtrip,
     "x30_corrupt_ingest" -> corruptIngest,
-    "x31_zorder_layout" -> zorderLayout)
+    "x31_zorder_layout" -> zorderLayout,
+    "x32_blockstore_scan" -> blockStoreScan)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -708,5 +731,14 @@ object Extended {
         |FROM lineitem, b
         |WHERE l_orderkey <= oklo + (okhi - oklo) // 10
         |  AND l_partkey <= pklo + (pkhi - pklo) // 10
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x32: the connector must be a lossless reader, so the oracle is the
+    // same aggregate straight over the parquet table (integer // matches
+    // the Spark side's long division on positive ids)
+    "x32_blockstore_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.BlockStore
+import org.apache.spark.sql.functions._
+
+/** The DSv2 connector's three contracts (x32): lossless read, block
+  * pruning from pushed bounds + min/max stats, and column pruning down to
+  * the materialized fields — each observed from the OUTSIDE (results,
+  * reader-open counts, scan description), not by trusting internals. */
+class BlockStoreSpec extends SparkSpec {
+
+  private def store: String = BlockStore.ensureLoaded(spark, sf)
+
+  private def viaConnector = spark.read
+    .format("graft.sources.BlockStoreSource").option("store", store).load()
+
+  test("connector read is lossless vs the parquet table") {
+    val viaParquet = Catalog.table(spark, sf, "documents")
+      .collect().map(_.toSeq.toVector).toSet
+    val got = viaConnector.collect().map(_.toSeq.toVector).toSet
+    assert(got == viaParquet, "block-store read diverged from parquet")
+  }
+
+  test("pushed doc_id bounds prune whole blocks (reader-open count)") {
+    val n = BlockStore.blockCount(store)
+    assert(n > 1, "fixture must span multiple blocks for pruning to show")
+    def opens(body: => Long): Long = {
+      val before = BlockStore.readersOpened.get()
+      body
+      BlockStore.readersOpened.get() - before
+    }
+    val full = opens(viaConnector.count())
+    assert(full == n, s"unfiltered scan should open every block ($full of $n)")
+    // bound inside the first block's range: only blocks whose min <= cut
+    // survive planInputPartitions
+    val cut = Catalog.table(spark, sf, "documents")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val pruned = opens {
+      viaConnector.filter(col("doc_id") <= cut).count()
+    }
+    assert(pruned < full,
+      s"bounded scan should skip blocks: opened $pruned of $full")
+    // and the residual discipline holds: the pruned scan still returns
+    // exactly the matching rows
+    val nRows = viaConnector.filter(col("doc_id") <= cut).count()
+    val expected = Catalog.table(spark, sf, "documents")
+      .filter(col("doc_id") <= cut).count()
+    assert(nRows == expected)
+  }
+
+  test("scan description shows pushed bounds and pruned columns (no text)") {
+    val df = viaConnector.filter(col("doc_id") <= 100L)
+      .select(col("lang"), col("n_chars"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=["), s"pushed bounds missing:\n$plan")
+    assert(plan.contains("bounds=[-9223372036854775808,100]"),
+      s"doc_id <= 100 should push hi=100:\n$plan")
+    val colsLine = plan.linesIterator.find(_.contains("cols=")).getOrElse("")
+    assert(!colsLine.contains("text"),
+      s"projection should prune text from the scan:\n$colsLine")
+    assert(colsLine.contains("lang") && colsLine.contains("n_chars"),
+      s"required columns missing from the scan:\n$colsLine")
+  }
+}
