@@ -371,6 +371,29 @@ object Extended {
       .orderBy("lang")
   }
 
+  /** x33: WRITE documents through the connector's V2 write path
+    * ([[graft.sources.BlockStoreSource]] — staged putBlock + atomic job
+    * commit; the sink itself demands doc_id range-clustering via
+    * `RequiresDistributionAndOrdering`, so the caller ships an
+    * unclustered frame and the landed blocks still carry disjoint
+    * min/max stats), then aggregate per-source stats from a read back
+    * THROUGH the connector. Overwrite mode exercises the truncate-promote
+    * protocol, making re-runs idempotent in one JVM. Oracle: the same
+    * aggregate straight over parquet — write → read must be lossless. */
+  def blockStoreWrite(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"written:$dir"
+    Catalog.table(spark, dir, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", store).mode("overwrite").save()
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(max(col("doc_id"))).as("max_id"))
+      .orderBy("source")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -592,7 +615,8 @@ object Extended {
     "x29_avro_roundtrip" -> avroRoundtrip,
     "x30_corrupt_ingest" -> corruptIngest,
     "x31_zorder_layout" -> zorderLayout,
-    "x32_blockstore_scan" -> blockStoreScan)
+    "x32_blockstore_scan" -> blockStoreScan,
+    "x33_blockstore_write" -> blockStoreWrite)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -740,5 +764,11 @@ object Extended {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // x33: write → read through the connector must be lossless
+    "x33_blockstore_write" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

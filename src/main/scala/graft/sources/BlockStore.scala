@@ -50,6 +50,48 @@ object BlockStore {
       if (v == null) Array(block) else v :+ block): Unit
   }
 
+  // ---- write-path staging (the putBlock → commit visibility protocol) ----
+  //
+  // A task's DataWriter stages its block here at TASK commit (the block
+  // lands on the "daemon" immediately, executor-side — the reference's
+  // putBlock); the block becomes VISIBLE to readers only when the driver's
+  // JOB commit promotes the staged set atomically. An aborted job leaves
+  // the visible store untouched and the staging area is discarded — the
+  // exactly-once story every V2 sink owes its readers.
+
+  private val staged =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Int, Block]]()
+
+  private[sources] def stage(name: String, partitionId: Int, b: Block): Unit = {
+    staged.computeIfAbsent(name, _ => new ConcurrentHashMap[Int, Block]())
+      .put(partitionId, b): Unit
+  }
+
+  /** Promote staged blocks (in partitionId order — deterministic store
+    * layout regardless of task finish order) and drop the staging area.
+    * `truncate` replaces the visible store (overwrite mode); otherwise
+    * the promoted blocks append. */
+  private[sources] def promote(name: String, partitionIds: Seq[Int],
+      truncate: Boolean): Unit = {
+    val s = staged.remove(name)
+    val blocks: Array[Block] =
+      if (s == null) Array.empty
+      else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
+    stores.compute(name, (_, v) =>
+      if (truncate || v == null) blocks else v ++ blocks): Unit
+  }
+
+  private[sources] def discardStaged(name: String): Unit = {
+    staged.remove(name): Unit
+  }
+
+  /** Staged (not yet visible) block count — the spec asserts this drains
+    * to zero after a successful commit. */
+  def stagedCount(name: String): Int = {
+    val s = staged.get(name)
+    if (s == null) 0 else s.size()
+  }
+
   private[sources] def get(name: String): Array[Block] = {
     val b = stores.get(name)
     if (b == null) Array.empty else b
@@ -60,6 +102,10 @@ object BlockStore {
   /** Max doc_id across the store's block stats (the metadata a reader
     * consults without touching any block payload). */
   def maxDocId(name: String): Long = get(name).map(_.maxId).max
+
+  /** Per-block (minId, maxId) stats — what `getShuffleStatus` exposes. */
+  def blockStats(name: String): Seq[(Long, Long)] =
+    get(name).map(b => (b.minId, b.maxId)).toSeq
 
   /** Load `documents` into the store once per (JVM, sf dir) and return the
     * store name. Rows are RANGE-partitioned on doc_id before the put so

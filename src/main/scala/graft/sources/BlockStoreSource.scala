@@ -5,9 +5,11 @@ import java.util
 import graft.Catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,13 +52,16 @@ class BlockStoreSource extends TableProvider {
 }
 
 private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-blocks:$store"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(store, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BlockWriteBuilder(store, info.schema())
 }
 
 private[sources] class BlockScanBuilder(store: String, full: StructType)
@@ -116,6 +121,96 @@ private[sources] class BlockScan(store: String, required: StructType,
 
 private[sources] case class BlockPartition(store: String, idx: Int)
   extends InputPartition
+
+/** x33: the WRITE half — the reference's `putBlock` lifecycle
+  * (`deploy/Daemon.scala:45-64`) on the V2 write API, with two properties
+  * the bespoke protocol never had:
+  *
+  *   - `RequiresDistributionAndOrdering`: the SINK declares it needs the
+  *     data range-clustered and sorted on doc_id, and SPARK plans the
+  *     shuffle — callers write unclustered frames and every landed block
+  *     still carries tight, disjoint min/max stats for the read side's
+  *     pruning (spec-asserted: block key ranges are pairwise disjoint
+  *     without any caller-side repartition);
+  *   - the two-phase commit: task writers stage blocks executor-side at
+  *     task commit (putBlock), the driver's job commit PROMOTES the
+  *     staged set atomically (truncate = overwrite semantics), an abort
+  *     leaves the visible store untouched — readers never observe a
+  *     half-written store.
+  */
+private[sources] class BlockWriteBuilder(store: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new BlockWrite(store, schema, doTruncate)
+}
+
+private[sources] class BlockWrite(store: String, schema: StructType,
+    doTruncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+
+  private def docIdAsc: SortOrder =
+    Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING)
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(docIdAsc))
+  override def requiredOrdering(): Array[SortOrder] = Array(docIdAsc)
+  // fixed block fan-out for a deterministic layout at harness scale; on a
+  // cluster this is a table property sized to blocks-per-node
+  override def requiredNumPartitions(): Int = 16
+
+  override def toBatch: BatchWrite = new BlockBatchWrite(store, schema, doTruncate)
+}
+
+private[sources] case class BlockWriteCommit(partitionId: Int, nRows: Int)
+  extends WriterCommitMessage
+
+private[sources] class BlockBatchWrite(store: String, schema: StructType,
+    doTruncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BlockWriterFactory(store,
+      Catalog.documents.fieldNames.map(schema.fieldIndex))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.promote(store,
+      messages.collect { case BlockWriteCommit(pid, _) => pid }.toSeq,
+      doTruncate)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.discardStaged(store)
+}
+
+private[sources] class BlockWriterFactory(store: String, srcIdx: Array[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BlockDataWriter(store, partitionId, srcIdx)
+}
+
+/** Buffers the task's rows and stages them as ONE block at task commit —
+  * nothing is visible until the job-level promote. `srcIdx` maps the
+  * incoming row layout to [[BlockStore.DocRow]] field order by name. */
+private[sources] class BlockDataWriter(store: String, partitionId: Int,
+    srcIdx: Array[Int]) extends DataWriter[InternalRow] {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[BlockStore.DocRow]
+
+  override def write(row: InternalRow): Unit = {
+    buf += ((row.getLong(srcIdx(0)), row.getUTF8String(srcIdx(1)).toString,
+      row.getUTF8String(srcIdx(2)).toString,
+      row.getUTF8String(srcIdx(3)).toString, row.getLong(srcIdx(4))))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (buf.nonEmpty)
+      BlockStore.stage(store, partitionId,
+        BlockStore.Block(buf.iterator.map(_._1).min,
+          buf.iterator.map(_._1).max, buf.toArray))
+    BlockWriteCommit(partitionId, buf.length)
+  }
+
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
 
 /** Materializes ONLY the requested field indices per row — the column
   * pruning payoff (strings become UTF8String lazily, per required field). */

@@ -48,6 +48,38 @@ class BlockStoreSpec extends SparkSpec {
     assert(nRows == expected)
   }
 
+  test("V2 write: sink-demanded clustering lands disjoint blocks; commit is atomic") {
+    val name = s"spec-write:$sf"
+    def writeOnce(): Unit = Catalog.table(spark, sf, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    writeOnce()
+    // nothing left half-visible: staging drained by the job commit
+    assert(BlockStore.stagedCount(name) == 0, "staging not drained")
+    // lossless write -> read roundtrip
+    val viaParquet = Catalog.table(spark, sf, "documents")
+      .collect().map(_.toSeq.toVector).toSet
+    val readBack = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+    assert(readBack.collect().map(_.toSeq.toVector).toSet == viaParquet,
+      "write -> read roundtrip lost rows")
+    // RequiresDistributionAndOrdering honored: the CALLER never
+    // repartitioned, yet the landed blocks carry tight pairwise-DISJOINT
+    // doc_id ranges — proof Spark planned the sink's range shuffle
+    val boxes = BlockStore.blockStats(name).sortBy(_._1)
+    assert(boxes.size > 1, "fixture must land multiple blocks")
+    boxes.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"block ranges overlap: $boxes")
+      case _ =>
+    }
+    // overwrite truncate-promote: a second write replaces, never appends
+    val n1 = BlockStore.blockCount(name)
+    writeOnce()
+    assert(BlockStore.blockCount(name) == n1,
+      "overwrite must replace the store, not append to it")
+  }
+
   test("scan description shows pushed bounds and pruned columns (no text)") {
     val df = viaConnector.filter(col("doc_id") <= 100L)
       .select(col("lang"), col("n_chars"))
