@@ -394,6 +394,21 @@ object Extended {
       .orderBy("source")
   }
 
+  /** x34: aggregates served from the connector's block STATS — COUNT /
+    * MIN(doc_id) / MAX(doc_id) completely pushed down
+    * (`SupportsPushDownAggregates`), answered by one metadata row with
+    * ZERO block readers opened (spec-diffed on the reader counter). The
+    * parquet analogue is footer-served aggregates; at 100 TB this is the
+    * difference between a catalog lookup and a full scan for the
+    * bookkeeping queries every pipeline runs constantly. */
+  def blockStoreAgg(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -616,7 +631,8 @@ object Extended {
     "x30_corrupt_ingest" -> corruptIngest,
     "x31_zorder_layout" -> zorderLayout,
     "x32_blockstore_scan" -> blockStoreScan,
-    "x33_blockstore_write" -> blockStoreWrite)
+    "x33_blockstore_write" -> blockStoreWrite,
+    "x34_blockstore_agg" -> blockStoreAgg)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -770,5 +786,10 @@ object Extended {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(max(doc_id) AS BIGINT) AS max_id
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // x34: stats-served aggregates must equal the table-scan truth
+    "x34_blockstore_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin)
 }

@@ -37,7 +37,13 @@ object BlockStore {
     * field order. */
   type DocRow = (Long, String, String, String, Long)
 
-  final case class Block(minId: Long, maxId: Long, rows: Array[DocRow])
+  final case class Block(minId: Long, maxId: Long, rows: Array[DocRow]) {
+    def numRows: Long = rows.length.toLong
+    /** Approximate in-memory payload size — computed once at put time (the
+      * daemon knows its block sizes without re-reading payloads). */
+    val bytes: Long =
+      rows.iterator.map(r => 24L + r._2.length + r._3.length + r._4.length).sum
+  }
 
   private val stores = new ConcurrentHashMap[String, Array[Block]]()
 

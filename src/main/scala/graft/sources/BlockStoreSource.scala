@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -66,12 +67,14 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
 
 private[sources] class BlockScanBuilder(store: String, full: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var aggSpec: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -95,13 +98,116 @@ private[sources] class BlockScanBuilder(store: String, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BlockScan(store, required, lo, hi)
+  // ---- x34: aggregates answered from block STATS, zero payload reads ----
+  //
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping and no pushed
+  // bounds are exactly the numbers the store's per-block metadata already
+  // carries (the getShuffleStatus surface) — so the scan COMPLETELY
+  // answers them with one metadata row and opens no block reader at all
+  // (spec-diffed on the reader counter). Anything else — grouping, other
+  // columns, a bounded scan whose blocks straddle the range — is refused
+  // and planned as a normal scan: block stats are exact only for the
+  // whole, unfiltered store.
+
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isDocId(m.column) => Some("min")
+      case m: Max if isDocId(m.column) => Some("max")
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  private def statsExact: Boolean = lo == Long.MinValue && hi == Long.MaxValue
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    statsExact && translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (statsExact) {
+      translate(agg) match {
+        case some @ Some(_) => aggSpec = some; true
+        case None => false
+      }
+    } else false
+
+  override def build(): Scan = aggSpec match {
+    case Some(specs) => new MetadataAggScan(store, specs)
+    case None        => new BlockScan(store, required, lo, hi)
+  }
 }
 
+/** Serves a completely-pushed aggregation from block metadata: one row,
+  * no [[BlockReaderFactory]], no payload access. */
+private[sources] class MetadataAggScan(store: String, specs: Seq[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (s, i) => org.apache.spark.sql.types.StructField(s"${s}_$i",
+      org.apache.spark.sql.types.LongType, nullable = false)
+  })
+
+  override def description(): String =
+    s"graft-blocks store=$store STATS-ONLY aggs=${specs.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // resolved on the DRIVER from stats; the single partition carries the
+    // final values, so the task ships literals and touches nothing
+    val blocks = BlockStore.get(store)
+    val values = specs.map {
+      case "count" => blocks.map(_.numRows).sum
+      case "min"   => blocks.map(_.minId).min
+      case "max"   => blocks.map(_.maxId).max
+    }.toArray
+    Array(MetadataAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val vals = p.asInstanceOf[MetadataAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(vals.map(v => v: Any))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] case class MetadataAggPartition(values: Array[Long])
+  extends InputPartition
+
 private[sources] class BlockScan(store: String, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch {
+    lo: Long, hi: Long) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Bounds-aware size/row estimates from block stats — what lets the
+    * optimizer broadcast a pruned block-store side the way file sources
+    * get sizing from footers. Surviving blocks only, so a selective
+    * pushed range shrinks the estimate before join planning. */
+  override def estimateStatistics(): Statistics = {
+    val survivors = BlockStore.get(store)
+      .filter(b => b.maxId >= lo && b.minId <= hi)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(math.max(1L, survivors.map(_.bytes).sum))
+      override def numRows(): util.OptionalLong =
+        util.OptionalLong.of(survivors.map(_.numRows).sum)
+    }
+  }
 
   override def description(): String =
     s"graft-blocks store=$store bounds=[$lo,$hi] " +

@@ -24,19 +24,21 @@ class BlockStoreSpec extends SparkSpec {
   test("pushed doc_id bounds prune whole blocks (reader-open count)") {
     val n = BlockStore.blockCount(store)
     assert(n > 1, "fixture must span multiple blocks for pruning to show")
-    def opens(body: => Long): Long = {
+    def opens(body: => Any): Long = {
       val before = BlockStore.readersOpened.get()
       body
       BlockStore.readersOpened.get() - before
     }
-    val full = opens(viaConnector.count())
+    // sum(n_chars) cannot be stats-served (x34 would answer a bare
+    // count() from metadata with zero readers), so it drives a REAL scan
+    val full = opens(viaConnector.agg(sum(col("n_chars"))).head())
     assert(full == n, s"unfiltered scan should open every block ($full of $n)")
     // bound inside the first block's range: only blocks whose min <= cut
     // survive planInputPartitions
     val cut = Catalog.table(spark, sf, "documents")
       .agg(min(col("doc_id"))).head().getLong(0)
     val pruned = opens {
-      viaConnector.filter(col("doc_id") <= cut).count()
+      viaConnector.filter(col("doc_id") <= cut).agg(sum(col("n_chars"))).head()
     }
     assert(pruned < full,
       s"bounded scan should skip blocks: opened $pruned of $full")
@@ -78,6 +80,47 @@ class BlockStoreSpec extends SparkSpec {
     writeOnce()
     assert(BlockStore.blockCount(name) == n1,
       "overwrite must replace the store, not append to it")
+  }
+
+  test("count/min/max are served from block stats with ZERO readers opened") {
+    store // ensure loaded before the counter snapshot
+    val before = BlockStore.readersOpened.get()
+    val row = viaConnector
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      .head()
+    val opened = BlockStore.readersOpened.get() - before
+    assert(opened == 0,
+      s"stats-served aggregation opened $opened block readers")
+    // and the metadata answers are the table-scan truth
+    val truth = Catalog.table(spark, sf, "documents")
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (truth.getLong(0), truth.getLong(1), truth.getLong(2)))
+    // a GROUPED aggregate is refused (stats can't answer it) and falls
+    // back to a real scan — correctness over cleverness
+    val before2 = BlockStore.readersOpened.get()
+    val grouped = viaConnector.groupBy(col("lang")).count().collect()
+    assert(BlockStore.readersOpened.get() - before2 > 0,
+      "grouped agg must fall back to scanning")
+    assert(grouped.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Catalog.table(spark, sf, "documents").groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("scan statistics are bounds-aware (pruned scan reports smaller size)") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanSize(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.head
+    val cut = Catalog.table(spark, sf, "documents")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val full = scanSize(viaConnector.select(col("doc_id"), col("text")))
+    val pruned = scanSize(viaConnector.filter(col("doc_id") <= cut)
+      .select(col("doc_id"), col("text")))
+    assert(pruned < full,
+      s"bounds-aware stats should shrink the estimate: $pruned vs $full")
   }
 
   test("scan description shows pushed bounds and pruned columns (no text)") {
