@@ -409,6 +409,32 @@ object Extended {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** x35: RUNTIME-filtered connector scan — dynamic partition pruning's
+    * contract (`SupportsRuntimeFiltering`) on the block store: the
+    * broadcast build side (a selective dimension filter NOT on doc_id)
+    * materializes first, Spark hands the actual join keys to the scan as
+    * `In(doc_id, …)`, and `planInputPartitions` drops every block whose
+    * min/max box contains none of them — blocks never read, before any
+    * row-level work. This is the x26 bloom-prune idea executed by the
+    * SOURCE at partition granularity, and the reference's
+    * "getShuffleStatus first, fetch only what you need" read discipline.
+    * The oracle is the equivalent predicate straight over parquet; the
+    * pruning is spec-asserted via the reader counter and the
+    * `dynamicpruningexpression` in the executed plan. */
+  def blockStoreRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    val dim = Catalog.table(spark, dir, "documents")
+      .filter(col("source") === "src3" && col("n_chars") % 10 === 3)
+      .select(col("doc_id"))
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .join(broadcast(dim), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -632,7 +658,8 @@ object Extended {
     "x31_zorder_layout" -> zorderLayout,
     "x32_blockstore_scan" -> blockStoreScan,
     "x33_blockstore_write" -> blockStoreWrite,
-    "x34_blockstore_agg" -> blockStoreAgg)
+    "x34_blockstore_agg" -> blockStoreAgg,
+    "x35_blockstore_runtime_prune" -> blockStoreRuntimePrune)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -791,5 +818,13 @@ object Extended {
     "x34_blockstore_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // x35: the runtime filter only skips non-matching BLOCKS; the rows
+    // surviving the join are exactly the dimension predicate's rows
+    "x35_blockstore_runtime_prune" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE source = 'src3' AND n_chars % 10 = 3
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

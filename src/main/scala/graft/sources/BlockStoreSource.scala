@@ -9,9 +9,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -190,9 +190,34 @@ private[sources] case class MetadataAggPartition(values: Array[Long])
   extends InputPartition
 
 private[sources] class BlockScan(store: String, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch with SupportsReportStatistics {
+    lo: Long, hi: Long) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  // ---- runtime filtering (x35): the DPP shape on block stats ----------
+  //
+  // When this table sits on the probe side of a join whose build side is
+  // small, Spark materializes the build side FIRST and calls
+  // `filter(In(doc_id, values))` with the actual join keys before
+  // `planInputPartitions` — so blocks containing none of the keys are
+  // never read at all. This is the reference's getShuffleStatus-then-
+  // fetch-only-what-you-need read discipline, and Spark's own dynamic
+  // partition pruning contract, landed on the store's min/max metadata.
+  // Conservative by construction: a key set only ever SHRINKS the block
+  // list, rows are still filtered exactly by the join above.
+
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("doc_id", values) =>
+        runtimeKeys = Some(values.collect { case v: Long => v })
+      case _ => // unrecognized runtime filter: keep every block (sound)
+    }
 
   /** Bounds-aware size/row estimates from block stats — what lets the
     * optimizer broadcast a pruned block-store side the way file sources
@@ -217,7 +242,8 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     BlockStore.get(store).zipWithIndex.collect {
-      case (b, i) if b.maxId >= lo && b.minId <= hi =>
+      case (b, i) if b.maxId >= lo && b.minId <= hi &&
+          runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId)) =>
         BlockPartition(store, i): InputPartition
     }
 

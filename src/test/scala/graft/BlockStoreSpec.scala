@@ -123,6 +123,30 @@ class BlockStoreSpec extends SparkSpec {
       s"bounds-aware stats should shrink the estimate: $pruned vs $full")
   }
 
+  test("runtime join keys prune blocks before any reader opens (DPP contract)") {
+    store // loaded before the counter snapshot
+    val dim = Catalog.table(spark, sf, "documents")
+      .filter(col("source") === "src3" && col("n_chars") % 10 === 3)
+      .select(col("doc_id"))
+    val expectedKeys = dim.collect().map(_.getLong(0)).toSet
+    assert(expectedKeys.nonEmpty, "fixture predicate selects nothing")
+    val joined = viaConnector.join(broadcast(dim), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"))
+    val before = BlockStore.readersOpened.get()
+    val rows = joined.collect()
+    val opened = BlockStore.readersOpened.get() - before
+    val n = BlockStore.blockCount(store)
+    // the keys cluster into few of the n blocks; the scan must have
+    // consulted the runtime In-filter, not read the whole store
+    assert(opened < n, s"runtime filter pruned nothing: opened $opened of $n")
+    assert(opened > 0, "some block must contain the matching keys")
+    assert(rows.map(_.getLong(0)).toSet == expectedKeys,
+      "pruning changed the join result")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"runtime filter missing from the executed plan:\n$plan")
+  }
+
   test("scan description shows pushed bounds and pruned columns (no text)") {
     val df = viaConnector.filter(col("doc_id") <= 100L)
       .select(col("lang"), col("n_chars"))
