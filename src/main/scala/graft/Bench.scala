@@ -105,8 +105,16 @@ object Bench {
     // relocate the artifact and leave round diffs comparing a stale file.
     // A BENCH_ONLY diagnostic run writes bench.only.json (unless an explicit
     // BENCH_OUT overrides) — a one-query isolation run must never clobber
-    // the full-round bench.json used for round-over-round diffing.
-    val defaultName = if (only.isDefined) "bench.only.json" else "bench.json"
+    // the full-round bench.json used for round-over-round diffing. Same
+    // guard for scale factor: the committed snapshot is the sf0.1 run the
+    // driver grades against, and a quick sf0.001/sf0.01 iteration pass has
+    // twice silently replaced it inside an unrelated `git add -A` commit —
+    // non-sf0.1 full runs land in bench.<sfname>.json instead.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val defaultName =
+      if (only.isDefined) "bench.only.json"
+      else if (sfName == "sf0.1") "bench.json"
+      else s"bench.$sfName.json"
     val benchPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         sys.props.getOrElse("user.dir", ".") + "/" + defaultName)).toAbsolutePath
