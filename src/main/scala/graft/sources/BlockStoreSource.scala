@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -58,14 +59,16 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockScanBuilder(store, tableSchema)
+    new BlockScanBuilder(store, tableSchema,
+      options.getInt("maxBlocksPerTrigger", Int.MaxValue))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BlockWriteBuilder(store, info.schema())
 }
 
-private[sources] class BlockScanBuilder(store: String, full: StructType)
+private[sources] class BlockScanBuilder(store: String, full: StructType,
+    maxBlocksPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -140,7 +143,7 @@ private[sources] class BlockScanBuilder(store: String, full: StructType)
 
   override def build(): Scan = aggSpec match {
     case Some(specs) => new MetadataAggScan(store, specs)
-    case None        => new BlockScan(store, required, lo, hi)
+    case None => new BlockScan(store, required, lo, hi, maxBlocksPerTrigger)
   }
 }
 
@@ -190,7 +193,8 @@ private[sources] case class MetadataAggPartition(values: Array[Long])
   extends InputPartition
 
 private[sources] class BlockScan(store: String, required: StructType,
-    lo: Long, hi: Long) extends Scan with Batch with SupportsReportStatistics
+    lo: Long, hi: Long, maxBlocksPerTrigger: Int = Int.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -249,6 +253,84 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockReaderFactory(required.fieldNames.map(Catalog.documents.fieldIndex))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BlockMicroBatchStream(store, required, lo, hi, maxBlocksPerTrigger)
+}
+
+/** s21: the STREAMING read path — the store as a continuously-tailed
+  * source, the reference daemon's real deployment shape (blocks arrive
+  * over time from running map tasks; readers consume what has landed,
+  * `deploy/Daemon.scala:45-82`). The offset is simply the count of
+  * VISIBLE blocks: block promotion is append-ordered and atomic
+  * ([[BlockStore.promote]]), so `[startIdx, endIdx)` names an immutable
+  * slice of the store — exactly the replayability contract a streaming
+  * offset owes the checkpoint (re-planning a committed batch returns the
+  * identical blocks; a concurrent append only ever grows the tail).
+  *
+  *   - `SupportsAdmissionControl`: `maxBlocksPerTrigger` caps each
+  *     micro-batch (the `maxFilesPerTrigger` discipline) — at production
+  *     ingest rates a restart after downtime must not plan the whole
+  *     backlog as one batch;
+  *   - `SupportsTriggerAvailableNow`: the target is pinned ONCE at query
+  *     start, so an `AvailableNow` run drains exactly the blocks present
+  *     at start (in bounded batches) and terminates even while writers
+  *     keep appending;
+  *   - pushed doc_id bounds still prune WITHIN each batch's index range
+  *     (offsets stay positional; the residual filter re-applies exactly).
+  */
+private[sources] class BlockMicroBatchStream(store: String,
+    required: StructType, lo: Long, hi: Long, maxPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def visibleNow: Int = BlockStore.blockCount(store)
+
+  // pinned by prepareForTriggerAvailableNow; -1 = live (unbounded) tailing
+  @volatile private var availableTarget: Int = -1
+  private def target: Int =
+    if (availableTarget >= 0) availableTarget else visibleNow
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = visibleNow
+
+  override def initialOffset(): Offset = BlockStreamOffset(0)
+
+  override def latestOffset(): Offset =
+    // the admission-control overload below is what the engine calls; this
+    // plain form answers the unthrottled tail for completeness
+    BlockStreamOffset(target)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BlockStreamOffset].n
+    BlockStreamOffset(math.min(target, math.min(s.toLong + maxPerTrigger,
+      Int.MaxValue.toLong).toInt))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BlockStreamOffset].n
+    val e = end.asInstanceOf[BlockStreamOffset].n
+    val blocks = BlockStore.get(store)
+    (s until math.min(e, blocks.length)).collect {
+      case i if blocks(i).maxId >= lo && blocks(i).minId <= hi =>
+        BlockPartition(store, i): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockReaderFactory(required.fieldNames.map(Catalog.documents.fieldIndex))
+
+  override def deserializeOffset(json: String): Offset =
+    BlockStreamOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class BlockStreamOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
 }
 
 private[sources] case class BlockPartition(store: String, idx: Int)

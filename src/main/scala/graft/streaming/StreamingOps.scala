@@ -510,6 +510,32 @@ object StreamingOps {
     }
   }
 
+  /** s21: STREAM the block store — the landed corpus consumed through the
+    * connector's MicroBatchStream path ([[graft.sources.BlockStoreSource]]):
+    * the x33 write path lands `documents` as 16 range-clustered blocks,
+    * then a streaming read drains them in bounded micro-batches
+    * (`maxBlocksPerTrigger=4` → 4 batches under `AvailableNow`) into a
+    * running per-lang aggregate. This is the reference daemon's actual
+    * life: map tasks `putBlock` over time, readers tail what has landed
+    * (`deploy/Daemon.scala:45-82`) — here with the offsets, admission
+    * control, and exactly-once batch replay Spark's streaming engine
+    * supplies for free. The COMPLETE-mode totals over the full drain equal
+    * the batch aggregate — the oracle. At production scale the same plan
+    * tails an unbounded store with checkpointed offsets; per-batch cost is
+    * bounded by the trigger cap, state by |langs|. */
+  def blockStoreStream(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"streamed:$dir"
+    Catalog.table(spark, dir, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", store).mode("overwrite").save()
+    val agg = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", store).option("maxBlocksPerTrigger", "4").load()
+      .groupBy(col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+    runToTable(spark, agg, OutputMode.Complete()).orderBy("lang")
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -799,6 +825,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_blockstore_stream" -> blockStoreStream,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -906,6 +933,13 @@ object StreamingOps {
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // s21: a COMPLETE-mode drain of the whole landed store equals the
+    // batch aggregate over the same table — the source contributes no
+    // semantics, only delivery (which the spec exercises batch-by-batch)
+    "s21_blockstore_stream" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // s20: classification is a pure function of the canonical id =
     // min(doc_id) holding the fingerprint across index ∪ stream history
     // (the processor's sorted single-batch replay), so the oracle is the

@@ -147,6 +147,86 @@ class BlockStoreSpec extends SparkSpec {
       s"runtime filter missing from the executed plan:\n$plan")
   }
 
+  test("streaming drain: admission control yields bounded multi-batch progress") {
+    val name = s"spec-stream:$sf"
+    Catalog.table(spark, sf, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val nBlocks = BlockStore.blockCount(name)
+    val cap = 4
+    assert(nBlocks > cap, s"fixture must exceed the trigger cap ($nBlocks)")
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("maxBlocksPerTrigger", cap.toString).load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("spec_bs_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      // ceil(nBlocks / cap) data batches, each within the admission cap
+      val data = q.recentProgress.filter(_.numInputRows > 0)
+      val expectBatches = (nBlocks + cap - 1) / cap
+      assert(data.length == expectBatches,
+        s"expected $expectBatches bounded batches, saw ${data.length}")
+      val totalRows = data.map(_.numInputRows).sum
+      val expectRows = Catalog.table(spark, sf, "documents").count()
+      assert(totalRows == expectRows,
+        s"drained $totalRows rows, table has $expectRows")
+      val sunk = spark.table("spec_bs_stream")
+        .agg(sum(col("n_docs"))).head().getLong(0)
+      assert(sunk == expectRows, "final totals diverge from the drain")
+    } finally {
+      try spark.catalog.dropTempView("spec_bs_stream")
+      catch { case _: Exception => }
+    }
+  }
+
+  test("streaming tail: blocks appended after start are picked up live") {
+    val name = s"spec-tail:$sf"
+    val docs = Catalog.table(spark, sf, "documents")
+    val (lo, hi) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val half = lo + (hi - lo) / 2
+    docs.filter(col("doc_id") <= half)
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val firstRows = docs.filter(col("doc_id") <= half).count()
+    val allRows = docs.count()
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_bs_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    def sunkCount: Long =
+      spark.table("spec_bs_tail").count()
+    def waitFor(target: Long): Unit = {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (sunkCount < target && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      waitFor(firstRows)
+      assert(sunkCount == firstRows,
+        s"initial drain: sunk $sunkCount of $firstRows")
+      // a SECOND writer appends while the stream is live (no truncate)
+      docs.filter(col("doc_id") > half)
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", name).mode("append").save()
+      waitFor(allRows)
+      assert(sunkCount == allRows,
+        s"live tail missed appended blocks: sunk $sunkCount of $allRows")
+    } finally {
+      try q.stop() catch { case _: Exception => }
+      try spark.catalog.dropTempView("spec_bs_tail")
+      catch { case _: Exception => }
+    }
+  }
+
   test("scan description shows pushed bounds and pruned columns (no text)") {
     val df = viaConnector.filter(col("doc_id") <= 100L)
       .select(col("lang"), col("n_chars"))
