@@ -435,6 +435,43 @@ object Extended {
       .orderBy("lang")
   }
 
+  /** x36: the connector as a CATALOG table — pure SQL DDL + DML end to
+    * end. `CREATE TABLE ... USING graft.sources.BlockStoreSource` registers
+    * the store in the session catalog (V2SessionCatalog resolves the
+    * provider class), `INSERT OVERWRITE` drives the x33 staged-commit
+    * write path from SQL, and the SELECT plans the same pruning-capable
+    * scan as the DataFrame API — no DataFrame code in the query path at
+    * all. This is the surface a SQL-only user (or a BI tool) actually
+    * touches; a connector that only works through `spark.read.format` is
+    * half a connector. Table dropped in finally: the session catalog is
+    * shared across the harness's sequential queries. */
+  def blockStoreSql(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"sql:$dir"
+    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x36_docs")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_block_table
+                 |USING graft.sources.BlockStoreSource
+                 |OPTIONS (store '$store')""".stripMargin)
+    try {
+      spark.sql("INSERT OVERWRITE graft_block_table SELECT * FROM x36_docs")
+      // materialize eagerly: the frame must survive the DROP TABLE below
+      val out = spark.sql(
+        """SELECT source, lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_block_table
+          |WHERE doc_id % 7 <> 0
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      try spark.sql("DROP TABLE IF EXISTS graft_block_table")
+      catch { case _: Exception => }
+      try spark.catalog.dropTempView("x36_docs")
+      catch { case _: Exception => }
+    }
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -659,7 +696,8 @@ object Extended {
     "x32_blockstore_scan" -> blockStoreScan,
     "x33_blockstore_write" -> blockStoreWrite,
     "x34_blockstore_agg" -> blockStoreAgg,
-    "x35_blockstore_runtime_prune" -> blockStoreRuntimePrune)
+    "x35_blockstore_runtime_prune" -> blockStoreRuntimePrune,
+    "x36_blockstore_sql" -> blockStoreSql)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -826,5 +864,14 @@ object Extended {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE source = 'src3' AND n_chars % 10 = 3
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // x36: SQL DDL/DML writes then reads the store losslessly, so the
+    // oracle is the same SELECT straight over the parquet table
+    "x36_blockstore_sql" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 0
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin)
 }

@@ -227,6 +227,39 @@ class BlockStoreSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL/DML: CREATE TABLE + INSERT OVERWRITE + SELECT, no DataFrame code") {
+    val name = s"spec-sql:$sf"
+    Catalog.table(spark, sf, "documents").createOrReplaceTempView("spec_docs")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS spec_block_table
+                 |USING graft.sources.BlockStoreSource
+                 |OPTIONS (store '$name')""".stripMargin)
+    try {
+      spark.sql("INSERT OVERWRITE spec_block_table SELECT * FROM spec_docs")
+      // the SQL write drove the staged-commit path and drained staging
+      assert(BlockStore.stagedCount(name) == 0, "staging not drained")
+      assert(BlockStore.blockCount(name) > 0, "no blocks landed")
+      val viaSql = spark.sql(
+        "SELECT count(*), sum(n_chars) FROM spec_block_table").head()
+      val direct = Catalog.table(spark, sf, "documents")
+        .agg(count(lit(1)), sum(col("n_chars"))).head()
+      assert(viaSql.getLong(0) == direct.getLong(0) &&
+        viaSql.getLong(1) == direct.getLong(1),
+        "SQL read diverged from the parquet table")
+      // the catalog table plans the same pruning-capable scan: a doc_id
+      // bound reaches the connector (visible in the scan description)
+      val plan = spark.sql(
+        "SELECT lang FROM spec_block_table WHERE doc_id <= 10")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft-blocks") && plan.contains("bounds="),
+        s"catalog scan lost the connector pushdown:\n$plan")
+    } finally {
+      try spark.sql("DROP TABLE IF EXISTS spec_block_table")
+      catch { case _: Exception => }
+      try spark.catalog.dropTempView("spec_docs")
+      catch { case _: Exception => }
+    }
+  }
+
   test("scan description shows pushed bounds and pruned columns (no text)") {
     val df = viaConnector.filter(col("doc_id") <= 100L)
       .select(col("lang"), col("n_chars"))
