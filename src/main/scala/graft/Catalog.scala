@@ -64,13 +64,13 @@ object Catalog {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // events.ts is nanosecond INT64 in the parquet; Spark reads it as a long
-  // (spark.sql.legacy.parquet.nanosAsLong, set in Engine) and
-  // [[normalizeEvents]] converts to a microsecond TimestampType with exact
-  // integer arithmetic (a double division would lose precision above 2^53).
+  // events.ts is parquet TIMESTAMP(MICROS) with isAdjustedToUTC=0 (NTZ
+  // semantics): read natively as TimestampType. Correct cross-engine values
+  // depend on the session timezone staying pinned to UTC (Engine) so the
+  // NTZ micros column matches DuckDB's naive-timestamp oracle bit-for-bit.
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -98,12 +98,11 @@ object Catalog {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
-  /** ns-long `ts` → microsecond TimestampType (integer div, no precision
-    * loss). Works on batch and streaming frames alike. */
-  def normalizeEvents(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `ts` arrives as native TimestampType since the TIMESTAMP(MICROS)
+    * testdata encoding — normalization is the identity. Kept as the single
+    * event-time choke point: every events consumer routes through here, so a
+    * future encoding change is again a one-line fix. */
+  def normalizeEvents(df: DataFrame): DataFrame = df
 
   /** events with a proper event-time column. */
   def eventsNorm(spark: SparkSession, dir: String): DataFrame =

@@ -81,10 +81,6 @@ object Engine {
     // sf0.1: 20s -> 2s with the rule excluded.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark cannot read
-    // as TimestampType; read it as a raw nanos long (Catalog.normalizeEvents
-    // converts to microsecond timestamps exactly).
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Read shuffle-partition override used by entry points. */
   def shufflePartitions(spark: SparkSession): Int =
