@@ -10,6 +10,9 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus),
       "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail loudly before timing anything if the testdata encoding has
+    // drifted from Catalog's declared physical contract (r9 lesson)
+    Catalog.assertDataContract(spark, sfDir)
     // untimed warmup: JVM/codegen/parquet-footer/AQE initialization otherwise
     // lands entirely on whichever query happens to run first
     try {

@@ -108,6 +108,47 @@ object Catalog {
   def eventsNorm(spark: SparkSession, dir: String): DataFrame =
     normalizeEvents(table(spark, dir, "events"))
 
+  /** Data-contract guard: diff every table's parquet FOOTER schema (inferred
+    * by Spark, no user schema applied) against the Catalog declaration and
+    * fail loudly listing every drifted table. Motivation: Spark silently
+    * reads a TIMESTAMP(MICROS) column through a LongType user schema and
+    * produces garbage with zero errors — at round 9 a driver-side re-encoding
+    * of events.ts did exactly that and turned 15 oracle rows red with no
+    * error message anywhere. This turns the same drift into one precise
+    * failure at startup. Footer reads are metadata-only (no row groups), so
+    * the guard costs one footer fetch per table at any corpus size.
+    *
+    * Normalization before comparing: nullability is ignored (inference always
+    * reports nullable; declarations don't care), and TimestampNTZType is
+    * folded into TimestampType — with the session timezone pinned to UTC
+    * (Engine) the two read bit-identically from TIMESTAMP(MICROS) NTZ files.
+    */
+  def assertDataContract(spark: SparkSession, dir: String): Unit = {
+    def norm(dt: DataType): DataType = dt match {
+      case TimestampNTZType    => TimestampType
+      case ArrayType(e, _)     => ArrayType(norm(e), containsNull = true)
+      case MapType(k, v, _)    => MapType(norm(k), norm(v), valueContainsNull = true)
+      case StructType(fields)  => StructType(fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+      case other               => other
+    }
+    val drifted = schemas.toSeq.sortBy(_._1).flatMap { case (name, declared) =>
+      val path = s"$dir/$name.parquet"
+      try {
+        val physical = spark.read.parquet(path).schema
+        if (norm(declared) == norm(physical)) None
+        else Some(s"  $name: declared ${norm(declared).simpleString} " +
+          s"!= physical ${norm(physical).simpleString}")
+      } catch { case e: Exception =>
+        Some(s"  $name: unreadable at $path (${e.getMessage})")
+      }
+    }
+    if (drifted.nonEmpty) throw new IllegalStateException(
+      s"DATA CONTRACT DRIFT in $dir — parquet schema diverges from " +
+        s"Catalog declarations (fix Catalog or regenerate the data):\n" +
+        drifted.mkString("\n"))
+  }
+
   /** Load a table and spread it across all cores. The local testdata ships
     * one parquet file per table — a single scan partition — which serializes
     * compute-heavy per-row work (tokenization, hashing, vector folds) onto

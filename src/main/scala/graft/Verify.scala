@@ -17,6 +17,9 @@ object Verify {
         .config("spark.sql.shuffle.partitions", cpus),
       "graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail loudly BEFORE producing any output if the testdata encoding has
+    // drifted from Catalog's declared physical contract (r9 lesson)
+    Catalog.assertDataContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
