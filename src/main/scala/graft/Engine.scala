@@ -81,6 +81,13 @@ object Engine {
     // sf0.1: 20s -> 2s with the rule excluded.
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // the block-store catalog (x37): tables resolve as graftblocks.`<store>`
+    // and the catalog doubles as the FunctionCatalog that lets the planner
+    // bind the range_shard transform — storage-partitioned joins need both
+    .config("spark.sql.catalog.graftblocks", "graft.sources.GraftBlockCatalog")
+    // recognize V2 scans' reported KeyGroupedPartitioning and elide the
+    // join Exchanges when both sides are co-sharded (SPJ)
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
 
   /** Read shuffle-partition override used by entry points. */
   def shufflePartitions(spark: SparkSession): Int =

@@ -472,6 +472,30 @@ object Extended {
     }
   }
 
+  /** x37: STORAGE-PARTITIONED JOIN through the connector — two corpus
+    * snapshots live in the block store sharded by the SAME deterministic
+    * `range_shard(width, doc_id)` ([[graft.sources.BlockStore
+    * .ensureShardedSnapshots]]), both scans report that layout as a
+    * `KeyGroupedPartitioning` resolved through [[graft.sources
+    * .GraftBlockCatalog]], and the doc_id join plans with NO Exchange on
+    * either side (spec-asserted) — Spark's native form of the reference's
+    * multi-shuffle co-registration (`MapOutputTracker.scala:219-255`: one
+    * partitioner shared across shuffles so the two-input stage reads
+    * co-located data). At 100 TB this elides the entire store-side shuffle
+    * — the exact cost the reference exists to remove. The merge hint pins
+    * the co-located sort-merge plan the assertion (and a cluster) wants;
+    * a broadcast here would bypass the machinery being exercised. */
+  def blockStoreSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (cur, prev) = graft.sources.BlockStore.ensureShardedSnapshots(spark, dir)
+    val a = spark.table(s"graftblocks.`$cur`")
+    val b = spark.table(s"graftblocks.`$prev`")
+      .select(col("doc_id"), col("n_chars").as("prev_chars"))
+    a.hint("merge").join(b, Seq("doc_id"))
+      .filter(col("n_chars") > 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("prev_chars"))
+      .orderBy("doc_id")
+  }
+
   /** CSV sink+source roundtrip (doubles survive: shortest-repr write, exact
     * re-parse), verified against the parquet oracle. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, dir, "csv")
@@ -697,7 +721,8 @@ object Extended {
     "x33_blockstore_write" -> blockStoreWrite,
     "x34_blockstore_agg" -> blockStoreAgg,
     "x35_blockstore_runtime_prune" -> blockStoreRuntimePrune,
-    "x36_blockstore_sql" -> blockStoreSql)
+    "x36_blockstore_sql" -> blockStoreSql,
+    "x37_blockstore_spj_join" -> blockStoreSpjJoin)
 
   private val RoundtripSql =
     """SELECT l_orderkey,
@@ -873,5 +898,14 @@ object Extended {
         |FROM documents
         |WHERE doc_id % 7 <> 0
         |GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin)
+        |ORDER BY source, lang""".stripMargin,
+    // x37: the SPJ machinery is layout-only — results must equal the same
+    // snapshot join straight over parquet (the "previous snapshot" store
+    // is the deterministic doc_id % 3 <> 0 subset)
+    "x37_blockstore_spj_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, p.n_chars AS prev_chars
+        |FROM documents d
+        |JOIN documents p ON d.doc_id = p.doc_id AND p.doc_id % 3 <> 0
+        |WHERE d.n_chars > 300
+        |ORDER BY d.doc_id""".stripMargin)
 }

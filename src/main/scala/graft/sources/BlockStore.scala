@@ -37,7 +37,8 @@ object BlockStore {
     * field order. */
   type DocRow = (Long, String, String, String, Long)
 
-  final case class Block(minId: Long, maxId: Long, rows: Array[DocRow]) {
+  final case class Block(minId: Long, maxId: Long, rows: Array[DocRow],
+      shard: Int = -1) {
     def numRows: Long = rows.length.toLong
     /** Approximate in-memory payload size — computed once at put time (the
       * daemon knows its block sizes without re-reading payloads). */
@@ -112,6 +113,83 @@ object BlockStore {
   /** Per-block (minId, maxId) stats — what `getShuffleStatus` exposes. */
   def blockStats(name: String): Seq[(Long, Long)] =
     get(name).map(b => (b.minId, b.maxId)).toSeq
+
+  // ---- co-registered SHARDED stores (the storage-partitioned-join pair) --
+  //
+  // The reference's registerShuffles co-places MULTIPLE shuffles under ONE
+  // partitioner so a downstream two-input stage reads co-located inputs
+  // (`MapOutputTracker.scala:219-255` in the reference). The Spark-native
+  // form: every sharded store is laid out by the SAME deterministic
+  // range-shard function (shard = doc_id / width, width fixed per corpus),
+  // each shard's rows land in one block tagged with its shard id, and the
+  // connector's scan reports that layout as a KeyGroupedPartitioning — so a
+  // join of two such stores on doc_id plans with NO Exchange on either side
+  // (see [[GraftBlockCatalog]] and the SPJ wiring in [[BlockStoreSource]]).
+  // Fixed-WIDTH range sharding (not sampled range boundaries) is what makes
+  // two independently-written stores co-located: the shard of a row depends
+  // only on (width, doc_id), never on either store's distribution. Blocks
+  // stay contiguous doc_id ranges, so min/max stats pruning keeps working.
+
+  /** store name → (numShards, shardWidth); presence marks a store SPJ-ready. */
+  private val shardedMeta = new ConcurrentHashMap[String, (Int, Long)]()
+
+  def shardingOf(name: String): Option[(Int, Long)] =
+    Option(shardedMeta.get(name))
+
+  /** All visible store names (the catalog's listTables surface). */
+  def storeNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    stores.keySet().asScala.toSeq.sorted
+  }
+
+  val SpjShards = 16
+
+  /** Write `df` (documents schema) as a sharded store: one block per shard,
+    * shard = doc_id / width, EVERY shard present (empty blocks included, so
+    * two co-registered stores always expose identical partition-key sets to
+    * the join planner). Executor-side puts, like [[ensureLoaded]]. */
+  private def loadSharded(spark: SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame, width: Long): Unit = {
+    val n = SpjShards
+    df.rdd
+      .map { r =>
+        val id = r.getLong(0)
+        ((id / width).toInt,
+          (id, r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .foreachPartition { it: Iterator[(Int, DocRow)] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.map(_._2).toArray
+        val (mn, mx) =
+          if (rows.isEmpty) (Long.MaxValue, Long.MinValue)
+          else (rows.iterator.map(_._1).min, rows.iterator.map(_._1).max)
+        put(name, Block(mn, mx, rows, shard = pid))
+      }
+    shardedMeta.put(name, (n, width)): Unit
+  }
+
+  /** Two co-registered corpus snapshots for the SPJ query (x37): the full
+    * corpus and a deterministic "previous snapshot" subset, both sharded by
+    * the SAME width so their blocks are co-located by construction. Returns
+    * the (current, previous) store names. */
+  def ensureShardedSnapshots(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val a = s"spj_cur@$dir"
+      val b = s"spj_prev@$dir"
+      if (!stores.containsKey(a)) {
+        val docs = Catalog.table(spark, dir, "documents")
+        val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head.getLong(0)
+        val width = maxId / SpjShards + 1 // id/width < SpjShards for all ids
+        loadSharded(spark, a, docs, width)
+        loadSharded(spark, b, docs.filter(col("doc_id") % 3 =!= 0), width)
+      }
+      (a, b)
+    }
 
   /** Load `documents` into the store once per (JVM, sf dir) and return the
     * store name. Rows are RANGE-partitioned on doc_id before the put so

@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -57,6 +58,14 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-blocks:$store"
   override def schema(): StructType = tableSchema
+  /** Sharded stores advertise their layout as a catalog-level transform —
+    * the same `range_shard(width, doc_id)` the scan reports per-partition. */
+  override def partitioning(): Array[Transform] =
+    BlockStore.shardingOf(store) match {
+      case Some((_, width)) =>
+        Array(Expressions.bucket(width.toInt, "doc_id"))
+      case None => Array.empty
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -195,9 +204,33 @@ private[sources] case class MetadataAggPartition(values: Array[Long])
 private[sources] class BlockScan(store: String, required: StructType,
     lo: Long, hi: Long, maxBlocksPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
+
+  // ---- x37: storage-partitioned join (SupportsReportPartitioning) -------
+  //
+  // A sharded store ([[BlockStore.ensureShardedSnapshots]]) reports its
+  // layout as KeyGroupedPartitioning over `range_shard(width, doc_id)`,
+  // with one input partition per shard carrying its shard id as the
+  // partition key. Spark resolves the transform through
+  // [[GraftBlockCatalog]]'s function catalog, and a join of two stores
+  // sharded at the same width plans WITHOUT an Exchange on either side
+  // (`spark.sql.sources.v2.bucketing.enabled`, set in Engine) — the
+  // reference's registerShuffles co-placement as Spark sees it. Pruned or
+  // empty shards still emit their partition so both sides always expose
+  // the full, identical key set to the join planner.
+
+  override def outputPartitioning(): Partitioning =
+    BlockStore.shardingOf(store) match {
+      case Some((n, width)) =>
+        // reported as bucket(width, doc_id): the catalog's bucket IS the
+        // fixed-width range shard (see RangeShard scaladoc for why the
+        // canonical bucket name is required here)
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(width.toInt, "doc_id")), n)
+      case None => new UnknownPartitioning(0)
+    }
 
   // ---- runtime filtering (x35): the DPP shape on block stats ----------
   //
@@ -244,11 +277,23 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   override def toBatch: Batch = this
 
+  private def survives(b: BlockStore.Block): Boolean =
+    b.maxId >= lo && b.minId <= hi &&
+      runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId))
+
   override def planInputPartitions(): Array[InputPartition] =
-    BlockStore.get(store).zipWithIndex.collect {
-      case (b, i) if b.maxId >= lo && b.minId <= hi &&
-          runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId)) =>
-        BlockPartition(store, i): InputPartition
+    BlockStore.shardingOf(store) match {
+      case Some((n, _)) =>
+        val blocks = BlockStore.get(store).zipWithIndex
+        Array.tabulate[InputPartition](n) { s =>
+          ShardBlockPartition(store, s, blocks.collect {
+            case (b, i) if b.shard == s && survives(b) => i
+          })
+        }
+      case None =>
+        BlockStore.get(store).zipWithIndex.collect {
+          case (b, i) if survives(b) => BlockPartition(store, i): InputPartition
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -335,6 +380,14 @@ private[sources] case class BlockStreamOffset(n: Int) extends Offset {
 
 private[sources] case class BlockPartition(store: String, idx: Int)
   extends InputPartition
+
+/** One SHARD of a sharded store: all surviving blocks tagged with this
+  * shard id, keyed for the planner's partition grouping (SPJ). */
+private[sources] case class ShardBlockPartition(store: String, shard: Int,
+    idxs: Array[Int]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](shard))
+}
 
 /** x33: the WRITE half — the reference's `putBlock` lifecycle
   * (`deploy/Daemon.scala:45-64`) on the V2 write API, with two properties
@@ -432,9 +485,17 @@ private[sources] class BlockReaderFactory(fieldIdx: Array[Int])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val bp = p.asInstanceOf[BlockPartition]
-    BlockStore.readersOpened.incrementAndGet(): Unit
-    val rows = BlockStore.get(bp.store)(bp.idx).rows
+    // readersOpened counts BLOCKS touched (the pruning spec's metric), so a
+    // shard partition increments once per surviving block it concatenates
+    val rows: Array[BlockStore.DocRow] = p match {
+      case BlockPartition(store, idx) =>
+        BlockStore.readersOpened.incrementAndGet(): Unit
+        BlockStore.get(store)(idx).rows
+      case ShardBlockPartition(store, _, idxs) =>
+        val blocks = BlockStore.get(store)
+        BlockStore.readersOpened.addAndGet(idxs.length.toLong): Unit
+        idxs.flatMap(i => blocks(i).rows)
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }

@@ -260,6 +260,39 @@ class BlockStoreSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join plans with no Exchange above either scan") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // belt and braces with the merge hint: at spec scale AQE would
+      // otherwise broadcast and the assertion would go vacuous
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Extended.blockStoreSpjJoin(spark, sf)
+      val rows = df.collect()
+      assert(rows.length > 0, "SPJ join returned no rows")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      // the query's global orderBy legitimately range-partitions ABOVE the
+      // join; what SPJ must elide is the hash Exchange under either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-sharded stores must join with NO Exchange on either side:\n$plan")
+      // both sides really are the connector, not some fallback scan
+      assert("graft-blocks".r.findAllIn(plan).length >= 2,
+        s"expected two block-store scans:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SPJ results match the same join straight over parquet") {
+    val viaStore = operators.Extended.blockStoreSpjJoin(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    val docs = Catalog.table(spark, sf, "documents")
+    val prev = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars").as("prev_chars"))
+    val want = docs.join(prev, Seq("doc_id")).filter(col("n_chars") > 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("prev_chars"))
+      .orderBy("doc_id").collect().map(_.toSeq.toVector).toVector
+    assert(viaStore == want, "SPJ join diverged from the parquet join")
+  }
+
   test("scan description shows pushed bounds and pruned columns (no text)") {
     val df = viaConnector.filter(col("doc_id") <= 100L)
       .select(col("lang"), col("n_chars"))
