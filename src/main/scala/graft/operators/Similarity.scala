@@ -507,6 +507,73 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  // ---- planted-structure fixture + index-value harness (spec-level) -----
+
+  /** Deterministic CLUSTERED corpus derived from the embeddings table: ten
+    * anchor vectors (vec_id 100..109, one per cluster), each corpus vector
+    * re-planted as `3·anchor(vec_id % 10) + 0.5·original`, labeled by its
+    * cluster. Anchor separation (~3·√2·‖a‖ between centers) dominates the
+    * 0.5‖e‖ noise radius, so a vector's true cosine neighbors live in its
+    * own cluster — the structure production embeddings actually have and
+    * the sim9 fixture deliberately lacks. [[ivfMultiRecallFraction]] on
+    * this frame is the evidence that the IVF index WINS where structure
+    * exists (sim9/sim14 prove only the structure-free floor, where recall
+    * can never beat the candidate fraction); SimilaritySpec asserts
+    * recall ≥ 0.8 at candidate fraction ≤ 0.2. */
+  private[graft] def clusteredFixture(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val base = Catalog.tableSpread(spark, dir, "embeddings")
+      .select(col("vec_id"), toD(col("embedding")).as("e0"))
+      .filter(array_max(transform(col("e0"), x => abs(x))) > 0)
+    val anchors = base.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select((col("vec_id") - 100).cast(IntegerType).as("g"),
+        col("e0").as("anchor"))
+    base.withColumn("g", (col("vec_id") % 10).cast(IntegerType))
+      .join(broadcast(anchors), Seq("g"))
+      .select(col("vec_id"),
+        zip_with(col("anchor"), col("e0"),
+          (a, x) => a * lit(3.0) + x * lit(0.5)).as("e"),
+        col("g").as("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("nrm") > 0)
+  }
+
+  /** Spec harness: (mean recall@k, candidate fraction) of the sim11
+    * ivf_multi arm at `nProbe` over an arbitrary corpus frame in [[emb]]
+    * layout — the exact same cell-selection + equi-join plans the
+    * registered query runs, so the measured recall is the index's, not a
+    * reimplementation's. Candidate fraction = rows the probed cells make
+    * the arm scan / rows brute force scans (|probes|·N) — the cost the
+    * index is supposed to save. */
+  private[graft] def ivfMultiRecallFraction(spark: SparkSession,
+      corpus: DataFrame, nProbe: Int): (Double, Double) = {
+    val all = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = all.count()
+      val probes = all.filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      def pairs(df: DataFrame): Array[(Long, Long)] =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      val exact = pairs(topk(
+        all.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id")), IvfTopK))
+      val cellsDf = multiProbeCells(all, nProbe)
+      val cells = spark.createDataFrame(
+        java.util.Arrays.asList(cellsDf.collect(): _*), cellsDf.schema)
+      val approx = pairs(ivfMultiProbe(all, cells))
+      val scored = recallRows(exact, approx)
+      val meanRecall = scored.map(_._4).sum / scored.size
+      val cellSizes = all.groupBy(col("label")).count().collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+      val scanned = cells.collect()
+        .map(r => cellSizes.getOrElse(r.get(1), 0L)).sum
+      val nProbes = cells.select(col("query_id")).distinct().count()
+      (meanRecall, scanned.toDouble / (nProbes * n).toDouble)
+    } finally { all.unpersist(): Unit }
+  }
+
   // ---- sim10: product quantization -------------------------------------
   private val PqM = 4      // subspaces (64 dims / 16)
   private val PqSub = 16   // dims per subspace

@@ -234,6 +234,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("planted structure: ivf_multi beats the candidate-fraction floor") {
+    // On sim9's structure-free fixture recall can never exceed the
+    // candidate fraction (nothing for the quantizer to exploit). On a
+    // corpus WITH cluster structure the same index must win outright:
+    // high recall while scanning a small corpus fraction — the evidence a
+    // "deploy IVF?" decision actually needs.
+    val fx = Similarity.clusteredFixture(spark, sf)
+    val (recall, fraction) = Similarity.ivfMultiRecallFraction(spark, fx, 1)
+    assert(fraction <= 0.2,
+      s"candidate fraction $fraction must stay <= 0.2 (nProbe=1, 10 cells)")
+    assert(recall >= 0.8,
+      s"recall $recall must clear 0.8 on the clustered corpus")
+    assert(recall >= fraction + 0.5,
+      s"index must beat the structure-free floor: recall=$recall fraction=$fraction")
+  }
+
   test("sim8 iterated Lloyd: round 2 moves centroids off the seeds (sim7)") {
     // sim7 IS round 1's update; sim8 runs a second assign+update against
     // the rebuilt centroids. If the composition were broken (round 2
