@@ -554,6 +554,62 @@ object PipelineOps {
       .orderBy("shard_id")
   }
 
+  // ---- p14: broadcast model-scoring batch inference ---------------------
+
+  /** Per-language linear-classifier coefficients: (lang, bias, w_len,
+    * w_stop, w_punct, w_avg) — the "model artifact" a trained quality
+    * classifier exports. A deterministic literal table here; a production
+    * pipeline loads the same shape from its model registry. */
+  private val ModelCoefs: Seq[(String, Double, Double, Double, Double, Double)] =
+    Seq(
+      ("en", 0.10, 0.50, 0.80, -0.60, 0.05),
+      ("de", 0.05, 0.45, 0.70, -0.50, 0.06),
+      ("es", 0.08, 0.40, 0.75, -0.55, 0.04),
+      ("fr", 0.06, 0.42, 0.72, -0.52, 0.05),
+      ("zh", 0.02, 0.60, 0.20, -0.40, 0.08))
+  /** Fallback for languages absent from the artifact (left join + coalesce
+    * keeps inference total — a new lang in the corpus must not drop rows). */
+  private val DefaultCoefs = ("", 0.05, 0.40, 0.50, -0.50, 0.05)
+  private val KeepCutoff = 0.6
+
+  /** p14: batch MODEL INFERENCE over documents — the pipeline stage that
+    * SCORES the corpus with a trained model instead of curating it. The
+    * model is a per-language linear quality classifier: its coefficient
+    * table is broadcast (a model artifact is always broadcast-small) and
+    * the scorer is one vectorized map-side expression over t2's features —
+    * so at 100 TB inference costs exactly one corpus pass, no shuffle
+    * except the presentation sort, and swapping models is swapping the
+    * broadcast side. A real logistic head would wrap the score in a
+    * sigmoid; the decision is monotone in the raw margin, so the engine
+    * keeps the margin (no `exp` anywhere — libm rounding differs across
+    * engines) and thresholds it for the keep flag.
+    *
+    * Determinism: features are t2's bit-identical doubles; the margin is a
+    * fixed left-associated sum of products over literal coefficients, so
+    * both engines evaluate the identical IEEE expression tree and the raw
+    * double is carried with no rounding step. */
+  def modelScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = TextAnalysis.qualityScores0(spark, dir)
+    val langs = Catalog.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val model = ModelCoefs
+      .toDF("m_lang", "m_b", "m_wlen", "m_wstop", "m_wpunct", "m_wavg")
+    val d = DefaultCoefs
+    val j = feats.join(langs, Seq("doc_id"))
+      .join(broadcast(model), col("lang") === col("m_lang"), "left_outer")
+    val score =
+      coalesce(col("m_b"), lit(d._2)) +
+        coalesce(col("m_wlen"), lit(d._3)) *
+          least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)) +
+        coalesce(col("m_wstop"), lit(d._4)) * col("stop_ratio") +
+        coalesce(col("m_wpunct"), lit(d._5)) * col("punct_ratio") +
+        coalesce(col("m_wavg"), lit(d._6)) * (col("avg_token_len") / lit(10.0))
+    j.select(col("doc_id"), col("lang"), score.as("score"),
+        when(score >= KeepCutoff, lit(1L)).otherwise(lit(0L)).as("keep_flag"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -566,6 +622,7 @@ object PipelineOps {
     "p11_landed_shards" -> landShards,
     "p12_group_split" -> groupSplit,
     "p13_budget_mix" -> budgetMix,
+    "p14_model_score" -> modelScore,
     "dd10_source_cap" -> sourceCap)
 
   // lazy: embeds Dedup's dd11 oracle while Dedup's own init calls back
@@ -597,7 +654,38 @@ object PipelineOps {
   // lazy: the p10 entry embeds Dedup's dd11 oracle while Dedup's own init
   // calls back into this object's split helpers — a strict val here would
   // deadlock the two objects' initializers into a null read
+  // p14: the model VALUES are generated from ModelCoefs so the two engines
+  // can never drift; the score expression mirrors the Spark chain token
+  // for token (left-associated sum of products → identical IEEE tree)
+  private lazy val P14Oracle: String = {
+    val values = ModelCoefs.map { case (l, b, wl, ws, wp, wa) =>
+      s"('$l', $b, $wl, $ws, $wp, $wa)"
+    }.mkString(",\n  ")
+    val d = DefaultCoefs
+    s"""WITH base AS (SELECT * FROM (${TextAnalysis.QualityOracle}) qb),
+       |model (m_lang, m_b, m_wlen, m_wstop, m_wpunct, m_wavg) AS (VALUES
+       |  $values),
+       |j AS (SELECT b.doc_id, doc.lang, b.n_tokens, b.stop_ratio,
+       |        b.punct_ratio, b.avg_token_len,
+       |        m.m_b, m.m_wlen, m.m_wstop, m.m_wpunct, m.m_wavg
+       |      FROM base b JOIN documents doc USING (doc_id)
+       |      LEFT JOIN model m ON doc.lang = m.m_lang),
+       |s AS (SELECT doc_id, lang,
+       |        COALESCE(m_b, ${d._2})
+       |          + COALESCE(m_wlen, ${d._3})
+       |            * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |          + COALESCE(m_wstop, ${d._4}) * stop_ratio
+       |          + COALESCE(m_wpunct, ${d._5}) * punct_ratio
+       |          + COALESCE(m_wavg, ${d._6}) * (avg_token_len / 10.0) AS score
+       |      FROM j)
+       |SELECT doc_id, lang, score,
+       |       CAST(CASE WHEN score >= $KeepCutoff THEN 1 ELSE 0 END AS BIGINT)
+       |         AS keep_flag
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
+    "p14_model_score" -> P14Oracle,
     "p12_group_split" ->
       s"""WITH s AS (SELECT source, n_chars,
          |             CASE WHEN $sqlGroupSplitHash < 800 THEN 'train'

@@ -258,4 +258,21 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("source").collect().map(_.toSeq)
     assert(viaAgg.toSeq == viaWindow.toSeq)
   }
+
+  test("p14 model inference broadcasts the model and scores every doc") {
+    val df = operators.PipelineOps.modelScore(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the model artifact must ride a broadcast join — a shuffled model
+    // side would turn one-pass inference into a corpus shuffle at scale
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"model coefficients must be broadcast:\n$plan")
+    // inference is total: one score per tokenized doc, flag consistent
+    val rows = df.collect()
+    val nTokenized = graft.functions.Text
+      .withTokens(Catalog.table(spark, sf, "documents"))
+      .filter(size(col("_toks")) > 0).count()
+    assert(rows.length.toLong == nTokenized, "inference must score every doc")
+    assert(rows.forall(r => (r.getLong(3) == 1L) == (r.getDouble(2) >= 0.6)))
+  }
 }
