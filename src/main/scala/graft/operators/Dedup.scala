@@ -577,7 +577,56 @@ object Dedup {
     finally { sh.unpersist(): Unit }
   }
 
+  // ---- dd14: paragraph-level INTRA-document dedup -----------------------
+
+  /** The repeated-boilerplate marker injected into the fixture (the t7
+    * synthetic-PII precedent: the corpus has no real paragraph structure,
+    * so the repeated unit is planted deterministically). */
+  private val Boiler = "subscribe to our newsletter for daily updates"
+
+  /** dd14: paragraph dedup WITHIN each document — dd1..dd9 dedup across
+    * documents; this removes the repeated boilerplate a crawled page
+    * carries internally (header/footer/nav repeated around the content),
+    * the other half of a production text-dedup stage. Each document is
+    * split into paragraphs (synthesized here: planted boilerplate around
+    * the two halves of the body, plus a repeated half for every third doc
+    * — real corpora bring their own newlines), each paragraph digested
+    * ONCE (md5), and only the FIRST occurrence of each digest within the
+    * doc survives. Output per doc: paragraph counts and a fingerprint of
+    * the kept sequence (digest-of-digests in original order).
+    *
+    * SCALE SHAPE: the split and digest are map-side inside the scan stage;
+    * the keep-first groupBy keys on (doc_id, digest) — 24 bytes a row, the
+    * dd1 discipline: paragraph BODIES never shuffle, and both
+    * aggregations partial-aggregate before exchanging. No corpus-wide
+    * key exists anywhere — state is bounded per document. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val half = expr("substr(text, 1, length(text) div 2)")
+    val rest = expr("substr(text, (length(text) div 2) + 1)")
+    val paras = concat(
+      array(lit(Boiler), half, lit(Boiler), rest),
+      when(col("doc_id") % 3 === 0, array(half))
+        .otherwise(array().cast(ArrayType(StringType))),
+      array(lit(Boiler)))
+    Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(paras).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .select(col("doc_id"), col("pos"), md5(col("para")).as("pd"))
+      .groupBy(col("doc_id"), col("pd"))
+      .agg(min(col("pos")).as("keep_pos"), count(lit(1)).as("n_occ"))
+      .groupBy(col("doc_id"))
+      .agg(
+        asLong(sum(col("n_occ"))).as("n_paras"),
+        asLong(count(lit(1))).as("n_kept"),
+        asLong(sum(col("n_occ")) - count(lit(1))).as("n_dropped"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("keep_pos"), col("pd")))),
+          x => x.getField("pd")))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd14_paragraph_dedup" -> paragraphDedup,
     "dd13_decontaminate_bloom" -> decontaminateBloom,
     "dd11_decontaminate" -> decontaminate,
     "dd9_incremental_dedup" -> incrementalDedup,
@@ -643,6 +692,32 @@ object Dedup {
          |FROM c WHERE n_shared >= $DecontamMinShared ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dd14: same planted-boilerplate fixture, same md5 paragraph digests,
+    // keep-first by (doc, digest) min position; DuckDB's 1-based unnest
+    // positions vs Spark's 0-based posexplode only ORDER the digests, so
+    // the digest-of-digests fingerprint is position-base-invariant
+    "dd14_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) // 2 AS hl FROM documents),
+         |pp AS (SELECT doc_id,
+         |         ['$Boiler', substr(text, 1, hl), '$Boiler', substr(text, hl + 1)]
+         |           || (CASE WHEN doc_id % 3 = 0 THEN [substr(text, 1, hl)]
+         |               ELSE [] END)
+         |           || ['$Boiler'] AS paras
+         |       FROM d),
+         |p AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(paras)),
+         |          i -> {'pos': i, 'para': paras[i]})) AS u
+         |      FROM pp),
+         |f AS (SELECT doc_id, u.pos AS pos, md5(u.para) AS pd
+         |      FROM p WHERE length(u.para) > 0),
+         |k AS (SELECT doc_id, pd, min(pos) AS keep_pos, count(*) AS n_occ
+         |      FROM f GROUP BY doc_id, pd)
+         |SELECT doc_id,
+         |  CAST(sum(n_occ) AS BIGINT) AS n_paras,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_occ) - count(*) AS BIGINT) AS n_dropped,
+         |  md5(string_agg(pd, '' ORDER BY keep_pos)) AS kept_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd11_decontaminate" -> DecontamOracleSql,
     "dd13_decontaminate_bloom" -> DecontamOracleSql,
     "dd5_embedding_neardup" ->

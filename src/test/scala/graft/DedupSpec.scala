@@ -131,4 +131,19 @@ class DedupSpec extends SparkSpec {
       assert(d1.count() == texts.distinct.length)
     }
   }
+
+  test("dd14 intra-doc paragraph dedup drops the planted boilerplate copies") {
+    val rows = operators.Dedup.paragraphDedup(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (nParas, nKept, nDropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept + nDropped == nParas, s"doc ${r.getLong(0)} counts broken")
+      // the boilerplate is planted three times in every doc -> >= 2 dropped
+      assert(nDropped >= 2, s"doc ${r.getLong(0)} kept duplicate boilerplate")
+    }
+    // every third doc re-plants its first half -> one extra drop
+    val extra = rows.filter(_.getLong(0) % 3 == 0)
+    assert(extra.nonEmpty && extra.forall(_.getLong(3) >= 3),
+      "repeated body half must be deduped within its doc")
+  }
 }
