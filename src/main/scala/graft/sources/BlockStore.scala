@@ -44,6 +44,14 @@ object BlockStore {
       * daemon knows its block sizes without re-reading payloads). */
     val bytes: Long =
       rows.iterator.map(r => 24L + r._2.length + r._3.length + r._4.length).sum
+    /** Per-block DICTIONARY stats for the low-cardinality columns —
+      * parquet's dictionary-page trick on the daemon's metadata surface:
+      * computed once at put time, consulted by the scan to skip whole
+      * blocks for lang/source equality predicates. Both columns are
+      * bounded-cardinality by construction (languages, crawl sources), so
+      * the sets cost a few dozen bytes per block at any corpus size. */
+    val langs: Set[String] = rows.iterator.map(_._3).toSet
+    val sources: Set[String] = rows.iterator.map(_._4).toSet
   }
 
   private val stores = new ConcurrentHashMap[String, Array[Block]]()
@@ -190,6 +198,27 @@ object BlockStore {
       }
       (a, b)
     }
+
+  /** Load `documents` clustered by LANG (one-or-few langs per block) —
+    * the layout a per-language corpus ingest lands naturally, and the one
+    * where the blocks' dictionary stats actually prune: on the doc_id
+    * range layout every block mixes all languages and a lang predicate
+    * can skip nothing. Used by the dictionary-pruning spec. */
+  def ensureLangClustered(spark: SparkSession, dir: String): String = synchronized {
+    val name = s"bylang:$dir"
+    if (!stores.containsKey(name)) {
+      Catalog.table(spark, dir, "documents")
+        .repartition(8, col("lang"))
+        .foreachPartition { it: Iterator[Row] =>
+          val rows = it.map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4))).toArray
+          if (rows.nonEmpty)
+            put(name, Block(rows.iterator.map(_._1).min,
+              rows.iterator.map(_._1).max, rows))
+        }
+    }
+    name
+  }
 
   /** Load `documents` into the store once per (JVM, sf dir) and return the
     * store name. Rows are RANGE-partitioned on doc_id before the put so

@@ -85,8 +85,19 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
   private var required: StructType = full
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
+  // col -> allowed values, from lang/source equality predicates; a block
+  // survives only if its DICTIONARY stats intersect every entry (parquet's
+  // dictionary-page pruning on the store's metadata). Multiple predicates
+  // on one column intersect (both must allow a value to keep it).
+  private var dict: Map[String, Set[String]] = Map.empty
   private var accepted: Array[Filter] = Array.empty
   private var aggSpec: Option[Seq[String]] = None
+
+  private def addDict(f: Filter, column: String, vs: Set[String]): Unit = {
+    dict = dict.updated(column,
+      dict.get(column).map(_.intersect(vs)).getOrElse(vs))
+    accepted :+= f
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -100,6 +111,11 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
         hi = math.min(hi, v); accepted :+= f
       case f @ EqualTo("doc_id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v); accepted :+= f
+      case f @ EqualTo(c @ ("lang" | "source"), v: String) =>
+        addDict(f, c, Set(v))
+      case f @ In(c @ ("lang" | "source"), vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        addDict(f, c, vs.collect { case s: String => s }.toSet)
       case _ => // not prunable from block stats; stays residual like all
     }
     filters // ALL residual — stats bounds are block-granular, not row-exact
@@ -152,7 +168,7 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
 
   override def build(): Scan = aggSpec match {
     case Some(specs) => new MetadataAggScan(store, specs)
-    case None => new BlockScan(store, required, lo, hi, maxBlocksPerTrigger)
+    case None => new BlockScan(store, required, lo, hi, dict, maxBlocksPerTrigger)
   }
 }
 
@@ -202,9 +218,21 @@ private[sources] case class MetadataAggPartition(values: Array[Long])
   extends InputPartition
 
 private[sources] class BlockScan(store: String, required: StructType,
-    lo: Long, hi: Long, maxBlocksPerTrigger: Int = Int.MaxValue)
+    lo: Long, hi: Long, dict: Map[String, Set[String]] = Map.empty,
+    maxBlocksPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** Dictionary pruning: block stats must intersect every pushed
+    * lang/source value set (sound: a block whose dictionary lacks every
+    * allowed value cannot contain a matching row; the residual filter
+    * re-applies exactly above). */
+  private def dictSurvives(b: BlockStore.Block): Boolean =
+    dict.forall {
+      case ("lang", vs)   => b.langs.exists(vs.contains)
+      case ("source", vs) => b.sources.exists(vs.contains)
+      case _              => true
+    }
 
   override def readSchema(): StructType = required
 
@@ -262,7 +290,7 @@ private[sources] class BlockScan(store: String, required: StructType,
     * pushed range shrinks the estimate before join planning. */
   override def estimateStatistics(): Statistics = {
     val survivors = BlockStore.get(store)
-      .filter(b => b.maxId >= lo && b.minId <= hi)
+      .filter(b => b.maxId >= lo && b.minId <= hi && dictSurvives(b))
     new Statistics {
       override def sizeInBytes(): util.OptionalLong =
         util.OptionalLong.of(math.max(1L, survivors.map(_.bytes).sum))
@@ -273,12 +301,16 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   override def description(): String =
     s"graft-blocks store=$store bounds=[$lo,$hi] " +
+      (if (dict.isEmpty) ""
+       else dict.toSeq.sortBy(_._1).map { case (c, vs) =>
+         s"dict[$c in {${vs.toSeq.sorted.mkString(",")}}]"
+       }.mkString("", " ", " ")) +
       s"cols=${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
 
   private def survives(b: BlockStore.Block): Boolean =
-    b.maxId >= lo && b.minId <= hi &&
+    b.maxId >= lo && b.minId <= hi && dictSurvives(b) &&
       runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId))
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -300,7 +332,8 @@ private[sources] class BlockScan(store: String, required: StructType,
     new BlockReaderFactory(required.fieldNames.map(Catalog.documents.fieldIndex))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockMicroBatchStream(store, required, lo, hi, maxBlocksPerTrigger)
+    new BlockMicroBatchStream(store, required, lo, hi, dictSurvives,
+      maxBlocksPerTrigger)
 }
 
 /** s21: the STREAMING read path — the store as a continuously-tailed
@@ -325,7 +358,8 @@ private[sources] class BlockScan(store: String, required: StructType,
   *     (offsets stay positional; the residual filter re-applies exactly).
   */
 private[sources] class BlockMicroBatchStream(store: String,
-    required: StructType, lo: Long, hi: Long, maxPerTrigger: Int)
+    required: StructType, lo: Long, hi: Long,
+    dictSurvives: BlockStore.Block => Boolean, maxPerTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -359,7 +393,8 @@ private[sources] class BlockMicroBatchStream(store: String,
     val e = end.asInstanceOf[BlockStreamOffset].n
     val blocks = BlockStore.get(store)
     (s until math.min(e, blocks.length)).collect {
-      case i if blocks(i).maxId >= lo && blocks(i).minId <= hi =>
+      case i if blocks(i).maxId >= lo && blocks(i).minId <= hi &&
+          dictSurvives(blocks(i)) =>
         BlockPartition(store, i): InputPartition
     }.toArray
   }

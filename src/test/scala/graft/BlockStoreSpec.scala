@@ -260,6 +260,37 @@ class BlockStoreSpec extends SparkSpec {
     }
   }
 
+  test("lang equality predicate prunes blocks via dictionary stats") {
+    val name = BlockStore.ensureLangClustered(spark, sf)
+    val total = BlockStore.blockCount(name).toLong
+    assert(total > 1, "fixture must span multiple blocks for pruning to show")
+    val df = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+    def opens(body: => Any): Long = {
+      val before = BlockStore.readersOpened.get()
+      body
+      BlockStore.readersOpened.get() - before
+    }
+    // baseline: a non-prunable predicate touches every block
+    val all = opens(df.filter(col("n_chars") >= 0)
+      .agg(sum(col("n_chars"))).collect())
+    assert(all == total, s"baseline should open all $total blocks, got $all")
+    val en = opens(df.filter(col("lang") === "en")
+      .agg(sum(col("n_chars"))).collect())
+    assert(en < total,
+      s"lang='en' must skip blocks whose dictionary lacks 'en' ($en of $total)")
+    // sound: rows match the parquet truth exactly (residual re-applies)
+    val got = df.filter(col("lang") === "en").count()
+    val want = Catalog.table(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(got == want, "dictionary pruning must never change results")
+    // the pushed dictionary is visible in the scan description
+    val plan = df.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dict[lang in {en}]"),
+      s"scan description must surface the dictionary filter:\n$plan")
+  }
+
   test("storage-partitioned join plans with no Exchange above either scan") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
