@@ -1,82 +1,109 @@
 package graft
 
-/** Fleet-wide physical-plan audit: no registry query may silently plan a
-  * cartesian product or nested-loop join — the two shapes that turn a
-  * 100 TB query into an outage. The exceptions are DELIBERATE and named:
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+
+/** Fleet-wide physical-plan audit in two parts, with NO hand-maintained
+  * skip-list (the round-9 erosion complaint):
   *
-  *   - sim1/sim5: the exact brute-force baselines — a bounded probe set
-  *     (fixed budget, see Similarity's probe contract) cross-joined
-  *     against the corpus scan on purpose;
-  *   - x11: the registered demonstration of Spark's pure non-equi
-  *     nested-loop join tier.
+  *   1. LAZY queries: no registry query may silently plan a cartesian
+  *      product or nested-loop join — the two shapes that turn a 100 TB
+  *      query into an outage. The exceptions are DELIBERATE and named in
+  *      [[allowCross]].
+  *   2. EAGER queries (those whose returned frame is a LocalRelation —
+  *      they executed at build and collected their result to the driver):
+  *      the lazy-plan audit is vacuous on them, so instead each one must
+  *      DECLARE a driver-side row bound (a constant or a |groups|-shaped
+  *      quantity) in [[eagerBounds]], and the spec asserts the collected
+  *      count meets it. Eagerness is DETECTED, not listed: a new query
+  *      that starts collecting without declaring its bound fails here.
   *
-  * Everything else must key every join. The audit inspects the UNEXECUTED
-  * sparkPlan (no data runs); queries that execute work at build time
-  * (streaming replays, dd8/p1's iterative driver loop) are skipped — their
-  * internal joins are covered by their own oracles and specs. */
+  * Streaming queries (s\d+_ namespace) are excluded as a NAMESPACE rule,
+  * not a name list: the memory-sink harness is inherently eager and every
+  * one of them is oracle-checked row-for-row by the driver, which bounds
+  * the collected set exactly.
+  */
 class PlanAuditSpec extends SparkSpec {
 
-  // sim6 joins the corpus against a broadcast of K=8 FIXED centroids — a
-  // deliberate bounded-small-side nested loop (K is a constant, not a
-  // corpus fraction), same contract as sim1/sim5's probe budget;
-  // sim10 scans the 4-byte code index against the bounded probe broadcast
-  // t11 attaches a ONE-ROW broadcast N frame (corpus doc count) via a
-  // cross join — a map-side constant attach, not a pair blowup; the build
-  // side is a single aggregated row at any corpus size
+  // sim1/sim5: exact brute-force baselines — a bounded probe set (fixed
+  // budget, see Similarity's probe contract) cross-joined on purpose;
+  // sim6/sim7: corpus vs a broadcast of K=8 FIXED centroids;
+  // sim10: the 4-byte code index vs the bounded probe broadcast;
+  // x11: the registered demonstration of the non-equi nested-loop tier;
+  // t11: a ONE-ROW broadcast N frame attached via cross join.
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
     "sim6_kmeans_assign", "sim7_kmeans_update",
     "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords")
-  // execute at build time (stream replay / iterative convergence loop):
-  // auditing their *returned* frame would inspect a LocalRelation or
-  // post-hoc plan, not the interesting join pipeline. The streaming
-  // namespace is matched PRECISELY (s<digits>_) — a bare startsWith("s")
-  // would silently drop a future batch query named e.g. skew1_/sort2_
-  // from the audit.
-  private val executesAtBuild: String => Boolean = n =>
-    n.matches("s\\d+_.*") ||
-      n == "dd8_dedup_clusters" || n == "p1_pipeline_manifest" ||
-      // iterative Lloyd loop / two-pass rank: both materialize eagerly and
-      // return a LocalRelation; their join/sort shapes are spec-audited in
-      // SimilaritySpec and TextMultimodalSpec respectively
-      n == "sim8_kmeans_iterate" || n == "t9_quality_deciles" ||
-      // RangeRank prefix-sum consumers: the two-pass scan collects the
-      // per-partition totals at build (driver sees P longs) and the packed
-      // manifest is collected-and-released, so the returned frame is a
-      // LocalRelation; the distributed sort shape is audited in
-      // PipelineOpsSpec on the pinned sortedFrame
-      n == "p5_token_shards" || n == "p7_incremental_shards" ||
-      n == "p8_curriculum_shards" || n == "p9_epoch_shuffle" ||
-      n == "p10_corpus_build" ||
-      // p11 writes the shard layout at build; the returned frame is the
-      // read-back scan+aggregate over the landed files (join-free), its
-      // pruning asserted in PipelineOpsSpec
-      n == "p11_landed_shards" ||
-      // collect-and-release of the pinned shingle frame: the flagged
-      // manifest returns as a LocalRelation; the join shape is audited by
-      // the dd11 oracle + DedupSpec's driver recompute
-      n == "dd11_decontaminate" ||
-      // round-8 eager ANN queries (persisted shared embedding frame,
-      // collect-and-release, LocalRelation result — the sim8 lifecycle);
-      // sim9's ground-truth arm is sim1's deliberate brute-force baseline
-      // and the arms' join shapes are audited via sim2/sim3/sim10/sim12's
-      // still-lazy plans + SimilaritySpec's driver recomputes
-      n == "sim9_recall_at_k" || n == "sim11_ivf_multiprobe" ||
-      n == "sim13_ivf_pq" || n == "sim14_recall_bar"
 
-  test("no undeclared cartesian/nested-loop join in any registry plan") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(executesAtBuild)
-      .filterNot(allowCross)
-      .flatMap { name =>
-        val plan = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.sparkPlan.toString
+  private def streaming(n: String): Boolean = n.matches("s\\d+_.*")
+
+  /** Driver-side row bounds for eager queries: name -> (why, bound).
+    * |docs|-shaped bounds mark queries whose OUTPUT is a per-document
+    * manifest (the harness materializes every output anyway); the
+    * contract's value is that nothing collects MORE than its declared
+    * shape — a probe-budget query collecting corpus-sized rows, or a
+    * shard summary collecting per-doc rows, fails loudly. */
+  private def eagerBounds(nDocs: Long): Map[String, (String, Long)] = Map(
+    // per-doc manifests: one output row per (surviving) document
+    "dd8_dedup_clusters" -> ("≤ one cluster row per doc", nDocs),
+    "p1_pipeline_manifest" -> ("≤ one manifest row per doc", nDocs),
+    "dd11_decontaminate" -> ("flagged docs ⊆ corpus", nDocs),
+    "dd13_decontaminate_bloom" -> ("flagged docs ⊆ corpus", nDocs),
+    // shard/epoch summaries: every shard packs ≥ 1 doc; epochs are a
+    // small constant multiplier
+    "p5_token_shards" -> ("≤ one row per shard ≤ |docs|", nDocs),
+    "p7_incremental_shards" -> ("≤ one row per shard ≤ |docs|", nDocs),
+    "p8_curriculum_shards" -> ("≤ one row per shard ≤ |docs|", nDocs),
+    "p10_corpus_build" -> ("≤ one row per shard ≤ |docs|", nDocs),
+    "p11_landed_shards" -> ("≤ one row per landed shard ≤ |docs|", nDocs),
+    "p9_epoch_shuffle" -> ("epochs × shards, epochs ≤ 4", 4 * nDocs),
+    // constant-budget evaluation/config outputs
+    "sim8_kmeans_iterate" -> ("K=8 centroids × 64 dims", 8L * 64),
+    "t9_quality_deciles" -> ("NTILE(10) summary", 10L),
+    "sim9_recall_at_k" -> ("6 arms × 10 probes", 6L * 10),
+    "sim11_ivf_multiprobe" -> ("10 probes × k=3", 10L * 3),
+    "sim13_ivf_pq" -> ("10 probes × k=3", 10L * 3),
+    "sim14_recall_bar" -> ("10 probes", 10L),
+    // x36 returns the per-(source, lang) aggregate eagerly (the catalog
+    // table is dropped in its finally, so the frame must not stay lazy)
+    "x36_blockstore_sql" -> ("|sources| × |langs| groups", 10L * 10),
+    // x30 collects its (|langs|+1)-row triage and releases the parse cache
+    // (caught by the automatic eager detection; the old hand-list audited
+    // its LocalRelation vacuously)
+    "x30_corrupt_ingest" -> ("|langs|+1 triage rows", 11L))
+
+  test("lazy plans: no undeclared cartesian/nested-loop join; " +
+    "eager collects: declared row bound met") {
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    val bounds = eagerBounds(nDocs)
+    val crossOffenders = Seq.newBuilder[String]
+    val boundOffenders = Seq.newBuilder[String]
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(streaming).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      // eager = the RESULT was collected: every leaf is a LocalRelation.
+      // (A lazy plan may legitimately contain one — p14's literal model
+      // table — so a collectFirst would misclassify it.)
+      val leaves = df.queryExecution.analyzed.collectLeaves()
+      val eager = leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
+      if (eager && !allowCross(name)) {
+        bounds.get(name) match {
+          case None =>
+            boundOffenders += s"$name: eager collect with NO declared bound"
+          case Some((why, bound)) =>
+            val n = df.count()
+            if (n > bound)
+              boundOffenders += s"$name: collected $n rows > bound $bound ($why)"
+        }
+      } else if (!allowCross(name)) {
+        val plan = df.queryExecution.sparkPlan.toString
         if (plan.contains("CartesianProduct") || plan.contains("NestedLoopJoin"))
-          Some(name -> plan.linesIterator.filter(l =>
+          crossOffenders += (name + ": " + plan.linesIterator.filter(l =>
             l.contains("CartesianProduct") || l.contains("NestedLoopJoin"))
             .mkString("; "))
-        else None
       }
-    assert(offenders.isEmpty,
-      offenders.map { case (n, l) => s"$n: $l" }.mkString("\n"))
+    }
+    val cross = crossOffenders.result()
+    val bound = boundOffenders.result()
+    assert(cross.isEmpty && bound.isEmpty,
+      (cross ++ bound).mkString("\n"))
   }
 }
