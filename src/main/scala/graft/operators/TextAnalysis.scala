@@ -358,7 +358,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- t12: context-window chunking -------------------------------------
+
+  private[graft] val ChunkWindow = 32
+  private[graft] val ChunkStride = 24
+
+  /** t12: sliding-window CONTEXT CHUNKING — the op that turns documents
+    * into fixed-size training/retrieval sequences ([[ChunkWindow]] tokens,
+    * stride [[ChunkStride]], so consecutive chunks overlap by
+    * window−stride). Standard boundary semantics: chunk i covers tokens
+    * [i·stride, i·stride+window); the last chunk may be short; every chunk
+    * is non-empty (i ranges to ⌊(n−1)/stride⌋). Emits per chunk its token
+    * count and an md5 fingerprint of the joined tokens — the (chunk → doc)
+    * manifest an embedding/RAG indexer consumes.
+    *
+    * SCALE SHAPE: pure map-side — tokenize, one `transform` over the
+    * chunk-index sequence, one explode; rows leaving the scan stage are
+    * (doc_id, chunk_id, count, 32-byte fp), never chunk text. State is
+    * bounded per document; no shuffle except the presentation sort. */
+  def contextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    val n = size(toks)
+    val chunks = transform(
+      sequence(lit(0), floor((n - 1).cast(DoubleType) / ChunkStride).cast(IntegerType)),
+      i => struct(i.as("cid"),
+        slice(toks, i * ChunkStride + 1, lit(ChunkWindow)).as("c")))
+    docs(spark, dir)
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), explode(chunks).as("ch"))
+      .select(col("doc_id"),
+        asLong(col("ch.cid")).as("chunk_id"),
+        asLong(size(col("ch.c"))).as("n_chunk_toks"),
+        md5(concat_ws(" ", col("ch.c"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // ---- t13: BPE merge-pair counting -------------------------------------
+
+  private[graft] val BpeTopPairs = 25
+
+  /** t13: the first BPE MERGE decision — tokenizer-training support. Count
+    * every adjacent character pair inside every word, weighted by the
+    * word's corpus frequency, and rank the top [[BpeTopPairs]]: the pair a
+    * BPE trainer would merge first (repeating this against the merged
+    * vocabulary yields the full merge list; one registered round keeps the
+    * oracle tractable while exercising the whole shape).
+    *
+    * SCALE SHAPE: the t8 two-stage discipline — token counts first (keyed
+    * on the word, vocab-sized, partial-aggregated), then pairs derive from
+    * the DISTINCT vocabulary (pair extraction runs once per distinct word,
+    * not once per occurrence), keyed on the ≤ |alphabet|² pair space. The
+    * corpus-sized explode happens exactly once, for the tf count. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(explode(col("_toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val pairs = tf
+      .filter(length(col("tok")) >= 2)
+      .select(col("tf"), explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+    pairs
+      .select(col("tf"), col("pair"))
+      .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
+      .withColumn("rank", asLong(row_number().over(
+        Window.orderBy(col("n_pairs").desc, col("pair")))))
+      .filter(col("rank") <= BpeTopPairs)
+      .select(col("rank"), col("pair"), col("n_pairs"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_context_chunks" -> contextChunks,
+    "t13_bpe_pairs" -> bpePairs,
     "t10_bigram_support" -> bigramSupport,
     "t11_tfidf_keywords" -> tfidfKeywords,
     "t9_quality_deciles" -> qualityDeciles,
@@ -392,6 +464,35 @@ object TextAnalysis {
     }
 
   val oracles: Map[String, String] = Map(
+    // t12: DuckDB list slicing is 1-based with INCLUSIVE end and clamps at
+    // the list length — l[s : s+W-1] ≡ Spark's slice(l, s, W)
+    "t12_context_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(0, (len(toks) - 1) // $ChunkStride),
+         |          i -> {'cid': i,
+         |                'c': toks[i * $ChunkStride + 1 :
+         |                          i * $ChunkStride + $ChunkWindow]})) AS ch
+         |      FROM d WHERE len(toks) > 0)
+         |SELECT doc_id,
+         |  CAST(ch.cid AS BIGINT) AS chunk_id,
+         |  CAST(len(ch.c) AS BIGINT) AS n_chunk_toks,
+         |  md5(array_to_string(ch.c, ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "t13_bpe_pairs" ->
+      s"""WITH e AS (SELECT unnest($Toks) AS tok FROM documents),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY tok),
+         |p AS (SELECT tf, unnest(list_transform(
+         |         generate_series(1, length(tok) - 1),
+         |         i -> substr(tok, i, 2))) AS pair
+         |      FROM tf WHERE length(tok) >= 2),
+         |s AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n_pairs
+         |      FROM p GROUP BY pair),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS rank
+         |      FROM s)
+         |SELECT CAST(rank AS BIGINT) AS rank, pair, n_pairs
+         |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
     "t10_bigram_support" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
          |b0 AS (SELECT doc_id,

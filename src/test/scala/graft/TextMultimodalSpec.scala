@@ -222,4 +222,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"occurrence-model join degraded from an equi-join:\n$plan")
   } finally spark.catalog.clearCache() }
+
+  test("t12 chunk boundaries: counts, coverage, and window bounds") {
+    val W = TextAnalysis.ChunkWindow
+    val S = TextAnalysis.ChunkStride
+    val chunks = TextAnalysis.contextChunks(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val nToks = graft.functions.Text
+      .withTokens(Catalog.table(spark, sf, "documents"))
+      .select(col("doc_id"), size(col("_toks")).as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nToks.keySet, "every tokenized doc must chunk")
+    nToks.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_.getLong(1))
+      // standard sliding-window chunk count: i in 0..floor((n-1)/S)
+      assert(cs.length == (n - 1) / S + 1, s"doc $doc: wrong chunk count")
+      // every chunk holds min(W, n - i*S) tokens -> full coverage, no gaps
+      cs.foreach { c =>
+        val i = c.getLong(1).toInt
+        assert(c.getLong(2) == math.min(W, n - i * S),
+          s"doc $doc chunk $i: wrong token count")
+      }
+    }
+  }
+
+  test("t13 BPE pair counts match a driver-side recompute") {
+    val got = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val toks = graft.functions.Text
+      .withTokens(Catalog.table(spark, sf, "documents"))
+      .select(explode(col("_toks")).as("t")).collect().map(_.getString(0))
+    val want = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .toSeq.flatMap { case (w, tf) =>
+        w.sliding(2).filter(_.length == 2).map(_ -> tf)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(TextAnalysis.BpeTopPairs)
+    assert(got.toSeq == want, "distributed BPE pair counts diverge from driver truth")
+  }
 }
