@@ -610,6 +610,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- p15: snapshot drift monitoring -----------------------------------
+
+  /** p15: corpus DRIFT MONITORING — the pipeline-health stage: per source,
+    * the L1 distance between the language distribution of the current
+    * corpus and the previous snapshot (the deterministic doc_id % 3 <> 0
+    * subset, the same "previous snapshot" convention as x37). The L1 is
+    * computed in EXACT integers via cross-multiplication —
+    * `Σ_lang |ca·nb − cb·na|` over BIGINTs — with ONE final correctly-
+    * rounded division to the [0,2] ratio, so both engines agree bit-for-
+    * bit (a Σ of per-lang double shares would be partial-agg
+    * order-dependent). The integer form is exact while na·nb < 2^63
+    * (≈ 3·10^9 docs per side per source); past that a deployment drops to
+    * double shares, where cell CHOICE no longer needs bit-exactness.
+    *
+    * SCALE SHAPE: ONE corpus pass — both snapshots' counts come from a
+    * single groupBy(source, lang) with a conditional count (no second
+    * scan, no join); everything downstream operates on |sources|×|langs|
+    * rows. */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Catalog.table(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ca"),
+        count(when(col("doc_id") % 3 =!= 0, lit(1))).as("cb"))
+    val w = Window.partitionBy(col("source"))
+    cells
+      .withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+      .groupBy(col("source"))
+      .agg(asLong(max(col("na"))).as("n_cur"),
+        asLong(max(col("nb"))).as("n_prev"),
+        asLong(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))))
+          .as("drift_num"))
+      .withColumn("drift_l1", col("drift_num").cast(DoubleType) /
+        (col("n_cur") * col("n_prev")).cast(DoubleType))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -623,6 +660,7 @@ object PipelineOps {
     "p12_group_split" -> groupSplit,
     "p13_budget_mix" -> budgetMix,
     "p14_model_score" -> modelScore,
+    "p15_snapshot_drift" -> snapshotDrift,
     "dd10_source_cap" -> sourceCap)
 
   // lazy: embeds Dedup's dd11 oracle while Dedup's own init calls back
@@ -686,6 +724,21 @@ object PipelineOps {
 
   lazy val oracles: Map[String, String] = Map(
     "p14_model_score" -> P14Oracle,
+    "p15_snapshot_drift" ->
+      """WITH cells AS (SELECT source, lang,
+        |         CAST(count(*) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |       FROM documents GROUP BY source, lang),
+        |t AS (SELECT *, sum(ca) OVER (PARTITION BY source) AS na,
+        |        sum(cb) OVER (PARTITION BY source) AS nb
+        |      FROM cells)
+        |SELECT source,
+        |  CAST(max(na) AS BIGINT) AS n_cur,
+        |  CAST(max(nb) AS BIGINT) AS n_prev,
+        |  CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS drift_num,
+        |  CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE)
+        |    / CAST(max(na) * max(nb) AS DOUBLE) AS drift_l1
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "p12_group_split" ->
       s"""WITH s AS (SELECT source, n_chars,
          |             CASE WHEN $sqlGroupSplitHash < 800 THEN 'train'

@@ -17,6 +17,45 @@ import org.apache.spark.sql.types._
   * shuffles except the final presentation sort. At 100 TB they are pure
   * map-side passes that scale linearly with executor count.
   */
+/** Mergeable MISRA-GRIES summary with [[TextAnalysis.MgCounters]] counters
+  * (Agarwal et al.'s mergeable-summaries form): reduce is the classic
+  * "increment / insert / decrement-all" update; merge sums the two maps
+  * and subtracts the (k+1)-largest count from every entry (equivalent to a
+  * run of decrements), keeping ≤ k survivors. The guarantee carried to the
+  * caller is ONE-SIDED — any token with true frequency > N/k survives in
+  * the final map; sketch counts are approximate and merge-order dependent,
+  * which is why [[TextAnalysis.heavyHitters]] recounts candidates exactly
+  * before emitting anything. */
+private[graft] object MgAggregator
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Map[String, Long]] {
+  private def K = TextAnalysis.MgCounters
+  def zero: Map[String, Long] = Map.empty
+  def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+    b.get(tok) match {
+      case Some(c) => b.updated(tok, c + 1)
+      case None if b.size < K => b.updated(tok, 1L)
+      case None => // decrement all, drop zeros (the k-way cancel step)
+        b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    }
+  def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+    val sum = y.foldLeft(x) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= K) sum
+    else {
+      // subtract the (k+1)-largest count from everyone; ≤ k survive
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(K)
+      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+    }
+  }
+  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
 object TextAnalysis {
 
   /** documents with a materialized `_toks` array (see Text.withTokens). */
@@ -428,9 +467,48 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---- t14: two-pass exact heavy hitters (Misra-Gries + recount) --------
+
+  private[graft] val MgCounters = 64
+
+  /** t14: HEAVY HITTERS at scale — the 2-pass exact shape. Pass 1 runs a
+    * mergeable MISRA-GRIES sketch ([[MgAggregator]], [[MgCounters]]
+    * counters per partial) whose guarantee is one-sided: every token with
+    * frequency > N/k survives to the candidate set (≤ k tokens on the
+    * driver), though its sketch count is approximate and merge-order
+    * dependent. Pass 2 recounts ONLY the candidates exactly (broadcast
+    * isin + groupBy) and keeps those strictly above N/k. The final output
+    * is therefore EXACT and deterministic — the sketch's order-dependence
+    * is confined to which extra candidates get recounted and discarded —
+    * which is what makes a DuckDB oracle possible for an approximate
+    * algorithm (t8's exact top-k needs a full vocab shuffle; this needs
+    * one bounded sketch pass + one bounded recount, the way heavy hitters
+    * are actually found at 100 TB).
+    *
+    * SCALE SHAPE: pass 1 is a single typed aggregation to ONE k-entry map
+    * (partials merge pairwise, k entries each — driver sees ≤ k tokens);
+    * pass 2 filters the corpus map-side on a ≤ k-element broadcast set and
+    * aggregates a ≤ k-key groupBy. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir).select(explode(col("_toks")).as("tok"))
+    val total = toks.count()
+    val candidates = toks.as[String]
+      .select(MgAggregator.toColumn.name("mg")).head().keys.toSeq
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(asLong(count(lit(1))).as("n_occurrences"))
+      // keep: count > N/k, in exact integers (count·k > N avoids division)
+      .filter(col("n_occurrences") * MgCounters > total)
+      .withColumn("rank", asLong(row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("tok")))))
+      .select(col("rank"), col("tok"), col("n_occurrences"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_context_chunks" -> contextChunks,
     "t13_bpe_pairs" -> bpePairs,
+    "t14_heavy_hitters" -> heavyHitters,
     "t10_bigram_support" -> bigramSupport,
     "t11_tfidf_keywords" -> tfidfKeywords,
     "t9_quality_deciles" -> qualityDeciles,
@@ -480,6 +558,19 @@ object TextAnalysis {
          |  CAST(len(ch.c) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(ch.c, ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // t14: the sketch is an internal superset generator; the OUTPUT is
+    // exactly "tokens with frequency strictly above N/k" — plain SQL truth
+    "t14_heavy_hitters" ->
+      s"""WITH e AS (SELECT unnest($Toks) AS tok FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+         |      FROM e GROUP BY tok),
+         |k AS (SELECT tok, n_occurrences FROM c
+         |      WHERE n_occurrences * $MgCounters > (SELECT total FROM n))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS BIGINT)
+         |         AS rank,
+         |       tok, n_occurrences
+         |FROM k ORDER BY rank""".stripMargin,
     "t13_bpe_pairs" ->
       s"""WITH e AS (SELECT unnest($Toks) AS tok FROM documents),
          |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY tok),

@@ -247,6 +247,23 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("t14 Misra-Gries guarantee: heavy tokens survive a wide-vocab sketch") {
+    import spark.implicits._
+    // the corpus vocabulary is smaller than k=64, so the registered oracle
+    // never exercises the decrement path — this fixture does: 3 heavy
+    // tokens among 2000 singletons, shuffled across partitions
+    val heavy = Seq("alpha", "beta", "gamma").flatMap(t => Seq.fill(500)(t))
+    val rare = (0 until 2000).map(i => s"rare_$i")
+    val sketch = spark.createDataset(heavy ++ rare).repartition(8).as[String]
+      .select(operators.MgAggregator.toColumn.name("mg")).head()
+    assert(sketch.size <= operators.TextAnalysis.MgCounters,
+      s"sketch must hold at most k entries, held ${sketch.size}")
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      assert(sketch.contains(t),
+        s"token $t has freq 500 > N/k and MUST survive the sketch")
+    }
+  }
+
   test("t13 BPE pair counts match a driver-side recompute") {
     val got = TextAnalysis.bpePairs(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2)))
