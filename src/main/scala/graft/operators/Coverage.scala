@@ -598,7 +598,42 @@ object Coverage {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q36: per-user behavior TRAJECTORIES — the sequence-building stage for
+    * behavioral training data: each user's time-ordered event-type
+    * sequence compacted to (length, #type-transitions, endpoints, and an
+    * order-sensitive fingerprint). Ordering is the engine-wide
+    * deterministic total order (ts, event_id). The Spark side builds the
+    * per-user sequence as a sorted struct array (state bounded by the
+    * user's own event count — the inherent cost of sequence building; a
+    * pathological power-user key is AQE/salting territory upstream);
+    * the oracle reaches the same values through lag + ordered string_agg,
+    * so agreement is evidence of the SEMANTICS, not of one shared
+    * formulation. */
+  def q36UserTrajectories(spark: SparkSession, dir: String): DataFrame = {
+    val seq0 = sort_array(collect_list(struct(
+      col("ts"), col("event_id"), col("event_type"))))
+    val types = col("types")
+    val n = size(types)
+    val transitions = size(filter(
+      zip_with(slice(types, lit(1), n - 1), slice(types, lit(2), n - 1),
+        (a, b) => a =!= b),
+      x => x))
+    Catalog.eventsNorm(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(seq0.as("seq"))
+      .select(col("user_id"),
+        transform(col("seq"), x => x.getField("event_type")).as("types"))
+      .select(col("user_id"),
+        asLong(n).as("n_events"),
+        asLong(when(n <= 1, lit(0)).otherwise(transitions)).as("n_transitions"),
+        element_at(types, 1).as("first_type"),
+        element_at(types, -1).as("last_type"),
+        md5(concat_ws(">", types)).as("traj_fp"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_user_trajectories" -> q36UserTrajectories,
     "q35_above_avg_inactive" -> q35AboveAvgInactive,
     "x25_union_by_name" -> x25UnionByName,
     "q34_monthly_growth" -> q34MonthlyGrowth,
@@ -627,6 +662,21 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    // q36: lag + ordered string_agg formulation (vs Spark's sorted array)
+    // — same (ts, event_id) total order, independently derived
+    "q36_user_trajectories" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> event_type
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+        |  first(event_type ORDER BY ts, event_id) AS first_type,
+        |  last(event_type ORDER BY ts, event_id) AS last_type,
+        |  md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS traj_fp
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q35_above_avg_inactive" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
