@@ -632,7 +632,43 @@ object Coverage {
       .orderBy("user_id")
   }
 
+  /** q37: RETENTION COHORTS — the product-analytics matrix: users grouped
+    * by the week of their first event, each cohort's active-user count at
+    * every week offset, with retention as the fraction of the cohort's
+    * week-0 size. Weeks are exact integer arithmetic on the epoch
+    * (`unix_micros div 86400000000 div 7`) so both engines bucket
+    * identically; the per-cell count is a plain count(*) over the
+    * pre-DISTINCTed (user, week) pairs — the t8 discipline, no
+    * corpus-sized countDistinct under the low-cardinality cohort key.
+    *
+    * SCALE SHAPE: one distinct on (user_id, week) (the dominant shuffle,
+    * AQE-splittable on user skew), a per-user min (same key — partial
+    * aggregated), a user-keyed equi-join, and a tiny |weeks|² cell
+    * aggregate; the window for cohort size runs over the cell table, not
+    * the corpus. */
+  def q37RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Catalog.eventsNorm(spark, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val cells = weeks.join(cohort, Seq("user_id"))
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("off"))
+      .agg(asLong(count(lit(1))).as("n_active"))
+    val w = Window.partitionBy(col("cwk"))
+    cells
+      .withColumn("n_cohort",
+        max(when(col("off") === 0, col("n_active"))).over(w))
+      .select(asLong(col("cwk")).as("cohort_week"),
+        asLong(col("off")).as("week_offset"),
+        col("n_active"),
+        (col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_retention_cohorts" -> q37RetentionCohorts,
     "q36_user_trajectories" -> q36UserTrajectories,
     "q35_above_avg_inactive" -> q35AboveAvgInactive,
     "x25_union_by_name" -> x25UnionByName,
@@ -662,6 +698,20 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q37_retention_cohorts" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cwk FROM wk GROUP BY user_id),
+        |cell AS (SELECT c.cwk, w.wk - c.cwk AS off,
+        |           CAST(count(*) AS BIGINT) AS n_active
+        |         FROM wk w JOIN c ON w.user_id = c.user_id
+        |         GROUP BY c.cwk, w.wk - c.cwk),
+        |t AS (SELECT *, max(CASE WHEN off = 0 THEN n_active END)
+        |        OVER (PARTITION BY cwk) AS n_cohort FROM cell)
+        |SELECT CAST(cwk AS BIGINT) AS cohort_week,
+        |  CAST(off AS BIGINT) AS week_offset, n_active,
+        |  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+        |FROM t ORDER BY cohort_week, week_offset""".stripMargin,
     // q36: lag + ordered string_agg formulation (vs Spark's sorted array)
     // — same (ts, event_id) total order, independently derived
     "q36_user_trajectories" ->

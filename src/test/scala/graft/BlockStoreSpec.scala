@@ -312,6 +312,32 @@ class BlockStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("SPJ composes with doc_id pushdown: pruned shards keep alignment") {
+    // a pushed range empties some shards' block lists, but every shard
+    // still emits its partition (possibly empty) — both sides keep the
+    // identical 16-value key set and the join still plans exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (cur, prv) = BlockStore.ensureShardedSnapshots(spark, sf)
+      val cut = Catalog.table(spark, sf, "documents")
+        .agg(max(col("doc_id"))).head.getLong(0) / 4
+      val a = spark.table(s"graftblocks.`$cur`").filter(col("doc_id") <= cut)
+      val b = spark.table(s"graftblocks.`$prv`").filter(col("doc_id") <= cut)
+        .select(col("doc_id"), col("n_chars").as("prev_chars"))
+      val joined = a.hint("merge").join(b, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("prev_chars"))
+      val rows = joined.collect()
+      val want = Catalog.table(spark, sf, "documents")
+        .filter(col("doc_id") <= cut && col("doc_id") % 3 =!= 0).count()
+      assert(rows.length.toLong == want, "pushed SPJ join lost or grew rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"bounded SPJ join must stay exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SPJ results match the same join straight over parquet") {
     val viaStore = operators.Extended.blockStoreSpjJoin(spark, sf)
       .collect().map(_.toSeq.toVector).toVector
