@@ -124,4 +124,44 @@ class ExprPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Misra-Gries guarantee holds on random streams under random merge trees") {
+    // the t14 contract: for ANY input and ANY partition/merge order, every
+    // item with true frequency > N/k survives the k-counter summary, and
+    // the summary never exceeds k entries. Seeded random streams with
+    // Zipf-ish skew, split into random partials, merged in random order —
+    // the shapes a real shuffle produces and a single fixture cannot cover.
+    val mg = operators.MgAggregator
+    val k = operators.TextAnalysis.MgCounters
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { trial =>
+      val vocab = 1 + rnd.nextInt(400)
+      val n = 500 + rnd.nextInt(4000)
+      // skew: token id ~ floor(vocab * u^3) concentrates mass on low ids
+      val stream = Seq.fill(n) {
+        val u = rnd.nextDouble()
+        s"tok_${(vocab * u * u * u).toInt}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random partition into 1..12 partials, each reduced sequentially
+      val partials = {
+        val cuts = stream.grouped(1 + rnd.nextInt(stream.size / 2 + 1)).toSeq
+        cuts.map(_.foldLeft(mg.zero)(mg.reduce))
+      }
+      // random-order pairwise merge tree
+      var frontier = rnd.shuffle(partials).toVector
+      while (frontier.size > 1) {
+        val i = rnd.nextInt(frontier.size - 1)
+        val merged = mg.merge(frontier(i), frontier(i + 1))
+        frontier = (frontier.take(i) :+ merged) ++ frontier.drop(i + 2)
+      }
+      val sketch = frontier.head
+      assert(sketch.size <= k, s"trial $trial: ${sketch.size} > k=$k entries")
+      truth.foreach { case (t, c) =>
+        if (c * k > n)
+          assert(sketch.contains(t),
+            s"trial $trial: $t freq=$c > N/k=${n / k} missing from sketch")
+      }
+    }
+  }
 }
