@@ -647,6 +647,45 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  // ---- p16: data card ----------------------------------------------------
+
+  private val CardQualityFloor = 0.5
+
+  /** p16: the DATA CARD — the per-source dataset-documentation summary a
+    * corpus release ships: document and character volume, language
+    * coverage, the share clearing the quality floor, and the exact-dup
+    * ratio. Composes the registry's own formulations (t2's quality score,
+    * dd1's md5 identity) into one reporting query.
+    *
+    * SCALE SHAPE: the dup counter is deliberately NOT a
+    * `countDistinct(md5) GROUP BY source` — that shuffles every digest to
+    * its source's reducer (the t8 hot-key antipattern); instead distinct
+    * (source, digest) pairs spread over the full key space first and the
+    * per-source count aggregates 5 rows. Language distinctness keys on a
+    * bounded vocabulary, so plain countDistinct is safe there. Everything
+    * else partial-aggregates map-side. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog.table(spark, dir, "documents")
+    val q = TextAnalysis.qualityScores0(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val uniq = docs.select(col("source"), md5(col("text")).as("fp")).distinct()
+      .groupBy(col("source")).agg(asLong(count(lit(1))).as("n_unique"))
+    docs.join(q, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(countDistinct(col("lang"))).as("n_langs"),
+        asLong(count(when(col("quality") >= CardQualityFloor, lit(1))))
+          .as("n_quality"))
+      .join(uniq, Seq("source"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_unique")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
+        col("n_quality"), col("n_unique"), col("dup_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -661,6 +700,7 @@ object PipelineOps {
     "p13_budget_mix" -> budgetMix,
     "p14_model_score" -> modelScore,
     "p15_snapshot_drift" -> snapshotDrift,
+    "p16_data_card" -> dataCard,
     "dd10_source_cap" -> sourceCap)
 
   // lazy: embeds Dedup's dd11 oracle while Dedup's own init calls back
@@ -724,6 +764,24 @@ object PipelineOps {
 
   lazy val oracles: Map[String, String] = Map(
     "p14_model_score" -> P14Oracle,
+    "p16_data_card" ->
+      s"""WITH q AS (SELECT doc_id, quality
+         |           FROM (${TextAnalysis.QualityOracle}) qb),
+         |d AS (SELECT doc.source, doc.lang, doc.n_chars, q.quality
+         |      FROM documents doc LEFT JOIN q USING (doc_id)),
+         |u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+         |      FROM (SELECT DISTINCT source, md5(text) FROM documents)
+         |      GROUP BY source),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |        CAST(sum(CASE WHEN quality >= $CardQualityFloor
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+         |      FROM d GROUP BY source)
+         |SELECT a.source, n_docs, sum_chars, n_langs, n_quality, n_unique,
+         |  CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS dup_ratio
+         |FROM a JOIN u USING (source) ORDER BY source""".stripMargin,
     "p15_snapshot_drift" ->
       """WITH cells AS (SELECT source, lang,
         |         CAST(count(*) AS BIGINT) AS ca,
