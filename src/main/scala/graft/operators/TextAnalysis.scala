@@ -467,6 +467,28 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---- t15: language-ID confusion matrix --------------------------------
+
+  /** t15: classifier EVALUATION — the confusion matrix of t6's n-gram
+    * language-ID against the labeled lang, with each cell's share of its
+    * true-label row (per-language recall on the diagonal). The evaluation
+    * stage every pipeline classifier needs before its predictions gate
+    * data; t6 ships the predictions, this ships the evidence. One
+    * low-cardinality groupBy over t6's map-side scoring; the row-share
+    * window runs over the ≤ |langs|² cell table. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ngramLangId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("n_lang", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("n_lang").cast(DoubleType))
+          .as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
   // ---- t14: two-pass exact heavy hitters (Misra-Gries + recount) --------
 
   private[graft] val MgCounters = 64
@@ -509,6 +531,7 @@ object TextAnalysis {
     "t12_context_chunks" -> contextChunks,
     "t13_bpe_pairs" -> bpePairs,
     "t14_heavy_hitters" -> heavyHitters,
+    "t15_lang_confusion" -> langConfusion,
     "t10_bigram_support" -> bigramSupport,
     "t11_tfidf_keywords" -> tfidfKeywords,
     "t9_quality_deciles" -> qualityDeciles,
@@ -540,6 +563,26 @@ object TextAnalysis {
          |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
          |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
     }
+
+  // t6's oracle, factored so t15's confusion matrix embeds the identical
+  // scoring text (lazy: references CharNgrams during object init)
+  private lazy val T6Oracle: String = {
+    val scoreExprs = CharNgrams.map { case (l, gs) =>
+      val sum = gs.map(g =>
+        s"(length(lower(text)) - length(replace(lower(text), '$g', ''))) / ${g.length}")
+        .mkString(" + ")
+      s"CAST($sum AS BIGINT) AS g_$l"
+    }.mkString(",\n  ")
+    val pred = CharNgrams.foldRight("'und'") { case ((lang, _), els) =>
+      val others = CharNgrams.filter(_._1 != lang).map(o => s"g_$lang >= g_${o._1}")
+      s"CASE WHEN g_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang' ELSE $els END"
+    }
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  $scoreExprs
+       |FROM documents)
+       |SELECT doc_id, lang, g_en, g_de, g_es, g_fr, $pred AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // t12: DuckDB list slicing is 1-based with INCLUSIVE end and clamps at
@@ -620,23 +663,18 @@ object TextAnalysis {
          |      '$LongNumPat', '<num>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin
     },
-    "t6_ngram_langid" -> {
-      val scoreExprs = CharNgrams.map { case (l, gs) =>
-        val sum = gs.map(g =>
-          s"(length(lower(text)) - length(replace(lower(text), '$g', ''))) / ${g.length}")
-          .mkString(" + ")
-        s"CAST($sum AS BIGINT) AS g_$l"
-      }.mkString(",\n  ")
-      val pred = CharNgrams.foldRight("'und'") { case ((lang, _), els) =>
-        val others = CharNgrams.filter(_._1 != lang).map(o => s"g_$lang >= g_${o._1}")
-        s"CASE WHEN g_$lang > 0 AND ${others.mkString(" AND ")} THEN '$lang' ELSE $els END"
-      }
-      s"""WITH s AS (SELECT doc_id, lang,
-         |  $scoreExprs
-         |FROM documents)
-         |SELECT doc_id, lang, g_en, g_de, g_es, g_fr, $pred AS pred_lang
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "t6_ngram_langid" -> T6Oracle,
+    // t15: t6's scoring reused verbatim as a CTE; the matrix itself is a
+    // tiny two-level aggregate over its output
+    "t15_lang_confusion" ->
+      s"""WITH p AS (SELECT lang, pred_lang FROM ($T6Oracle) t6),
+         |cell AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM p GROUP BY lang, pred_lang),
+         |t AS (SELECT *, sum(n_docs) OVER (PARTITION BY lang) AS n_lang
+         |      FROM cell)
+         |SELECT lang, pred_lang, n_docs,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share
+         |FROM t ORDER BY lang, pred_lang""".stripMargin,
     "t1_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($Toks) AS BIGINT) AS n_ws_tokens,
