@@ -415,22 +415,26 @@ object TextAnalysis {
     * chunk-index sequence, one explode; rows leaving the scan stage are
     * (doc_id, chunk_id, count, 32-byte fp), never chunk text. State is
     * bounded per document; no shuffle except the presentation sort. */
-  def contextChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The t12 chunk transform over ANY frame carrying (doc_id, _toks) —
+    * stateless, so the streaming drain (s22) applies it unchanged to the
+    * block-store micro-batch stream. */
+  private[graft] def chunkTokens(df: DataFrame): DataFrame = {
     val toks = col("_toks")
     val n = size(toks)
     val chunks = transform(
       sequence(lit(0), floor((n - 1).cast(DoubleType) / ChunkStride).cast(IntegerType)),
       i => struct(i.as("cid"),
         slice(toks, i * ChunkStride + 1, lit(ChunkWindow)).as("c")))
-    docs(spark, dir)
-      .filter(size(toks) > 0)
+    df.filter(size(toks) > 0)
       .select(col("doc_id"), explode(chunks).as("ch"))
       .select(col("doc_id"),
         asLong(col("ch.cid")).as("chunk_id"),
         asLong(size(col("ch.c"))).as("n_chunk_toks"),
         md5(concat_ws(" ", col("ch.c"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def contextChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(docs(spark, dir)).orderBy("doc_id", "chunk_id")
 
   // ---- t13: BPE merge-pair counting -------------------------------------
 

@@ -536,6 +536,28 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete()).orderBy("lang")
   }
 
+  /** s22: STREAMING context-chunk manifest — t12's chunker applied
+    * unchanged to the block-store micro-batch stream (s21's source path):
+    * the landed corpus drains in bounded batches and each batch's
+    * documents are chunked map-side, APPEND mode (the transform is
+    * stateless, so every row emits exactly once and the full drain equals
+    * the batch t12 manifest — the oracle IS t12's). This is the
+    * continuous-indexing shape a streaming RAG/embedding pipeline runs:
+    * blocks land over time, the chunk manifest materializes incrementally,
+    * per-batch cost bounded by the trigger cap, zero state. */
+  def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"chunkstream:$dir"
+    Catalog.table(spark, dir, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", store).mode("overwrite").save()
+    val chunked = graft.operators.TextAnalysis.chunkTokens(
+      graft.functions.Text.withTokens(
+        spark.readStream.format("graft.sources.BlockStoreSource")
+          .option("store", store).option("maxBlocksPerTrigger", "4").load()))
+    runToTable(spark, chunked, OutputMode.Append())
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Streaming → parquet FILE sink roundtrip: the same watermarked tumbling
     * aggregation as s1, but written by the streaming engine to a parquet
     * directory (exactly-once via the sink's commit log + checkpoint) and
@@ -826,6 +848,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s21_blockstore_stream" -> blockStoreStream,
+    "s22_stream_chunks" -> streamContextChunks,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -940,6 +963,10 @@ object StreamingOps {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // s22: stateless chunking over the full drain equals the batch t12
+    // manifest — the oracle is t12's own formulation verbatim
+    "s22_stream_chunks" -> graft.operators.TextAnalysis
+      .oracles("t12_context_chunks"),
     // s20: classification is a pure function of the canonical id =
     // min(doc_id) holding the fingerprint across index ∪ stream history
     // (the processor's sorted single-batch replay), so the oracle is the
