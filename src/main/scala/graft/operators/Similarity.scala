@@ -150,30 +150,66 @@ object Similarity {
     * integer centroid metric, unioned with the probe's own cell — shared by
     * sim11 (exact rescoring), sim13 (ADC rescoring), and sim14 (the
     * recall-bar configuration at [[BarNProbe]]). */
+  /** Embedding dimensionality — fixed by the data contract (64-dim float
+    * vectors, TESTDATA.md); the cell-stats aggregate below is generated at
+    * plan-build time, so the width must be known up front. */
+  private val Dims = 64
+
   private def multiProbeCells(all: DataFrame, nProbe: Int = NProbe): DataFrame = {
-    val m = array_max(transform(col("e"), x => abs(x)))
-    // int8 grid, kept as LONG (Spark floor(double) yields LongType): the
-    // centroid math below must stay integer-exact
-    val quant = all.withColumn("q",
-      transform(col("e"), x => floor(x * lit(127.0) / m + lit(0.5))))
-    val cells = quant
+    // int8 grid, kept as LONG via the codegen vec_quant127 (bit-identical
+    // to the interpreted transform/floor chain it replaced — the r10 perf
+    // fix): the centroid math below must stay integer-exact.
+    val quant = all.withColumn("q", call_function("vec_quant127", col("e")))
+    // Cell stats in ONE corpus pass: posexplode the codegen-quantized
+    // array inside the scan stage (Generate → partial HashAggregate is
+    // pipelined, so the SHUFFLE carries only |cells|×64×partitions small
+    // longs — the explosion never crosses a stage boundary) and collect
+    // the bounded |cells|×64 stats grid. The r10 perf weakness was the
+    // interpreted 3-HOF quantizer feeding this plus a join/groupBy/window
+    // scoring chain; scoring is now driver-side (below).
+    val cellRows = quant
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("cn"))
-    val probesQ = quant.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("query_id"), col("label").as("plabel"),
-        posexplode(col("q")).as(Seq("dim", "pqv")))
-    val diff = col("cn") * col("pqv") - col("s")
-    val nearest = probesQ.join(cells, Seq("dim"))
-      .groupBy(col("query_id"), col("label"))
-      .agg(sum(diff * diff).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("score"), col("label"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("label").as("clabel"))
-    val own = quant.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("query_id"), col("label").as("clabel"))
-    nearest.unionAll(own).distinct()
+      .collect()
+    val probeRows = quant.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id"), col("label"), col("q")).collect()
+    // Driver-side argmin over the bounded |probes| x |cells| grid (the
+    // sim9 bounded-driver-scoring pattern; |cells| and |probes| are both
+    // constants — see the probe-cardinality contract above). Arithmetic
+    // and tie-breaks replicate the r10 plan exactly: n²-scaled BIGINT
+    // distance Σ_d (cn·q_d − s_d)², ascending (score, label).
+    val cells = cellRows
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toArray.map { case (lb, ds) =>
+        require(ds.length == Dims, s"expected $Dims-dim cell stats for $lb")
+        val s = new Array[Long](Dims)
+        ds.foreach { case (_, d, sv, _) => s(d) = sv }
+        (lb, ds.head._4, s)
+      }
+    val out = probeRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val own = r.getInt(1)
+      val q = r.getSeq[Long](2).toArray
+      val scored = cells.map { case (lb, cn, s) =>
+        var acc = 0L
+        var d = 0
+        while (d < Dims) {
+          val t = cn * q(d) - s(d)
+          acc += t * t
+          d += 1
+        }
+        (acc, lb)
+      }
+      val nearest = scored.sortBy(identity).take(nProbe).map(_._2)
+      (nearest :+ own).distinct.map(lb =>
+        org.apache.spark.sql.Row(qid, lb))
+    }.distinct
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("clabel", IntegerType, nullable = false)))
+    all.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.toIndexedSeq: _*), schema)
   }
 
   def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame =
