@@ -635,9 +635,12 @@ object Coverage {
   /** q37: RETENTION COHORTS — the product-analytics matrix: users grouped
     * by the week of their first event, each cohort's active-user count at
     * every week offset, with retention as the fraction of the cohort's
-    * week-0 size. Weeks are exact integer arithmetic on the epoch
-    * (`unix_micros div 86400000000 div 7`) so both engines bucket
-    * identically; the per-cell count is a plain count(*) over the
+    * week-0 size. Weeks are exact integer FLOOR division of the micros
+    * epoch by one week — spelled `(x - pmod(x, w)) div w` on the Spark
+    * side because `div` alone truncates toward zero while DuckDB's `//`
+    * floors, and the two diverge on pre-1970 timestamps (the numerator is
+    * an exact multiple of w, so the `div` is exact floor for either
+    * sign); the per-cell count is a plain count(*) over the
     * pre-DISTINCTed (user, week) pairs — the t8 discipline, no
     * corpus-sized countDistinct under the low-cardinality cohort key.
     *
@@ -649,7 +652,8 @@ object Coverage {
   def q37RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val weeks = Catalog.eventsNorm(spark, dir)
       .select(col("user_id"),
-        expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))" +
+          " div 604800000000").as("wk"))
       .distinct()
     val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
     val cells = weeks.join(cohort, Seq("user_id"))
@@ -700,7 +704,7 @@ object Coverage {
   val oracles: Map[String, String] = Map(
     "q37_retention_cohorts" ->
       """WITH wk AS (SELECT DISTINCT user_id,
-        |              epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+        |              epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cwk FROM wk GROUP BY user_id),
         |cell AS (SELECT c.cwk, w.wk - c.cwk AS off,
         |           CAST(count(*) AS BIGINT) AS n_active

@@ -461,14 +461,25 @@ object TextAnalysis {
       .select(col("tf"), explode(transform(
         sequence(lit(1), length(col("tok")) - 1),
         i => col("tok").substr(i, lit(2)))).as("pair"))
-    pairs
+    val pairAgg = pairs
       .select(col("tf"), col("pair"))
       .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
-      .withColumn("rank", asLong(row_number().over(
-        Window.orderBy(col("n_pairs").desc, col("pair")))))
-      .filter(col("rank") <= BpeTopPairs)
-      .select(col("rank"), col("pair"), col("n_pairs"))
+    // Exact global rank via the two-pass RangeRank — not an unpartitioned
+    // row_number window. The pair table is bounded (≤ |charset|²) TODAY,
+    // but true BPE over multi-char merged symbols grows the pair space
+    // with the vocabulary, and this was the one registered plan carrying
+    // a single-partition WindowExec. The top rows are collected eagerly
+    // (bound = BpeTopPairs, declared in PlanAuditSpec) so the pinned
+    // pass-1 sort is released here, the t9 lifecycle.
+    val ranked = RangeRank.withGlobalRank(pairAgg, "rank0",
+      col("n_pairs").desc, col("pair"))
+    val top = ranked.df
+      .filter(col("rank0") < BpeTopPairs)
+      .select((col("rank0") + 1).as("rank"), col("pair"), col("n_pairs"))
       .orderBy("rank")
+    val rows = top.collect()
+    ranked.release()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
   // ---- t15: language-ID confusion matrix --------------------------------
@@ -512,23 +523,37 @@ object TextAnalysis {
     * are actually found at 100 TB).
     *
     * SCALE SHAPE: pass 1 is a single typed aggregation to ONE k-entry map
-    * (partials merge pairwise, k entries each — driver sees ≤ k tokens);
-    * pass 2 filters the corpus map-side on a ≤ k-element broadcast set and
-    * aggregates a ≤ k-key groupBy. */
+    * (partials merge pairwise, k entries each — driver sees ≤ k tokens)
+    * that also carries the exact total N in the same corpus pass (a plain
+    * count aggregate planned alongside the sketch — a separate count()
+    * would cost a third corpus-wide explode+scan); pass 2 filters the
+    * corpus map-side on a ≤ k-element broadcast set and aggregates a
+    * ≤ k-key groupBy. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir).select(explode(col("_toks")).as("tok"))
-    val total = toks.count()
-    val candidates = toks.as[String]
-      .select(MgAggregator.toColumn.name("mg")).head().keys.toSeq
-    toks.filter(col("tok").isin(candidates: _*))
+    val (mg, total) = toks.as[String]
+      .select(MgAggregator.toColumn.name("mg"),
+        count(lit(1)).as("total").as[Long]).head()
+    val candidates = mg.keys.toSeq
+    val survivors = toks.filter(col("tok").isin(candidates: _*))
       .groupBy(col("tok")).agg(asLong(count(lit(1))).as("n_occurrences"))
       // keep: count > N/k, in exact integers (count·k > N avoids division)
       .filter(col("n_occurrences") * MgCounters > total)
-      .withColumn("rank", asLong(row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("tok")))))
-      .select(col("rank"), col("tok"), col("n_occurrences"))
-      .orderBy("rank")
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .collect() // ≤ k rows by construction (groupBy key ⊆ candidates)
+    // rank assigned driver-side over the bounded survivor set — not an
+    // unpartitioned row_number window (the single-task funnel shape this
+    // repo bans even when the input happens to be bounded)
+    val schema = StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("tok", StringType, nullable = true),
+      StructField("n_occurrences", LongType, nullable = true)))
+    val ranked = survivors.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i + 1L, r.getString(0), r.getLong(1))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(ranked.toIndexedSeq: _*), schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

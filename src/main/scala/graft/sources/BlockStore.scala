@@ -159,9 +159,18 @@ object BlockStore {
   private def loadSharded(spark: SparkSession, name: String,
       df: org.apache.spark.sql.DataFrame, width: Long): Unit = {
     val n = SpjShards
+    // The catalog's bucket transform carries the width as an Int parameter
+    // (Expressions.bucket), and shard placement assumes non-negative ids —
+    // outside either range rows would silently mis-place (truncated width)
+    // or crash the partitioner (negative shard). Fail loudly instead.
+    require(width > 0 && width <= Int.MaxValue,
+      s"loadSharded: shard width $width outside (0, Int.MaxValue] — " +
+        "corpus id range exceeds the bucket transform's Int parameter")
     df.rdd
       .map { r =>
         val id = r.getLong(0)
+        require(id >= 0, s"loadSharded: negative doc_id $id — shard " +
+          "placement id/width assumes non-negative ids")
         ((id / width).toInt,
           (id, r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       }

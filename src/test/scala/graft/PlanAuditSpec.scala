@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     * contract's value is that nothing collects MORE than its declared
     * shape — a probe-budget query collecting corpus-sized rows, or a
     * shard summary collecting per-doc rows, fails loudly. */
-  private def eagerBounds(nDocs: Long): Map[String, (String, Long)] = Map(
+  private def eagerBounds(nDocs: Long, nSources: Long,
+      nLangs: Long): Map[String, (String, Long)] = Map(
     // per-doc manifests: one output row per (surviving) document
     "dd8_dedup_clusters" -> ("≤ one cluster row per doc", nDocs),
     "p1_pipeline_manifest" -> ("≤ one manifest row per doc", nDocs),
@@ -63,18 +64,29 @@ class PlanAuditSpec extends SparkSpec {
     "sim11_ivf_multiprobe" -> ("10 probes × k=3", 10L * 3),
     "sim13_ivf_pq" -> ("10 probes × k=3", 10L * 3),
     "sim14_recall_bar" -> ("10 probes", 10L),
+    "t13_bpe_pairs" ->
+      ("top BpeTopPairs pairs", operators.TextAnalysis.BpeTopPairs.toLong),
+    "t14_heavy_hitters" ->
+      ("≤ MgCounters survivors", operators.TextAnalysis.MgCounters.toLong),
     // x36 returns the per-(source, lang) aggregate eagerly (the catalog
-    // table is dropped in its finally, so the frame must not stay lazy)
-    "x36_blockstore_sql" -> ("|sources| × |langs| groups", 10L * 10),
+    // table is dropped in its finally, so the frame must not stay lazy).
+    // Bounds below derive from the DATA (distinct source/lang counts),
+    // not fixture constants — a regenerated corpus with more sources or
+    // languages moves the bound instead of failing the audit spuriously.
+    "x36_blockstore_sql" -> ("|sources| × |langs| groups", nSources * nLangs),
     // x30 collects its (|langs|+1)-row triage and releases the parse cache
     // (caught by the automatic eager detection; the old hand-list audited
     // its LocalRelation vacuously)
-    "x30_corrupt_ingest" -> ("|langs|+1 triage rows", 11L))
+    "x30_corrupt_ingest" -> ("|langs|+1 triage rows", nLangs + 1))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {
-    val nDocs = Catalog.table(spark, sf, "documents").count()
-    val bounds = eagerBounds(nDocs)
+    val docs = Catalog.table(spark, sf, "documents")
+    val nDocs = docs.count()
+    val shape = docs.agg(
+      org.apache.spark.sql.functions.countDistinct("source"),
+      org.apache.spark.sql.functions.countDistinct("lang")).head()
+    val bounds = eagerBounds(nDocs, shape.getLong(0), shape.getLong(1))
     val crossOffenders = Seq.newBuilder[String]
     val boundOffenders = Seq.newBuilder[String]
     SparkEntry.queries.keys.toSeq.sorted.filterNot(streaming).foreach { name =>
@@ -84,7 +96,11 @@ class PlanAuditSpec extends SparkSpec {
       // table — so a collectFirst would misclassify it.)
       val leaves = df.queryExecution.analyzed.collectLeaves()
       val eager = leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
-      if (eager && !allowCross(name)) {
+      // An eager query is bound-checked REGARDLESS of allowCross
+      // membership — allowCross only waives the cartesian/nested-loop
+      // check on lazy plans (an eager query that is also listed there
+      // must not silently escape both audits).
+      if (eager) {
         bounds.get(name) match {
           case None =>
             boundOffenders += s"$name: eager collect with NO declared bound"
