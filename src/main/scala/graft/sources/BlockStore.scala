@@ -7,11 +7,15 @@ import graft.Catalog
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** The in-memory BLOCK STORE behind [[BlockStoreSource]] — the engine's
+/** The two-tier BLOCK STORE behind [[BlockStoreSource]] — the engine's
   * analogue of the reference daemon's put/get surface
   * (`deploy/Daemon.scala:45-75`: `putBlock` → memory store, `getBlock` →
   * serve bytes to a later reader), re-expressed as the storage half of a
-  * Spark DataSourceV2 connector instead of a bespoke RPC protocol.
+  * Spark DataSourceV2 connector instead of a bespoke RPC protocol. The
+  * memory tier is BOUNDED by a byte budget with LRU demotion to a disk
+  * tier (the reference's `evictBlocksToFreeSpace` behavior — see the
+  * memory-envelope section below), so the store's capacity is disk-,
+  * not heap-, limited.
   *
   * Blocks are written EXECUTOR-SIDE (`ensureLoaded` runs a
   * `foreachPartition` job — each task puts its own partition's rows, no
@@ -37,24 +41,182 @@ object BlockStore {
     * field order. */
   type DocRow = (Long, String, String, String, Long)
 
-  final case class Block(minId: Long, maxId: Long, rows: Array[DocRow],
-      shard: Int = -1) {
-    def numRows: Long = rows.length.toLong
+  /** One stored block. Stats (min/max, size, dictionaries) are computed
+    * once at put time and stay RESIDENT in memory in both tiers — pruning
+    * and planning never touch a payload. The PAYLOAD lives in the memory
+    * tier until the store's byte budget forces an LRU demotion to the
+    * disk tier (see the memory-envelope section below); [[rows]] serves
+    * from whichever tier currently holds it. */
+  final class Block(val minId: Long, val maxId: Long,
+      rows0: Array[DocRow], val shard: Int = -1) {
+    val numRows: Long = rows0.length.toLong
     /** Approximate in-memory payload size — computed once at put time (the
       * daemon knows its block sizes without re-reading payloads). */
     val bytes: Long =
-      rows.iterator.map(r => 24L + r._2.length + r._3.length + r._4.length).sum
+      rows0.iterator.map(r => 24L + r._2.length + r._3.length + r._4.length).sum
     /** Per-block DICTIONARY stats for the low-cardinality columns —
       * parquet's dictionary-page trick on the daemon's metadata surface:
       * computed once at put time, consulted by the scan to skip whole
       * blocks for lang/source equality predicates. Both columns are
       * bounded-cardinality by construction (languages, crawl sources), so
       * the sets cost a few dozen bytes per block at any corpus size. */
-    val langs: Set[String] = rows.iterator.map(_._3).toSet
-    val sources: Set[String] = rows.iterator.map(_._4).toSet
+    val langs: Set[String] = rows0.iterator.map(_._3).toSet
+    val sources: Set[String] = rows0.iterator.map(_._4).toSet
+
+    @volatile private var mem: Array[DocRow] = rows0
+    @volatile private var file: java.nio.file.Path = null
+    /** LRU clock stamp of the last payload access (put counts as one). */
+    @volatile private[sources] var lastAccess: Long = tickClock()
+
+    def isInMemory: Boolean = mem != null
+
+    /** The payload, from whichever tier holds it. A disk-tier read does
+      * NOT re-promote (the reference's DiskStore serves reads in place;
+      * promotion policy belongs to the caller) — but it does advance the
+      * LRU stamp so a later promotion decision could see recency. */
+    def rows: Array[DocRow] = {
+      lastAccess = tickClock()
+      val m = mem
+      if (m != null) m
+      else {
+        diskReads.incrementAndGet()
+        readBlockFile(file)
+      }
+    }
+
+    /** Demote the payload to the disk tier (called under the eviction
+      * lock). Write-once: a block re-demoted after budget churn reuses
+      * its existing file. In-flight readers that already grabbed the
+      * array reference finish safely — demotion only drops the ref. */
+    private[sources] def demote(): Unit = {
+      val m = mem
+      if (m != null) {
+        if (file == null) file = writeBlockFile(m)
+        mem = null
+      }
+    }
+  }
+
+  object Block {
+    def apply(minId: Long, maxId: Long, rows: Array[DocRow],
+        shard: Int = -1): Block = new Block(minId, maxId, rows, shard)
   }
 
   private val stores = new ConcurrentHashMap[String, Array[Block]]()
+
+  // ---- memory envelope: byte budget + LRU demotion to the disk tier ----
+  //
+  // The reference's defining storage behavior is a BOUNDED memory tier:
+  // a put that would exceed the budget evicts least-recently-used blocks
+  // to the disk store until the new block fits
+  // (`/root/reference/src/main/scala/org/scache/storage/memory/MemoryStore.scala:466-542`
+  // `evictBlocksToFreeSpace`), with the budget derived as a fraction of
+  // the heap (`UnifiedMemoryManager.scala:146-176`). Re-expressed here:
+  // every visible put runs the same enforce-after-insert loop, demoted
+  // payloads land in a JVM-local disk tier as length-prefixed binary
+  // files, and ALL block metadata (min/max, dictionaries, sharding) stays
+  // memory-resident in both tiers so pruning and SPJ planning are
+  // tier-independent. At 100 TB this is the property that lets a node
+  // hold its shard of a corpus larger than its RAM — the one §1.3
+  // capability a purely in-memory map could not claim.
+
+  /** Default budget mirrors the reference's unified-memory fraction:
+    * 0.6 × (maxHeap − 300 MB reserved). Never reached at test SFs, so the
+    * mechanism is ON by default without perturbing existing stores. */
+  private def defaultBudget: Long =
+    (0.6 * (Runtime.getRuntime.maxMemory - 300L * 1024 * 1024)).toLong
+
+  @volatile private var budget: Long = defaultBudget
+  def memoryBudget: Long = budget
+
+  /** Set the memory-tier byte budget and enforce it immediately (the
+    * spec's overfill entry point; production would set this once from
+    * conf at daemon start). */
+  def setMemoryBudget(b: Long): Unit = { budget = b; enforceBudget() }
+  def resetMemoryBudget(): Unit = setMemoryBudget(defaultBudget)
+
+  private val clock = new AtomicLong(0)
+  private def tickClock(): Long = clock.incrementAndGet()
+
+  /** Disk-tier reads served (the two-tier spec's metric). */
+  val diskReads = new AtomicLong(0)
+  /** Blocks demoted memory → disk over the JVM's lifetime. */
+  val demotions = new AtomicLong(0)
+
+  /** Bytes currently held by the memory tier across all visible stores. */
+  def memoryUsed: Long = {
+    import scala.jdk.CollectionConverters._
+    stores.values().asScala.iterator
+      .flatMap(_.iterator).filter(_.isInMemory).map(_.bytes).sum
+  }
+
+  /** Dedicated eviction monitor — NOT `BlockStore.this`: the ensure*
+    * loaders hold this object's monitor on the DRIVER thread while their
+    * load job runs, and the job's tasks call [[put]] → [[enforceBudget]]
+    * executor-side in the same JVM; sharing the monitor would deadlock
+    * the load (driver waits for tasks, tasks wait for the driver's lock). */
+  private val evictionLock = new Object
+
+  /** Evict least-recently-used in-memory payloads to the disk tier until
+    * the memory tier fits the budget — the reference's
+    * `evictBlocksToFreeSpace` loop (selection ordered by last access;
+    * a just-put block carries the freshest stamp, so it is evicted last,
+    * matching the reference's "don't evict what you're writing"). */
+  private def enforceBudget(): Unit = evictionLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    var used = memoryUsed
+    if (used <= budget) return
+    val lru = stores.values().asScala.iterator.flatMap(_.iterator)
+      .filter(_.isInMemory).toArray.sortBy(_.lastAccess)
+    var i = 0
+    while (used > budget && i < lru.length) {
+      lru(i).demote()
+      demotions.incrementAndGet()
+      used -= lru(i).bytes
+      i += 1
+    }
+  }
+
+  // disk tier: one temp dir per JVM, length-prefixed binary block files
+  private lazy val diskDir: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-blockstore-disk")
+  private val fileSeq = new AtomicLong(0)
+
+  private def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  private def readStr(in: java.io.DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def writeBlockFile(rows: Array[DocRow]): java.nio.file.Path = {
+    val p = diskDir.resolve(s"block-${fileSeq.incrementAndGet()}.bin")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(p)))
+    try {
+      out.writeInt(rows.length)
+      rows.foreach { r =>
+        out.writeLong(r._1); writeStr(out, r._2); writeStr(out, r._3)
+        writeStr(out, r._4); out.writeLong(r._5)
+      }
+    } finally out.close()
+    p
+  }
+
+  private def readBlockFile(p: java.nio.file.Path): Array[DocRow] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(p)))
+    try {
+      Array.fill(in.readInt()) {
+        (in.readLong(), readStr(in), readStr(in), readStr(in), in.readLong())
+      }
+    } finally in.close()
+  }
 
   /** Readers opened since JVM start — the pruning spec diffs this around
     * scans to count how many blocks a query actually touched. */
@@ -63,6 +225,7 @@ object BlockStore {
   private[sources] def put(name: String, block: Block): Unit = {
     stores.compute(name, (_, v) =>
       if (v == null) Array(block) else v :+ block): Unit
+    enforceBudget()
   }
 
   // ---- write-path staging (the putBlock → commit visibility protocol) ----
@@ -94,6 +257,7 @@ object BlockStore {
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
     stores.compute(name, (_, v) =>
       if (truncate || v == null) blocks else v ++ blocks): Unit
+    enforceBudget()
   }
 
   private[sources] def discardStaged(name: String): Unit = {
@@ -113,6 +277,10 @@ object BlockStore {
   }
 
   def blockCount(name: String): Int = get(name).length
+
+  /** Visible blocks of a store — the metadata surface (payload access via
+    * `Block.rows` serves from whichever tier holds it). */
+  def blocks(name: String): Seq[Block] = get(name).toSeq
 
   /** Max doc_id across the store's block stats (the metadata a reader
     * consults without touching any block payload). */
