@@ -35,6 +35,44 @@ import org.apache.spark.sql.functions.col
   * requires, so column pruning saves real decode work per row — the same
   * economics as parquet's column skipping, observable in the spec.
   */
+/** Deterministic PRIMARY + BACKUP placement for store blocks — the
+  * reference's `scache.shuffle.replication` semantics
+  * (`MapOutputTracker.scala:193-217`: reduce i gets primary
+  * `clientList(i % n)` plus `numRep` random distinct non-primary backups)
+  * re-expressed as a PURE function of (store, shard, cluster size):
+  * the reference randomizes at registration and remembers the answer in
+  * the tracker; making placement a pure function needs no tracker state
+  * at all — any node recomputes any block's hosts, which is also what
+  * lets independently-acting writers agree on backup targets. local[32]
+  * cannot demonstrate real multi-node fault tolerance, so the CONTRACT
+  * (determinism, distinctness, balance) is what the spec pins.
+  */
+object Placement {
+
+  /** Hosts for block `shard` of `store` on a cluster of `nHosts`:
+    * head = primary (round-robin over hosts, the reference's `i % n`),
+    * tail = min(nReplicas, nHosts−1) distinct backups chosen by a
+    * deterministic seeded rotation of the non-primary hosts (the
+    * reference's `Random.shuffle(backups).slice(0, numRep)` with the
+    * randomness replaced by a (store, shard) hash, so backup load
+    * spreads across hosts instead of always hitting primary+1). */
+  def hostsFor(store: String, shard: Int, nHosts: Int,
+      nReplicas: Int): Seq[Int] = {
+    require(nHosts > 0, s"placement needs a positive cluster size, got $nHosts")
+    require(shard >= 0, s"placement needs a non-negative shard, got $shard")
+    val r = math.min(math.max(0, nReplicas), nHosts - 1)
+    val primary = shard % nHosts
+    if (r == 0) Seq(primary)
+    else {
+      val seed = scala.util.hashing.MurmurHash3.stringHash(store) * 31 + shard
+      val others = (1 until nHosts).map(k => (primary + k) % nHosts)
+      val rot = math.floorMod(seed, others.length)
+      val walk = others.drop(rot) ++ others.take(rot)
+      primary +: walk.take(r)
+    }
+  }
+}
+
 object BlockStore {
 
   /** (doc_id, text, lang, source, n_chars) — [[graft.Catalog.documents]]
@@ -325,7 +363,8 @@ object BlockStore {
     * two co-registered stores always expose identical partition-key sets to
     * the join planner). Executor-side puts, like [[ensureLoaded]]. */
   private def loadSharded(spark: SparkSession, name: String,
-      df: org.apache.spark.sql.DataFrame, width: Long): Unit = {
+      df: org.apache.spark.sql.DataFrame, width: Long,
+      maxRowsPerBlock: Int = Int.MaxValue): Unit = {
     val n = SpjShards
     // The catalog's bucket transform carries the width as an Int parameter
     // (Expressions.bucket), and shard placement assumes non-negative ids —
@@ -349,10 +388,14 @@ object BlockStore {
       .foreachPartition { it: Iterator[(Int, DocRow)] =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val rows = it.map(_._2).toArray
-        val (mn, mx) =
-          if (rows.isEmpty) (Long.MaxValue, Long.MinValue)
-          else (rows.iterator.map(_._1).min, rows.iterator.map(_._1).max)
-        put(name, Block(mn, mx, rows, shard = pid))
+        if (rows.isEmpty)
+          // empty shards still land a (stat-less) block so co-registered
+          // stores expose identical shard sets to the join planner
+          put(name, Block(Long.MaxValue, Long.MinValue, rows, shard = pid))
+        else rows.grouped(maxRowsPerBlock).foreach { chunk =>
+          put(name, Block(chunk.iterator.map(_._1).min,
+            chunk.iterator.map(_._1).max, chunk, shard = pid))
+        }
       }
     shardedMeta.put(name, (n, width)): Unit
   }
@@ -375,6 +418,51 @@ object BlockStore {
       }
       (a, b)
     }
+
+  /** A snapshot sharded at TWICE the co-registered width — the
+    * MISMATCHED partner the SPJ robustness spec joins against `spj_cur`.
+    * The reference rejects mismatched co-registrations outright
+    * (`MapOutputTracker.scala:219-255` same-reducer-count check); the
+    * Spark-native equivalent is SOFTER and safer: each scan truthfully
+    * reports its own `bucket(width, doc_id)`, the planner sees two
+    * incompatible shuffle specs, and `EnsureRequirements` inserts the
+    * hash Exchanges a normal join needs — a fallback, never a wrong
+    * answer. (A same-width pair elides both, the x37 path.) */
+  private[graft] def ensureWidthMismatched(spark: SparkSession,
+      dir: String): String = synchronized {
+    val name = s"spj_wide@$dir"
+    if (!stores.containsKey(name)) {
+      val (_, width) = shardedMeta.get(s"spj_cur@${dir}") match {
+        case null => // co-registered pair not built yet: build it first
+          ensureShardedSnapshots(spark, dir)
+          shardedMeta.get(s"spj_cur@$dir")
+        case m => m
+      }
+      loadSharded(spark, name, Catalog.table(spark, dir, "documents"),
+        width * 2)
+    }
+    name
+  }
+
+  /** A snapshot at the CO-REGISTERED width but with every shard's rows
+    * split across several small blocks — the many-blocks-per-shard layout
+    * a skewed ingest lands, and the fixture for Spark's
+    * partially-clustered distribution (the scan emits one partition per
+    * block, several per shard key; see the planInputPartitions note in
+    * [[BlockStoreSource]]). */
+  private[graft] def ensureChunkedSnapshot(spark: SparkSession,
+      dir: String): String = synchronized {
+    val name = s"spj_chunk@$dir"
+    if (!stores.containsKey(name)) {
+      val (cur, _) = ensureShardedSnapshots(spark, dir)
+      val width = shardedMeta.get(cur)._2
+      val docs = Catalog.table(spark, dir, "documents")
+      val perShard = math.max(1L, docs.count() / SpjShards)
+      loadSharded(spark, name, docs, width,
+        maxRowsPerBlock = math.max(1, (perShard / 3).toInt))
+    }
+    name
+  }
 
   /** Load `documents` clustered by LANG (one-or-few langs per block) —
     * the layout a per-language corpus ingest lands naturally, and the one

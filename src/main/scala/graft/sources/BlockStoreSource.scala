@@ -273,14 +273,29 @@ private[sources] class BlockScan(store: String, required: StructType,
   // list, rows are still filtered exactly by the join above.
 
   @volatile private var runtimeKeys: Option[Array[Long]] = None
+  /** Runtime join-key value sets for the DICTIONARY columns — same
+    * contract as [[runtimeKeys]] but pruned against the blocks'
+    * dictionary stats instead of min/max: a lang- or source-keyed
+    * broadcast join skips every block whose dictionary is disjoint from
+    * the build side's actual key values (x35's DPP shape extended to the
+    * r10 dictionary stats; on the by-lang clustered layout that is most
+    * of the store). */
+  @volatile private var runtimeDict: Map[String, Set[String]] = Map.empty
 
+  // only columns that SURVIVED column pruning may be offered: Spark
+  // resolves these against the scan's (pruned) output and fails analysis
+  // on a name the projection dropped
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    Array("doc_id", "lang", "source")
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
       case In("doc_id", values) =>
         runtimeKeys = Some(values.collect { case v: Long => v })
+      case In(c @ ("lang" | "source"), values) =>
+        runtimeDict += (c -> values.collect { case s: String => s }.toSet)
       case _ => // unrecognized runtime filter: keep every block (sound)
     }
 
@@ -311,17 +326,33 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   private def survives(b: BlockStore.Block): Boolean =
     b.maxId >= lo && b.minId <= hi && dictSurvives(b) &&
-      runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId))
+      runtimeKeys.forall(_.exists(k => k >= b.minId && k <= b.maxId)) &&
+      runtimeDict.forall {
+        case ("lang", vs)   => b.langs.exists(vs.contains)
+        case ("source", vs) => b.sources.exists(vs.contains)
+        case _              => true
+      }
 
   override def planInputPartitions(): Array[InputPartition] =
     BlockStore.shardingOf(store) match {
       case Some((n, _)) =>
+        // One input partition PER BLOCK, keyed by its shard (the standard
+        // many-files-per-bucket layout): Spark's key-grouped machinery
+        // groups same-key partitions for SPJ, and under
+        // `v2.bucketing.partiallyClusteredDistribution.enabled` it may
+        // instead keep a skewed shard's blocks as separate tasks and
+        // replicate the other side's group — which is why the scan must
+        // not pre-merge them. A shard whose blocks were all pruned still
+        // emits one empty partition so both join sides always expose the
+        // identical key set.
         val blocks = BlockStore.get(store).zipWithIndex
-        Array.tabulate[InputPartition](n) { s =>
-          ShardBlockPartition(store, s, blocks.collect {
+        (0 until n).flatMap { s =>
+          val mine = blocks.collect {
             case (b, i) if b.shard == s && survives(b) => i
-          })
-        }
+          }
+          if (mine.isEmpty) Seq(ShardBlockPartition(store, s, Array.empty))
+          else mine.map(i => ShardBlockPartition(store, s, Array(i)))
+        }.toArray[InputPartition]
       case None =>
         BlockStore.get(store).zipWithIndex.collect {
           case (b, i) if survives(b) => BlockPartition(store, i): InputPartition

@@ -291,6 +291,31 @@ class BlockStoreSpec extends SparkSpec {
       s"scan description must surface the dictionary filter:\n$plan")
   }
 
+  test("lang-keyed broadcast join runtime-prunes blocks via dictionary stats") {
+    // The r10 dictionary stats served only STATIC pushed predicates; the
+    // runtime-filtering path (x35's DPP shape) now also carries lang /
+    // source join keys: the broadcast build side materializes first, its
+    // actual key values arrive as In("lang", ...), and blocks whose
+    // dictionaries are disjoint are never opened.
+    val name = BlockStore.ensureLangClustered(spark, sf)
+    val total = BlockStore.blockCount(name).toLong
+    assert(total > 1, "fixture must span multiple blocks for pruning to show")
+    val dim = Catalog.table(spark, sf, "documents")
+      .filter(col("lang") === "de").select(col("lang")).distinct()
+    val joined = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .join(broadcast(dim), Seq("lang"))
+    val before = BlockStore.readersOpened.get()
+    val got = joined.count()
+    val opened = BlockStore.readersOpened.get() - before
+    val want = Catalog.table(spark, sf, "documents")
+      .filter(col("lang") === "de").count()
+    assert(got == want, "runtime dictionary pruning must never change results")
+    assert(opened < total,
+      s"a lang-keyed broadcast join must skip dictionary-disjoint blocks " +
+        s"(opened $opened of $total)")
+  }
+
   test("storage-partitioned join plans with no Exchange above either scan") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
