@@ -167,19 +167,29 @@ object Similarity {
     // the bounded |cells|×64 stats grid. The r10 perf weakness was the
     // interpreted 3-HOF quantizer feeding this plus a join/groupBy/window
     // scoring chain; scoring is now driver-side (below).
-    val cellRows = quant
+    val cells = collectCellStats(quant)
+    val probeRows = quant.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id"), col("label"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val out = nearestCells(cells, probeRows, nProbe)
+      .map { case (qid, lb) => org.apache.spark.sql.Row(qid, lb) }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("clabel", IntegerType, nullable = false)))
+    all.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.toIndexedSeq: _*), schema)
+  }
+
+  /** Per-cell exact stats (label, member count, per-dim BIGINT component
+    * sums) collected from one pipelined Generate → partial-agg corpus
+    * pass — the bounded |cells|×[[Dims]] grid both sim11's cell selection
+    * and sim15's index LANDING consume. */
+  private def collectCellStats(quant: DataFrame): Array[(Int, Long, Array[Long])] =
+    quant
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("cn"))
       .collect()
-    val probeRows = quant.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id"), col("label"), col("q")).collect()
-    // Driver-side argmin over the bounded |probes| x |cells| grid (the
-    // sim9 bounded-driver-scoring pattern; |cells| and |probes| are both
-    // constants — see the probe-cardinality contract above). Arithmetic
-    // and tie-breaks replicate the r10 plan exactly: n²-scaled BIGINT
-    // distance Σ_d (cn·q_d − s_d)², ascending (score, label).
-    val cells = cellRows
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .groupBy(_._1).toArray.map { case (lb, ds) =>
         require(ds.length == Dims, s"expected $Dims-dim cell stats for $lb")
@@ -187,10 +197,17 @@ object Similarity {
         ds.foreach { case (_, d, sv, _) => s(d) = sv }
         (lb, ds.head._4, s)
       }
-    val out = probeRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val own = r.getInt(1)
-      val q = r.getSeq[Long](2).toArray
+
+  /** Driver-side argmin over the bounded |probes| x |cells| grid (the
+    * sim9 bounded-driver-scoring pattern; |cells| and |probes| are both
+    * constants — see the probe-cardinality contract above). Arithmetic
+    * and tie-breaks replicate the r10 plan exactly: n²-scaled BIGINT
+    * distance Σ_d (cn·q_d − s_d)², ascending (score, label); the probe's
+    * own cell is unioned in. */
+  private def nearestCells(cells: Array[(Int, Long, Array[Long])],
+      probes: Array[(Long, Int, Array[Long])],
+      nProbe: Int): Array[(Long, Int)] =
+    probes.flatMap { case (qid, own, q) =>
       val scored = cells.map { case (lb, cn, s) =>
         var acc = 0L
         var d = 0
@@ -202,14 +219,25 @@ object Similarity {
         (acc, lb)
       }
       val nearest = scored.sortBy(identity).take(nProbe).map(_._2)
-      (nearest :+ own).distinct.map(lb =>
-        org.apache.spark.sql.Row(qid, lb))
+      (nearest :+ own).distinct.map(lb => (qid, lb))
     }.distinct
-    val schema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("clabel", IntegerType, nullable = false)))
-    all.sparkSession.createDataFrame(
-      java.util.Arrays.asList(out.toIndexedSeq: _*), schema)
+
+  /** Driver-side int8-grid quantization — bit-identical to the codegen
+    * [[graft.expr.Int8GridQuantize]] (same IEEE operation order), used by
+    * sim15 to quantize the bounded probe set without a Spark job. */
+  private def quantize127(e: Array[Double]): Array[Long] = {
+    var m = 0.0
+    var i = 0
+    while (i < e.length) {
+      val av = java.lang.Math.abs(e(i)); if (av > m) m = av; i += 1
+    }
+    val out = new Array[Long](e.length)
+    i = 0
+    while (i < e.length) {
+      out(i) = java.lang.Math.floor(e(i) * 127.0 / m + 0.5).toLong
+      i += 1
+    }
+    out
   }
 
   def ivfMultiProbeTopK(spark: SparkSession, dir: String): DataFrame =
@@ -635,16 +663,24 @@ object Similarity {
     * bytes a vector, and rank error comes only from quantization. */
   /** Codebook literals: cb(m)(k) = seed k's m-th subvector (collected once
     * at index build — the bounded-constant contract). */
-  private def pqCodebook(all: DataFrame): IndexedSeq[Column] = {
+  private def pqSeeds(all: DataFrame): Array[Array[Double]] = {
     val seeds = all.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("e")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     require(seeds.length == PqK, s"expected $PqK non-zero seed vectors")
+    seeds
+  }
+
+  /** Codebook literal columns from raw seed vectors — split so sim15 can
+    * rebuild the identical literals from the LANDED seed doubles. */
+  private def pqCodebookFrom(seeds: Array[Array[Double]]): IndexedSeq[Column] =
     (0 until PqM).map { m =>
       typedlit(seeds.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub).toSeq))
     }
-  }
+
+  private def pqCodebook(all: DataFrame): IndexedSeq[Column] =
+    pqCodebookFrom(pqSeeds(all))
 
   private def pqSubvec(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
 
@@ -732,6 +768,140 @@ object Similarity {
       broadcast(probes.join(cells, Seq("query_id"))),
       col("label") === col("clabel") && col("vec_id") =!= col("query_id"))
     pqRank(pairs, cb)
+  }
+
+  // ---- sim15: serve top-k from a LANDED ANN index -----------------------
+
+  /** Land the IVF-PQ index as BLOCK STORES (r10 verdict ask #4 — every
+    * other sim query rebuilds cells/codebooks per session; a production
+    * ANN serves from a landed index):
+    *
+    *   - `annidx@dir` — the CORPUS-SIZED artifact: one row per vector,
+    *     written through the connector's staged-commit write path (the
+    *     x33 put lifecycle) with doc_id = vec_id, lang = IVF cell id, and
+    *     the [[PqM]] one-byte PQ codes packed into n_chars. The frame is
+    *     repartitioned by cell before the write, so blocks cluster by
+    *     cell and the store's DICTIONARY stats make a cell-pruned serve:
+    *     `lang IN (probed cells)` skips every other cell's blocks — at
+    *     100 TB the serve reads ~(NProbe+1)/|cells| of 4-byte codes,
+    *     never the embeddings.
+    *   - `annmeta@dir` — the BOUNDED artifact: codebook seed doubles
+    *     stored bit-exactly via `doubleToLongBits` in n_chars (so the
+    *     reconstructed ADC literals are bit-identical to build time),
+    *     plus the exact per-cell BIGINT stats sim11's probe-to-cell
+    *     argmin needs.
+    *
+    * Serving ([[landedAnnTopK]]) touches ONLY these stores plus the
+    * bounded probe rows — no corpus re-encode, no cell-stats rescan; its
+    * output is row-identical to [[ivfPqTopK]] (same quantizer, same
+    * argmin, same ADC), so sim15 shares sim13's oracle. */
+  private[graft] def ensureLandedIndex(spark: SparkSession,
+      dir: String): (String, String) = synchronized {
+    val idxName = s"annidx@$dir"
+    val metaName = s"annmeta@$dir"
+    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+      graft.expr.VectorExpressions.register(spark)
+      val all = emb(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        all.count()
+        val seeds = pqSeeds(all)
+        val cb = pqCodebookFrom(seeds)
+        val quant = all.withColumn("q", call_function("vec_quant127", col("e")))
+        val cells = collectCellStats(quant)
+        val packedCodes = (0 until PqM).map(m =>
+          shiftleft(col(s"c$m").cast(LongType), (PqM - 1 - m) * 8))
+          .reduce(_ + _)
+        pqIndex(all, cb)
+          .select(col("vec_id").as("doc_id"), lit("").as("text"),
+            col("label").cast(StringType).as("lang"), lit("pq").as("source"),
+            packedCodes.as("n_chars"))
+          .write.format("graft.sources.BlockStoreSource")
+          .option("store", idxName).option("clusterBy", "lang")
+          .mode("overwrite").save()
+        val metaRows: Seq[org.apache.spark.sql.Row] =
+          (for (k <- 0 until PqK; d <- 0 until Dims) yield
+            org.apache.spark.sql.Row((k * Dims + d).toLong, "", "cb",
+              k.toString, java.lang.Double.doubleToLongBits(seeds(k)(d)))) ++
+          cells.toSeq.map { case (lb, cn, _) =>
+            org.apache.spark.sql.Row(100000L + lb, "", "cn", lb.toString, cn)
+          } ++
+          (for ((lb, _, s) <- cells.toSeq; d <- 0 until Dims) yield
+            org.apache.spark.sql.Row(200000L + lb.toLong * Dims + d, "",
+              "cs", lb.toString, s(d)))
+        spark.createDataFrame(
+            java.util.Arrays.asList(metaRows: _*), Catalog.documents)
+          .coalesce(1)
+          .write.format("graft.sources.BlockStoreSource")
+          .option("store", metaName).mode("overwrite").save()
+      } finally all.unpersist(): Unit
+    }
+    (idxName, metaName)
+  }
+
+  /** sim15: IVF-PQ top-k SERVED FROM THE LANDED INDEX — the registered
+    * proof that the engine's ANN answers queries without rebuilding
+    * anything: cell selection runs on the landed stats, candidate
+    * generation is a dictionary-pruned scan of the landed code store,
+    * and ADC scoring uses the landed codebook bits. Output is
+    * row-identical to sim13 (shared oracle); the spec additionally
+    * asserts the serve's reader-count discipline (index blocks only,
+    * cell-pruned). */
+  def landedAnnTopK(spark: SparkSession, dir: String): DataFrame =
+    landedAnnServe(spark, dir, ProbeCount)
+
+  private[graft] def landedAnnServe(spark: SparkSession, dir: String,
+      probeLimit: Int): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val (idxStore, metaStore) = ensureLandedIndex(spark, dir)
+    // bounded meta read through the store's get path
+    val meta = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", metaStore).load().collect()
+    val byKind = meta.groupBy(_.getString(2))
+    val seeds = Array.ofDim[Double](PqK, Dims)
+    byKind("cb").foreach { r =>
+      val id = r.getLong(0).toInt
+      seeds(id / Dims)(id % Dims) = java.lang.Double.longBitsToDouble(r.getLong(4))
+    }
+    val counts = byKind("cn")
+      .map(r => r.getString(3).toInt -> r.getLong(4)).toMap
+    val cells = byKind("cs").groupBy(_.getString(3).toInt).toArray
+      .map { case (lb, rs) =>
+        val s = new Array[Long](Dims)
+        rs.foreach { r => s(((r.getLong(0) - 200000L) % Dims).toInt) = r.getLong(4) }
+        (lb, counts(lb), s)
+      }
+    val cb = pqCodebookFrom(seeds)
+    // the bounded probe set is QUERY input (not index): raw vectors read
+    // once, quantized and cell-ranked driver-side
+    val probes = emb(spark, dir).filter(col("vec_id") < probeLimit)
+      .select(col("vec_id"), col("e"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val probeQ = probes.map { case (id, e, lb) => (id, lb, quantize127(e)) }
+    val pairs = nearestCells(cells, probeQ, NProbe)
+    val eByProbe = probes.map(p => p._1 -> p._2).toMap
+    val probeRows = pairs.map { case (qid, lb) =>
+      org.apache.spark.sql.Row(qid, lb.toString, eByProbe(qid).toSeq)
+    }
+    val pschema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qcell", StringType, nullable = false),
+      StructField("qe", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val probesDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.toIndexedSeq: _*), pschema)
+    val wanted = pairs.map(_._2.toString).distinct.toSeq
+    // dictionary-pruned serve: only the probed cells' blocks open
+    val idx = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", idxStore).load()
+      .filter(col("lang").isin(wanted: _*))
+      .select(Seq(col("doc_id").as("vec_id"), col("lang").as("cell")) ++
+        (0 until PqM).map(m =>
+          shiftright(col("n_chars"), (PqM - 1 - m) * 8)
+            .bitwiseAND(lit(255L)).cast(IntegerType).as(s"c$m")): _*)
+    val joined = idx.join(broadcast(probesDf),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+    pqRank(joined, cb)
   }
 
   private val NumCentroids = 8
@@ -904,7 +1074,8 @@ object Similarity {
     "sim11_ivf_multiprobe" -> ivfMultiProbeTopK,
     "sim12_band_lsh" -> bandLshTopK,
     "sim13_ivf_pq" -> ivfPqTopK,
-    "sim14_recall_bar" -> recallBar)
+    "sim14_recall_bar" -> recallBar,
+    "sim15_landed_ann" -> landedAnnTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -1389,6 +1560,9 @@ object Similarity {
     "sim11_ivf_multiprobe" -> Sim11Oracle,
     "sim12_band_lsh" -> Sim12Oracle,
     "sim13_ivf_pq" -> Sim13Oracle,
+    // sim15 serves the SAME computation from the landed index — its
+    // contract is row-identity with sim13, so it shares the oracle text
+    "sim15_landed_ann" -> Sim13Oracle,
     "sim14_recall_bar" -> RecallBarOracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,

@@ -73,7 +73,8 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     new BlockScanBuilder(store, tableSchema,
       options.getInt("maxBlocksPerTrigger", Int.MaxValue))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new BlockWriteBuilder(store, info.schema())
+    new BlockWriteBuilder(store, info.schema(),
+      Option(info.options.get("clusterBy")))
 }
 
 private[sources] class BlockScanBuilder(store: String, full: StructType,
@@ -471,22 +472,36 @@ private[sources] case class ShardBlockPartition(store: String, shard: Int,
   *     leaves the visible store untouched — readers never observe a
   *     half-written store.
   */
-private[sources] class BlockWriteBuilder(store: String, schema: StructType)
+private[sources] class BlockWriteBuilder(store: String, schema: StructType,
+    clusterBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new BlockWrite(store, schema, doTruncate)
+  override def build(): Write = new BlockWrite(store, schema, doTruncate, clusterBy)
 }
 
 private[sources] class BlockWrite(store: String, schema: StructType,
-    doTruncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+    doTruncate: Boolean, clusterBy: Option[String] = None)
+    extends Write with RequiresDistributionAndOrdering {
 
   private def docIdAsc: SortOrder =
     Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING)
 
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(docIdAsc))
-  override def requiredOrdering(): Array[SortOrder] = Array(docIdAsc)
+  /** Default layout: a GLOBAL doc_id range-sort, so blocks carry tight
+    * disjoint min/max stats (x31's clustering-for-stats discipline). A
+    * `clusterBy=<col>` write option opts into hash-clustering by another
+    * column instead — the layout that makes the DICTIONARY stats prune
+    * (one-or-few values per block), used by the landed ANN index to
+    * cluster PQ codes by IVF cell. */
+  override def requiredDistribution(): Distribution = clusterBy match {
+    case Some(c) =>
+      Distributions.clustered(Array(Expressions.identity(c)))
+    case None => Distributions.ordered(Array(docIdAsc))
+  }
+  override def requiredOrdering(): Array[SortOrder] = clusterBy match {
+    case Some(_) => Array.empty
+    case None => Array(docIdAsc)
+  }
   // fixed block fan-out for a deterministic layout at harness scale; on a
   // cluster this is a table property sized to blocks-per-node
   override def requiredNumPartitions(): Int = 16

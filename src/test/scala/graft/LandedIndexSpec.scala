@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.BlockStore
+
+/** sim15's LANDED-INDEX serving contract (r10 verdict ask #4):
+  *
+  *   1. identity — the serve is row-identical to sim13's build-and-query
+  *      path (same quantizer, cell argmin, ADC) so landing loses nothing;
+  *   2. no rebuild — a serve after landing runs NO corpus-sized job: the
+  *      only blocks it opens are the landed stores', counted with the
+  *      x32/x35 reader-count discipline;
+  *   3. cell pruning — a single-probe serve opens a strict subset of the
+  *      index store's blocks (the dictionary stats carry the cell id, and
+  *      the probed-cells filter skips the rest).
+  */
+class LandedIndexSpec extends SparkSpec {
+
+  test("landed serve is row-identical to the build-and-query path") {
+    val served = Similarity.landedAnnServe(spark, sf, 10)
+      .collect().map(_.toSeq.toVector).toVector
+    val built = SparkEntry.queries("sim13_ivf_pq")(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    assert(served == built,
+      "serving from the landed index diverged from the rebuilt index")
+  }
+
+  test("serve opens landed blocks only, cell-pruned (reader counts)") {
+    val (idxStore, metaStore) = Similarity.ensureLandedIndex(spark, sf)
+    val idxBlocks = BlockStore.blockCount(idxStore)
+    val metaBlocks = BlockStore.blockCount(metaStore)
+    assert(idxBlocks > 1, "index fixture must span multiple blocks")
+
+    // single-probe serve: NProbe+1 of the ~|cells| cells → a strict
+    // subset of the index blocks must open. Everything the serve reads
+    // beyond the landed stores is the bounded probe row (parquet, not a
+    // block store), so readersOpened deltas are entirely landed-block IO.
+    val before = BlockStore.readersOpened.get()
+    val rows = Similarity.landedAnnServe(spark, sf, 1).collect()
+    val opened = BlockStore.readersOpened.get() - before
+    assert(rows.nonEmpty, "single-probe serve returned nothing")
+    assert(opened <= metaBlocks + idxBlocks,
+      s"serve opened $opened blocks > landed total ${metaBlocks + idxBlocks}")
+    assert(opened - metaBlocks < idxBlocks,
+      s"cell pruning skipped nothing: ${opened - metaBlocks} of $idxBlocks " +
+        "index blocks opened for a single probe")
+  }
+}
