@@ -795,6 +795,72 @@ object Similarity {
     * bounded probe rows — no corpus re-encode, no cell-stats rescan; its
     * output is row-identical to [[ivfPqTopK]] (same quantizer, same
     * argmin, same ADC), so sim15 shares sim13's oracle. */
+  /** Encode `frame` (emb layout) with codebook `cb` and write it into the
+    * index store as cell-clustered packed-code blocks. `append = true` is
+    * the sim16 incremental path. */
+  private def writeIndexStore(frame: DataFrame, cb: IndexedSeq[Column],
+      idxName: String, append: Boolean): Unit = {
+    val packedCodes = (0 until PqM).map(m =>
+      shiftleft(col(s"c$m").cast(LongType), (PqM - 1 - m) * 8))
+      .reduce(_ + _)
+    pqIndex(frame, cb)
+      .select(col("vec_id").as("doc_id"), lit("").as("text"),
+        col("label").cast(StringType).as("lang"), lit("pq").as("source"),
+        packedCodes.as("n_chars"))
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", idxName).option("clusterBy", "lang")
+      .mode(if (append) "append" else "overwrite").save()
+  }
+
+  /** Land (codebook seed doubles bit-exact, per-cell BIGINT stats) as the
+    * bounded meta store — always an overwrite (the meta is a snapshot;
+    * sim16 merges stats driver-side and rewrites it). */
+  private def writeMetaStore(spark: SparkSession, metaName: String,
+      seeds: Array[Array[Double]],
+      cells: Array[(Int, Long, Array[Long])]): Unit = {
+    val metaRows: Seq[org.apache.spark.sql.Row] =
+      (for (k <- 0 until PqK; d <- 0 until Dims) yield
+        org.apache.spark.sql.Row((k * Dims + d).toLong, "", "cb",
+          k.toString, java.lang.Double.doubleToLongBits(seeds(k)(d)))) ++
+      cells.toSeq.map { case (lb, cn, _) =>
+        org.apache.spark.sql.Row(100000L + lb, "", "cn", lb.toString, cn)
+      } ++
+      (for ((lb, _, s) <- cells.toSeq; d <- 0 until Dims) yield
+        org.apache.spark.sql.Row(200000L + lb.toLong * Dims + d, "",
+          "cs", lb.toString, s(d)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(metaRows: _*), Catalog.documents)
+      .coalesce(1)
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", metaName).mode("overwrite").save()
+  }
+
+  /** Parse the landed meta store back into (codebook seeds, cell stats) —
+    * the serve- and append-side reader (bit-exact via longBitsToDouble). */
+  private def readMetaStore(spark: SparkSession,
+      metaName: String): (Array[Array[Double]], Array[(Int, Long, Array[Long])]) = {
+    val meta = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", metaName).load().collect()
+    val byKind = meta.groupBy(_.getString(2))
+    val seeds = Array.ofDim[Double](PqK, Dims)
+    byKind("cb").foreach { r =>
+      val id = r.getLong(0).toInt
+      seeds(id / Dims)(id % Dims) = java.lang.Double.longBitsToDouble(r.getLong(4))
+    }
+    val counts = byKind("cn")
+      .map(r => r.getString(3).toInt -> r.getLong(4)).toMap
+    val cells = byKind("cs").groupBy(_.getString(3).toInt).toArray
+      .map { case (lb, rs) =>
+        val s = new Array[Long](Dims)
+        rs.foreach { r => s(((r.getLong(0) - 200000L) % Dims).toInt) = r.getLong(4) }
+        (lb, counts(lb), s)
+      }
+    (seeds, cells)
+  }
+
+  private def quantFrame(frame: DataFrame): DataFrame =
+    frame.withColumn("q", call_function("vec_quant127", col("e")))
+
   private[graft] def ensureLandedIndex(spark: SparkSession,
       dir: String): (String, String) = synchronized {
     val idxName = s"annidx@$dir"
@@ -806,34 +872,8 @@ object Similarity {
       try {
         all.count()
         val seeds = pqSeeds(all)
-        val cb = pqCodebookFrom(seeds)
-        val quant = all.withColumn("q", call_function("vec_quant127", col("e")))
-        val cells = collectCellStats(quant)
-        val packedCodes = (0 until PqM).map(m =>
-          shiftleft(col(s"c$m").cast(LongType), (PqM - 1 - m) * 8))
-          .reduce(_ + _)
-        pqIndex(all, cb)
-          .select(col("vec_id").as("doc_id"), lit("").as("text"),
-            col("label").cast(StringType).as("lang"), lit("pq").as("source"),
-            packedCodes.as("n_chars"))
-          .write.format("graft.sources.BlockStoreSource")
-          .option("store", idxName).option("clusterBy", "lang")
-          .mode("overwrite").save()
-        val metaRows: Seq[org.apache.spark.sql.Row] =
-          (for (k <- 0 until PqK; d <- 0 until Dims) yield
-            org.apache.spark.sql.Row((k * Dims + d).toLong, "", "cb",
-              k.toString, java.lang.Double.doubleToLongBits(seeds(k)(d)))) ++
-          cells.toSeq.map { case (lb, cn, _) =>
-            org.apache.spark.sql.Row(100000L + lb, "", "cn", lb.toString, cn)
-          } ++
-          (for ((lb, _, s) <- cells.toSeq; d <- 0 until Dims) yield
-            org.apache.spark.sql.Row(200000L + lb.toLong * Dims + d, "",
-              "cs", lb.toString, s(d)))
-        spark.createDataFrame(
-            java.util.Arrays.asList(metaRows: _*), Catalog.documents)
-          .coalesce(1)
-          .write.format("graft.sources.BlockStoreSource")
-          .option("store", metaName).mode("overwrite").save()
+        writeIndexStore(all, pqCodebookFrom(seeds), idxName, append = false)
+        writeMetaStore(spark, metaName, seeds, collectCellStats(quantFrame(all)))
       } finally all.unpersist(): Unit
     }
     (idxName, metaName)
@@ -852,25 +892,15 @@ object Similarity {
 
   private[graft] def landedAnnServe(spark: SparkSession, dir: String,
       probeLimit: Int): DataFrame = {
-    graft.expr.VectorExpressions.register(spark)
     val (idxStore, metaStore) = ensureLandedIndex(spark, dir)
+    serveFromStores(spark, dir, idxStore, metaStore, probeLimit)
+  }
+
+  private def serveFromStores(spark: SparkSession, dir: String,
+      idxStore: String, metaStore: String, probeLimit: Int): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
     // bounded meta read through the store's get path
-    val meta = spark.read.format("graft.sources.BlockStoreSource")
-      .option("store", metaStore).load().collect()
-    val byKind = meta.groupBy(_.getString(2))
-    val seeds = Array.ofDim[Double](PqK, Dims)
-    byKind("cb").foreach { r =>
-      val id = r.getLong(0).toInt
-      seeds(id / Dims)(id % Dims) = java.lang.Double.longBitsToDouble(r.getLong(4))
-    }
-    val counts = byKind("cn")
-      .map(r => r.getString(3).toInt -> r.getLong(4)).toMap
-    val cells = byKind("cs").groupBy(_.getString(3).toInt).toArray
-      .map { case (lb, rs) =>
-        val s = new Array[Long](Dims)
-        rs.foreach { r => s(((r.getLong(0) - 200000L) % Dims).toInt) = r.getLong(4) }
-        (lb, counts(lb), s)
-      }
+    val (seeds, cells) = readMetaStore(spark, metaStore)
     val cb = pqCodebookFrom(seeds)
     // the bounded probe set is QUERY input (not index): raw vectors read
     // once, quantized and cell-ranked driver-side
@@ -902,6 +932,73 @@ object Similarity {
     val joined = idx.join(broadcast(probesDf),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
     pqRank(joined, cb)
+  }
+
+  // ---- sim16: INCREMENTAL append to the landed index --------------------
+
+  /** Build the sim16 index in TWO GENERATIONS: an initial land from a
+    * corpus subset, then an APPEND of the remaining batch that does
+    * O(batch) work — and is nevertheless BIT-IDENTICAL to a full rebuild,
+    * because every landed artifact is either per-vector pure or exactly
+    * mergeable:
+    *
+    *   - PQ codes depend only on the LANDED codebook (read back
+    *     bit-exactly from the meta store), never on other vectors;
+    *   - cell assignment is the vector's own label;
+    *   - cell stats are BIGINT (count, component-sum) pairs — the append
+    *     batch's stats ADD exactly onto the landed ones (no float means
+    *     to drift, the sim8 exact-centroid discipline paying off again).
+    *
+    * The initial subset keeps the seed vectors (`vec_id < PqK`) so both
+    * generations share one codebook; the batch is everything else with
+    * `vec_id % 5 == 0`. The append phase reads ONLY the landed meta and
+    * the batch rows — the initial corpus is never rescanned (p7's
+    * O(batch) incremental contract, now for the ANN index). */
+  private[graft] def ensureAppendedIndex(spark: SparkSession,
+      dir: String): (String, String) = synchronized {
+    val idxName = s"annidx2@$dir"
+    val metaName = s"annmeta2@$dir"
+    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+      graft.expr.VectorExpressions.register(spark)
+      val all = emb(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        all.count()
+        val isBatch = col("vec_id") >= PqK && col("vec_id") % 5 === 0
+        // generation 1: land the initial subset
+        val initial = all.filter(!isBatch)
+        val seeds = pqSeeds(initial)
+        writeIndexStore(initial, pqCodebookFrom(seeds), idxName, append = false)
+        writeMetaStore(spark, metaName, seeds,
+          collectCellStats(quantFrame(initial)))
+        // generation 2: append the batch using ONLY landed state + batch
+        val (landedSeeds, landedCells) = readMetaStore(spark, metaName)
+        val batch = all.filter(isBatch)
+        writeIndexStore(batch, pqCodebookFrom(landedSeeds), idxName,
+          append = true)
+        val batchCells = collectCellStats(quantFrame(batch))
+        val merged = (landedCells ++ batchCells)
+          .groupBy(_._1).toArray.map { case (lb, gs) =>
+            val s = new Array[Long](Dims)
+            gs.foreach { case (_, _, sv) =>
+              var d = 0; while (d < Dims) { s(d) += sv(d); d += 1 }
+            }
+            (lb, gs.map(_._2).sum, s)
+          }
+        writeMetaStore(spark, metaName, landedSeeds, merged)
+      } finally all.unpersist(): Unit
+    }
+    (idxName, metaName)
+  }
+
+  /** sim16: top-k served from the INCREMENTALLY-built index — the
+    * registered proof that the landed ANN index admits O(batch) appends
+    * without drifting: the serve over initial+appended generations is
+    * row-identical to sim13's full-corpus build (shared oracle), which
+    * can only hold if codes, cells, and stats all merged exactly. */
+  def annAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (idxStore, metaStore) = ensureAppendedIndex(spark, dir)
+    serveFromStores(spark, dir, idxStore, metaStore, ProbeCount)
   }
 
   private val NumCentroids = 8
@@ -1075,7 +1172,8 @@ object Similarity {
     "sim12_band_lsh" -> bandLshTopK,
     "sim13_ivf_pq" -> ivfPqTopK,
     "sim14_recall_bar" -> recallBar,
-    "sim15_landed_ann" -> landedAnnTopK)
+    "sim15_landed_ann" -> landedAnnTopK,
+    "sim16_ann_append" -> annAppendTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -1563,6 +1661,9 @@ object Similarity {
     // sim15 serves the SAME computation from the landed index — its
     // contract is row-identity with sim13, so it shares the oracle text
     "sim15_landed_ann" -> Sim13Oracle,
+    // sim16's append must reconstruct EXACTLY the full-build index, so it
+    // too is oracle-checked against the full-corpus computation
+    "sim16_ann_append" -> Sim13Oracle,
     "sim14_recall_bar" -> RecallBarOracle,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,

@@ -25,6 +25,28 @@ class LandedIndexSpec extends SparkSpec {
       "serving from the landed index diverged from the rebuilt index")
   }
 
+  test("incremental append reconstructs the full index exactly (sim16)") {
+    val (idxStore, _) = Similarity.ensureAppendedIndex(spark, sf)
+    // the two-generation store covers the whole corpus: every non-zero
+    // vector has exactly one landed code row
+    val landed = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", idxStore).load()
+    val want = Catalog.table(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x)," +
+          " 0D, (a, x) -> a + x)) > 0")).count()
+    assert(landed.count() == want, "appended index lost or duplicated vectors")
+    assert(landed.select("doc_id").distinct().count() == want,
+      "appended index carries duplicate vec_ids")
+    // serve over initial+appended generations ≡ the full rebuild
+    val served = SparkEntry.queries("sim16_ann_append")(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    val built = SparkEntry.queries("sim13_ivf_pq")(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    assert(served == built,
+      "O(batch) append drifted from the full-corpus build")
+  }
+
   test("serve opens landed blocks only, cell-pruned (reader counts)") {
     val (idxStore, metaStore) = Similarity.ensureLandedIndex(spark, sf)
     val idxBlocks = BlockStore.blockCount(idxStore)
