@@ -239,6 +239,93 @@ case class Int8GridQuantize(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd product-quantization encoder step: the index of the nearest
+  * (squared-L2) codeword to a subvector, ties to the LOWEST index.
+  *
+  * Replaces the interpreted per-subspace chain
+  * `array_sort(array(struct(aggregate(zip_with(sub, cw, (x,c) => (x-c)*(x-c)),
+  * 0.0, _+_), k)))[0].k` — K interpreted fold pipelines and a struct sort
+  * per row per subspace, the PQ-encode hot spot shared by
+  * sim10/sim13/sim15/sim16 and sim9's pq arms. Bit-identical semantics:
+  * each distance is the same strict left-to-right IEEE fold, and `<`
+  * keeps the first (lowest-k) minimum exactly as the (d, k) struct sort
+  * did. Distances are sums of squares, so no -0.0/NaN ordering edge can
+  * arise on finite inputs. NULL on a null array, a null element, or a
+  * codeword/subvector length mismatch (zip_with's null-pad would poison
+  * the fold the same way).
+  */
+case class PqNearestCode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_nearest_code requires (array<double>, array<array<double>>), got $l / $r")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "pq_nearest_code"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cws = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val kk = cws.numElements()
+    var best = Double.PositiveInfinity
+    var bestK = -1
+    var k = 0
+    while (k < kk) {
+      if (cws.isNullAt(k)) return null
+      val cw = cws.getArray(k)
+      if (cw.numElements() != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || cw.isNullAt(i)) return null
+        val d = x.getDouble(i) - cw.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestK = k }
+      k += 1
+    }
+    if (bestK < 0) null else bestK
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val kk = ctx.freshName("kk")
+      val best = ctx.freshName("best"); val bestK = ctx.freshName("bestK")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |int $kk = $b.numElements();
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bestK = -1;
+         |for (int $k = 0; $k < $kk && !${ev.isNull}; $k++) {
+         |  if ($b.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($k);
+         |  if ($cw.numElements() != $n) { ${ev.isNull} = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $cw.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($i) - $cw.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull} && $acc < $best) { $best = $acc; $bestK = $k; }
+         |}
+         |if ($bestK < 0) { ${ev.isNull} = true; }
+         |${ev.value} = $bestK;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Builder with a real arity error instead of an IndexOutOfBounds from
     * exprs(1) when SQL text passes the wrong argument count. */
@@ -271,6 +358,8 @@ object VectorExpressions {
       binaryBuilder("sorted_intersect_count", SortedLongIntersectCount), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_quant127", unaryBuilder("vec_quant127", Int8GridQuantize), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_nearest_code", binaryBuilder("pq_nearest_code", PqNearestCode), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_candidates", binaryBuilder("lsh_candidates", LshCandidates), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -685,16 +685,14 @@ object Similarity {
   private def pqSubvec(c: Column, m: Int): Column = slice(c, m * PqSub + 1, PqSub)
 
   /** Per-subspace code: argmin_k ||x_sub - c_k||^2, ties to the lowest k,
-    * via one array_sort over (distance, k) structs. */
-  private def pqCode(cb: IndexedSeq[Column], m: Int): Column = {
-    val entries = (0 until PqK).map { k =>
-      val cw = element_at(cb(m), k + 1)
-      val d2 = aggregate(zip_with(pqSubvec(col("e"), m), cw, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d2.as("d"), lit(k).as("k"))
-    }
-    array_sort(array(entries: _*)).getItem(0).getField("k")
-  }
+    * via the codegen [[graft.expr.PqNearestCode]] — bit-identical to the
+    * interpreted array_sort-over-(distance, k)-structs chain it replaced
+    * (same strict left-to-right distance folds, same lowest-k tie-break),
+    * evaluated as one fused loop instead of [[PqK]] interpreted fold
+    * pipelines per row per subspace (the encode hot spot shared by
+    * sim10/13/15/16 and sim9's pq arms). */
+  private def pqCode(cb: IndexedSeq[Column], m: Int): Column =
+    call_function("pq_nearest_code", pqSubvec(col("e"), m), cb(m))
 
   /** ADC: fixed-order sum of per-subspace (raw query sub) . (codeword). */
   private def pqAdcScore(cb: IndexedSeq[Column]): Column =
