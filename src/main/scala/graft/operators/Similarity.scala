@@ -38,7 +38,11 @@ object Similarity {
   private val TopK = 5
   private val IvfTopK = 3
 
-  private def toD(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  /** float→double widening as a native array Cast (whole-stage codegen;
+    * elementwise-identical to the `transform(c, _.cast(double))` HOF it
+    * replaced, which evaluated interpreted with a per-row allocation in
+    * every sim query's scan stage). */
+  private def toD(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   /** Ordered left-fold dot product — deterministic across engines. Uses the
     * codegen'd [[graft.expr.DoubleVectorDot]] (registered per session);
@@ -408,19 +412,21 @@ object Similarity {
     * plan shape are sim1's. */
   def int8TopK(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
-    val m = array_max(transform(col("e"), x => abs(x)))
-    // Spark's floor yields LongType (DuckDB's yields DOUBLE) — cast back so
-    // both engines carry the quantized grid as exact small doubles
-    val q = transform(col("e"),
-      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
+    // codegen quantizer (bit-identical to the floor(x*127/max|x| + 0.5)
+    // HOF chain — see Int8GridQuantize), widened back to exact small
+    // doubles by a native array Cast: Spark's floor yields LongType while
+    // DuckDB's yields DOUBLE, so both engines carry the grid as doubles
+    val q = call_function("vec_quant127", col("e")).cast(ArrayType(DoubleType))
     val all = Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))
       // an all-zero vector makes m = 0 and every quantized component
       // 0*127/0 = NaN — and BOTH engines order NaN > 0 as true (Spark
       // nanSafeCompare, DuckDB NaN-high), so NaN cosines would leak into
-      // the top-k. Drop zero vectors explicitly on max|x| > 0 (an exact
-      // 0.0 comparison, no NaN can arise) BEFORE quantizing.
-      .filter(array_max(transform(col("e"), x => abs(x))) > 0)
+      // the top-k. Drop zero vectors BEFORE quantizing: vec_dot(e, e) > 0
+      // is exactly max|x| > 0 on finite doubles (squares cannot underflow
+      // to 0 in double and non-negative terms cannot cancel), evaluated
+      // codegen instead of the interpreted array_max(transform(abs)) HOF.
+      .filter(call_function("vec_dot", col("e"), col("e")) > 0)
       .withColumn("q", q)
       .withColumn("nrm", sqrt(call_function("vec_dot", col("q"), col("q"))))
       .filter(col("nrm") > 0)
@@ -1060,12 +1066,10 @@ object Similarity {
     * exact small doubles) + their norms, zero vectors dropped. */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
-    val m = array_max(transform(col("e"), x => abs(x)))
-    val q = transform(col("e"),
-      x => floor(x * lit(127.0) / m + lit(0.5)).cast(DoubleType))
+    val q = call_function("vec_quant127", col("e")).cast(ArrayType(DoubleType))
     Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"))
-      .filter(array_max(transform(col("e"), x => abs(x))) > 0) // see int8TopK
+      .filter(call_function("vec_dot", col("e"), col("e")) > 0) // see int8TopK
       .withColumn("q", q)
       .withColumn("nrm", sqrt(dot(col("q"), col("q"))))
       .filter(col("nrm") > 0)
