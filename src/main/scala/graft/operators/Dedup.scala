@@ -274,8 +274,8 @@ object Dedup {
     graft.expr.VectorExpressions.register(spark)
     def dot(a: String, b: String) = call_function("vec_dot", col(a), col(b))
     val v = Catalog.tableSpread(spark, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"),
-        col("label"))
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"), col("label"))
       .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
       .filter(col("nrm") > 0) // zero vectors excluded (cosine undefined)
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),

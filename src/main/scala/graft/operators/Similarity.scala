@@ -1005,6 +1005,46 @@ object Similarity {
     serveFromStores(spark, dir, idxStore, metaStore, ProbeCount)
   }
 
+  // ---- sim17: cross-lingual bitext mining --------------------------------
+
+  /** sim17: BITEXT MINING — for every non-English document, the
+    * best-cosine ENGLISH document inside its IVF cell: the
+    * parallel-corpus harvesting stage of a multilingual training
+    * pipeline (the CCMatrix/LASER margin-mining shape, with the engine's
+    * deterministic exact scoring as the rescorer). Composes the corpus'
+    * two modalities: `documents.lang` keys the two sides, `embeddings`
+    * scores the alignment.
+    *
+    * SCALE SHAPE: dd5's cell-blocked discipline — candidates come from an
+    * equi-join on the cell id (never all-pairs; per-cell cost is
+    * |fx_cell|×|en_cell|), the doc_id↔vec_id attach is an equi-join, and
+    * the per-source-doc argmax is a window PARTITIONED BY the source
+    * vector (never unpartitioned). Ranking compares raw IEEE cosines from
+    * the codegen ordered-fold dot (bit-identical cross-engine, the sim1
+    * precedent); only the reported cosine is rounded. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val langs = Catalog.table(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val v = all.join(langs, Seq("vec_id"))
+    val en = v.filter(col("lang") === "en")
+      .select(col("vec_id").as("en_id"), col("e").as("ee"),
+        col("nrm").as("enrm"), col("label"))
+    val fx = v.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("e").as("fe"), col("nrm").as("fnrm"), col("label"))
+    val cos = dot(col("fe"), col("ee")) / (col("fnrm") * col("enrm"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("en_id"))
+    fx.join(en, Seq("label"))
+      .withColumn("cos", cos)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("src_lang"), col("en_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("src_id")
+  }
+
   private val NumCentroids = 8
 
   /** sim6: nearest-centroid assignment — the k-means/IVF TRAINING step that
@@ -1175,7 +1215,8 @@ object Similarity {
     "sim13_ivf_pq" -> ivfPqTopK,
     "sim14_recall_bar" -> recallBar,
     "sim15_landed_ann" -> landedAnnTopK,
-    "sim16_ann_append" -> annAppendTopK)
+    "sim16_ann_append" -> annAppendTopK,
+    "sim17_bitext_mine" -> bitextMine)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -1667,6 +1708,26 @@ object Similarity {
     // too is oracle-checked against the full-corpus computation
     "sim16_ann_append" -> Sim13Oracle,
     "sim14_recall_bar" -> RecallBarOracle,
+    "sim17_bitext_mine" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, ae,
+        |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+        |      FROM v),
+        |nz AS (SELECT * FROM n WHERE nrm > 0),
+        |j AS (SELECT z.vec_id, z.label, z.ae, z.nrm, d.lang
+        |      FROM nz z JOIN documents d ON d.doc_id = z.vec_id),
+        |en AS (SELECT vec_id AS en_id, label, ae AS ee, nrm AS enrm FROM j WHERE lang = 'en'),
+        |fx AS (SELECT vec_id AS src_id, lang AS src_lang, label, ae AS fe, nrm AS fnrm
+        |       FROM j WHERE lang <> 'en'),
+        |p AS (SELECT fx.src_id, fx.src_lang, en.en_id,
+        |        list_sum(list_transform(generate_series(1, len(fx.fe)), i -> fx.fe[i] * en.ee[i]))
+        |          / (fx.fnrm * en.enrm) AS cos
+        |      FROM fx JOIN en ON fx.label = en.label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, en_id) AS rk
+        |      FROM p)
+        |SELECT src_id, src_lang, en_id, round(cos, 6) AS cos_sim
+        |FROM r WHERE rk = 1 ORDER BY src_id""".stripMargin,
     // sim4 is sim3's semantics derived by the optimizer rule — same oracle
     "sim4_lsh_rewrite" -> Sim3Oracle,
     "sim5_int8_topk" ->

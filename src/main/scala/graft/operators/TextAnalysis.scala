@@ -482,6 +482,55 @@ object TextAnalysis {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
+  // ---- t16: corpus diversity per source ----------------------------------
+
+  /** t16: CORPUS DIVERSITY per source — the type-token ratio and word
+    * trigram diversity (distinct/total), the standard duplication /
+    * templated-content signals a data-curation pass reads before
+    * weighting a source: near-zero trigram diversity marks a crawl
+    * dominated by boilerplate, and TTR collapses on machine-generated
+    * spam. Complements p15's cross-snapshot drift (this is WITHIN-source
+    * repetitiveness at one snapshot).
+    *
+    * SCALE SHAPE: grams are hashed to the shared 60-bit digest at the
+    * explode (hash-once, 8-byte shuffle keys — the t10 discipline), and
+    * each distinct count is the TWO-STAGE shape: one groupBy on the
+    * fine-grained (source, hash) key with map-side partials, then a
+    * |sources|-key aggregate over the pre-aggregated table whose partials
+    * are |sources| rows per partition — never a corpus-sized countDistinct
+    * under the low-cardinality source key (the t8 lesson). */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    def twoStage(occ: DataFrame, total: String, dist: String): DataFrame =
+      occ.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(asLong(sum(col("c"))).as(total),
+          asLong(count(lit(1))).as(dist))
+    val base = docs(spark, dir)
+    val tokStats = twoStage(
+      base.select(col("source"), explode(toks).as("tok"))
+        .select(col("source"), Text.sharedHash(col("tok")).as("h")),
+      "n_tokens", "distinct_tokens")
+    val trigrams = transform(sequence(lit(1), size(toks) - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+    val triStats = twoStage(
+      base.filter(size(toks) >= 3) // sequence(1, n<1) would count DOWN
+        .select(col("source"), explode(trigrams).as("g"))
+        .select(col("source"), Text.sharedHash(col("g")).as("h")),
+      "n_trigrams", "distinct_trigrams")
+    tokStats.join(triStats, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        (col("distinct_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("ttr"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("distinct_trigrams"), lit(0L)).as("distinct_trigrams"),
+        (col("distinct_trigrams").cast(DoubleType) /
+          col("n_trigrams").cast(DoubleType)).as("trigram_diversity"))
+      .orderBy("source")
+  }
+
   // ---- t15: language-ID confusion matrix --------------------------------
 
   /** t15: classifier EVALUATION — the confusion matrix of t6's n-gram
@@ -563,6 +612,7 @@ object TextAnalysis {
     "t15_lang_confusion" -> langConfusion,
     "t10_bigram_support" -> bigramSupport,
     "t11_tfidf_keywords" -> tfidfKeywords,
+    "t16_ngram_diversity" -> ngramDiversity,
     "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
@@ -671,6 +721,28 @@ object TextAnalysis {
          |    / CAST(count(*) AS DOUBLE) AS attested_ratio
          |FROM b LEFT JOIN m ON b.bgh = m.bgh
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "t16_ngram_diversity" ->
+      s"""WITH d AS (SELECT source, $Toks AS toks FROM documents),
+         |tk0 AS (SELECT source, unnest(toks) AS tok FROM d),
+         |tk AS (SELECT source, ${Text.sqlHash("tok")} AS h FROM tk0),
+         |ts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT h) AS BIGINT) AS distinct_tokens
+         |       FROM tk GROUP BY source),
+         |g0 AS (SELECT source,
+         |         unnest(list_transform(generate_series(1, len(toks)-2),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+         |       FROM d WHERE len(toks) >= 3),
+         |g AS (SELECT source, ${Text.sqlHash("g")} AS h FROM g0),
+         |gs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |         CAST(count(DISTINCT h) AS BIGINT) AS distinct_trigrams
+         |       FROM g GROUP BY source)
+         |SELECT ts.source AS source, n_tokens, distinct_tokens,
+         |  CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  COALESCE(n_trigrams, CAST(0 AS BIGINT)) AS n_trigrams,
+         |  COALESCE(distinct_trigrams, CAST(0 AS BIGINT)) AS distinct_trigrams,
+         |  CAST(distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS trigram_diversity
+         |FROM ts LEFT JOIN gs ON ts.source = gs.source
+         |ORDER BY source""".stripMargin,
     "t8_top_tokens" ->
       s"""WITH e AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
          |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
