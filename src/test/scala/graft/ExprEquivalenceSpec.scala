@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The round-11 codegen Expressions claim BIT-IDENTITY with the
+  * interpreted higher-order-function chains they replaced — a claim six
+  * oracles now lean on (sim5/7/8/10/11/13/15/16 all quantize or encode
+  * through them). This spec pins it by evaluating BOTH formulations over
+  * randomized-plus-adversarial vectors in one job and demanding zero
+  * mismatches, so any future drift in IEEE operation order fails here
+  * before it fails a cross-engine hash compare. */
+class ExprEquivalenceSpec extends SparkSpec {
+
+  private def vectors(n: Int, dims: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(n)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val crafted = Seq(
+      Seq.fill(dims)(1.0),                        // all-equal (max everywhere)
+      Seq.fill(dims)(-1.0),                       // negative max
+      Seq.tabulate(dims)(i => if (i == dims - 1) 1e-3 else 1e-9), // max last
+      Seq.tabulate(dims)(i => (i - dims / 2) / 127.0), // grid-boundary halves
+      Seq.fill(dims)(1e-300),                     // tiny magnitudes
+      Seq.tabulate(dims)(i => if (i % 2 == 0) 0.5 else -0.5))
+    random ++ crafted
+  }
+
+  test("vec_quant127 ≡ interpreted floor(x*127/max|x| + 0.5) HOF chain") {
+    graft.expr.VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = vectors(2000, 64).map(Tuple1(_)).toDF("e")
+    val m = array_max(transform(col("e"), x => abs(x)))
+    val legacy = transform(col("e"), x => floor(x * lit(127.0) / m + lit(0.5)))
+    val mismatches = df
+      .select(legacy.as("a"), call_function("vec_quant127", col("e")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(mismatches == 0, s"$mismatches vectors quantized differently")
+  }
+
+  test("pq_nearest_code ≡ interpreted array_sort struct argmin (ties to low k)") {
+    graft.expr.VectorExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cwRaw = Seq.fill(8)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    // duplicate codeword pair: forces exact-tie distances → lowest k wins
+    val codewords = cwRaw.updated(5, cwRaw(2))
+    val cb = typedlit(codewords)
+    val df = vectors(2000, 16).map(Tuple1(_)).toDF("e")
+    // the pre-round-11 formulation, verbatim
+    val entries = (0 until 8).map { k =>
+      val cw = element_at(cb, k + 1)
+      val d2 = aggregate(
+        zip_with(col("e"), cw, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(k).as("k"))
+    }
+    val legacy = array_sort(array(entries: _*)).getItem(0).getField("k")
+    val mismatches = df
+      .select(legacy.as("a"),
+        call_function("pq_nearest_code", col("e"), cb).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(mismatches == 0, s"$mismatches subvectors coded differently")
+    // the planted duplicate really is chosen via the tie-break path for
+    // its own exact vector (distance 0 to both k=2 and k=5 → k=2)
+    val tie = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(codewords(5))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("e",
+            org.apache.spark.sql.types.ArrayType(DoubleType), false))))
+      .select(call_function("pq_nearest_code", col("e"), cb).as("k"))
+      .head().getInt(0)
+    assert(tie == 2, s"exact tie must resolve to the LOWEST index, got $tie")
+  }
+}
