@@ -901,14 +901,28 @@ object Similarity {
   }
 
   private def serveFromStores(spark: SparkSession, dir: String,
-      idxStore: String, metaStore: String, probeLimit: Int): DataFrame = {
+      idxStore: String, metaStore: String, probeLimit: Int): DataFrame =
+    serveImpl(spark, dir, idxStore, metaStore, col("vec_id") < probeLimit)
+
+  /** Serve an EXPLICIT probe-id set from a landed index — the per-batch
+    * entry point of the streaming serve (s23): each arriving id is served
+    * exactly once, and because each probe's top-k depends only on the
+    * FIXED landed index, the union over any batch partitioning of the
+    * probes equals the one-shot serve. */
+  private[graft] def serveForProbes(spark: SparkSession, dir: String,
+      idxStore: String, metaStore: String, ids: Seq[Long]): DataFrame =
+    serveImpl(spark, dir, idxStore, metaStore,
+      col("vec_id").isin(ids.map(Long.box): _*))
+
+  private def serveImpl(spark: SparkSession, dir: String,
+      idxStore: String, metaStore: String, probePred: Column): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     // bounded meta read through the store's get path
     val (seeds, cells) = readMetaStore(spark, metaStore)
     val cb = pqCodebookFrom(seeds)
     // the bounded probe set is QUERY input (not index): raw vectors read
     // once, quantized and cell-ranked driver-side
-    val probes = emb(spark, dir).filter(col("vec_id") < probeLimit)
+    val probes = emb(spark, dir).filter(probePred)
       .select(col("vec_id"), col("e"), col("label")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
     val probeQ = probes.map { case (id, e, lb) => (id, lb, quantize127(e)) }

@@ -545,6 +545,54 @@ object StreamingOps {
     * continuous-indexing shape a streaming RAG/embedding pipeline runs:
     * blocks land over time, the chunk manifest materializes incrementally,
     * per-batch cost bounded by the trigger cap, zero state. */
+  /** s23: STREAMING ANN SERVING — probe queries arrive over time and each
+    * micro-batch is answered from sim15's LANDED index (foreachBatch →
+    * [[graft.operators.Similarity.serveForProbes]]): the model/index
+    * SERVING shape the s-family lacked (everything before this streamed
+    * ingest, dedup, or sessionization — nothing answered queries). The
+    * probe ids ride the landed documents store's micro-batch stream in
+    * bounded batches; each batch's serve is the same dictionary-pruned
+    * cell scan + broadcast ADC the batch query runs, appended to a
+    * parquet result log. Because a probe's top-k depends only on the
+    * FIXED landed index, each probe is served exactly once and the full
+    * drain is row-identical to the one-shot serve — the oracle IS
+    * sim13/sim15's. Per-batch cost: |batch probes| × probed cells; no
+    * streaming state. */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val (idxStore, metaStore) =
+      graft.operators.Similarity.ensureLandedIndex(spark, dir)
+    val docsStore = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-s23")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+    val data = s"$base/data"
+    val probeIds = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", docsStore).option("maxBlocksPerTrigger", "2").load()
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prev.toInt).toString)
+      probeIds.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ids = batch.collect().map(_.getLong(0)).toSeq
+          if (ids.nonEmpty)
+            graft.operators.Similarity
+              .serveForProbes(spark, dir, idxStore, metaStore, ids)
+              .write.mode("append").parquet(data)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    spark.read.parquet(data).orderBy("query_id", "rank")
+  }
+
   def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
     val store = s"chunkstream:$dir"
     Catalog.table(spark, dir, "documents")
@@ -849,6 +897,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s21_blockstore_stream" -> blockStoreStream,
     "s22_stream_chunks" -> streamContextChunks,
+    "s23_stream_ann_serve" -> streamAnnServe,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -967,6 +1016,11 @@ object StreamingOps {
     // manifest — the oracle is t12's own formulation verbatim
     "s22_stream_chunks" -> graft.operators.TextAnalysis
       .oracles("t12_context_chunks"),
+    // s23: each probe is served exactly once from the FIXED landed index,
+    // so the full drain is row-identical to the one-shot serve (= sim13's
+    // full-corpus computation; see sim15's shared-oracle argument)
+    "s23_stream_ann_serve" -> graft.operators.Similarity
+      .oracles("sim13_ivf_pq"),
     // s20: classification is a pure function of the canonical id =
     // min(doc_id) holding the fingerprint across index ∪ stream history
     // (the processor's sorted single-batch replay), so the oracle is the
