@@ -915,7 +915,8 @@ object Similarity {
       col("vec_id").isin(ids.map(Long.box): _*))
 
   private def serveImpl(spark: SparkSession, dir: String,
-      idxStore: String, metaStore: String, probePred: Column): DataFrame = {
+      idxStore: String, metaStore: String, probePred: Column,
+      tombstones: Option[String] = None): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     // bounded meta read through the store's get path
     val (seeds, cells) = readMetaStore(spark, metaStore)
@@ -940,13 +941,20 @@ object Similarity {
       java.util.Arrays.asList(probeRows.toIndexedSeq: _*), pschema)
     val wanted = pairs.map(_._2.toString).distinct.toSeq
     // dictionary-pruned serve: only the probed cells' blocks open
-    val idx = spark.read.format("graft.sources.BlockStoreSource")
+    val idx0 = spark.read.format("graft.sources.BlockStoreSource")
       .option("store", idxStore).load()
       .filter(col("lang").isin(wanted: _*))
       .select(Seq(col("doc_id").as("vec_id"), col("lang").as("cell")) ++
         (0 until PqM).map(m =>
           shiftright(col("n_chars"), (PqM - 1 - m) * 8)
             .bitwiseAND(lit(255L)).cast(IntegerType).as(s"c$m")): _*)
+    // tombstoned ids never become candidates: an equi ANTI-join against
+    // the tombstone store (a table, not a broadcast — at 100 TB the
+    // delete set scales with the corpus, the sim18 contract)
+    val idx = tombstones.fold(idx0)(t =>
+      idx0.join(spark.read.format("graft.sources.BlockStoreSource")
+          .option("store", t).load().select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti"))
     val joined = idx.join(broadcast(probesDf),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
     pqRank(joined, cb)
@@ -1007,6 +1015,89 @@ object Similarity {
       } finally all.unpersist(): Unit
     }
     (idxName, metaName)
+  }
+
+  // ---- sim18: tombstone DELETE from the landed index ---------------------
+
+  /** Policy delete-set for sim18: ids ≥ [[ProbeCount]] with id % 7 == 3
+    * (a retention/right-to-erasure batch). Seeds and probes are PROTECTED
+    * by construction — deleting a codebook seed would require re-training
+    * (production re-lands the codebook then; the exactness story below
+    * covers data deletes, the overwhelmingly common case). */
+  private def deletePred: Column =
+    col("vec_id") >= ProbeCount && col("vec_id") % 7 === 3
+
+  /** Build sim18's index: a full land, then a TOMBSTONE DELETE that does
+    * O(|deleted|) work — the production ANN delete shape (tombstone +
+    * periodic compaction, never an eager index rewrite):
+    *
+    *   - deleted ids land as a bounded tombstone STORE; the serve
+    *     anti-joins candidates against it (an equi anti-join — at 100 TB
+    *     the tombstone set is a table, not a broadcast);
+    *   - cell stats are corrected by exact BIGINT SUBTRACTION of the
+    *     deleted vectors' contributions (one O(|deleted|) pass) — the
+    *     mergeable-stats discipline running in reverse, so probe-to-cell
+    *     ranking is bit-identical to a from-scratch build over the
+    *     survivors. A cell whose count reaches zero is dropped (it has no
+    *     members to serve — exactly as it vanishes from the survivor
+    *     oracle's stats).
+    *
+    * The serve over (full index − tombstones, corrected stats) is
+    * row-identical to sim13's computation over the survivor corpus — the
+    * registered oracle is Sim13Oracle with its corpus CTE restricted by
+    * the same predicate. */
+  private[graft] def ensureTombstonedIndex(spark: SparkSession,
+      dir: String): (String, String, String) = synchronized {
+    val idxName = s"annidx3@$dir"
+    val metaName = s"annmeta3@$dir"
+    val tombName = s"anntomb3@$dir"
+    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+      graft.expr.VectorExpressions.register(spark)
+      val all = emb(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        all.count()
+        // full land (sim15's build)
+        val seeds = pqSeeds(all)
+        writeIndexStore(all, pqCodebookFrom(seeds), idxName, append = false)
+        writeMetaStore(spark, metaName, seeds, collectCellStats(quantFrame(all)))
+        // the DELETE: O(|deleted|) — tombstones + exact stat subtraction
+        val deleted = all.filter(deletePred)
+        deleted.select(col("vec_id").as("doc_id"), lit("").as("text"),
+            lit("ts").as("lang"), lit("tomb").as("source"),
+            lit(0L).as("n_chars"))
+          .write.format("graft.sources.BlockStoreSource")
+          .option("store", tombName).mode("overwrite").save()
+        val (landedSeeds, landedCells) = readMetaStore(spark, metaName)
+        val delCells = collectCellStats(quantFrame(deleted))
+        val delByLabel = delCells.map(c => c._1 -> c).toMap
+        val corrected = landedCells.flatMap { case (lb, cn, s) =>
+          delByLabel.get(lb) match {
+            case None => Some((lb, cn, s))
+            case Some((_, dcn, ds)) =>
+              val left = cn - dcn
+              if (left == 0L) None
+              else {
+                val ns = new Array[Long](Dims)
+                var d = 0
+                while (d < Dims) { ns(d) = s(d) - ds(d); d += 1 }
+                Some((lb, left, ns))
+              }
+          }
+        }
+        writeMetaStore(spark, metaName, landedSeeds, corrected)
+      } finally all.unpersist(): Unit
+    }
+    (idxName, metaName, tombName)
+  }
+
+  /** sim18: top-k served from the landed index AFTER a tombstone delete —
+    * row-identical to rebuilding over the survivors (the oracle is the
+    * full-corpus sim13 computation restricted to the survivor set). */
+  def indexDeleteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (idxStore, metaStore, tombStore) = ensureTombstonedIndex(spark, dir)
+    serveImpl(spark, dir, idxStore, metaStore,
+      col("vec_id") < ProbeCount, tombstones = Some(tombStore))
   }
 
   /** sim16: top-k served from the INCREMENTALLY-built index — the
@@ -1230,7 +1321,8 @@ object Similarity {
     "sim14_recall_bar" -> recallBar,
     "sim15_landed_ann" -> landedAnnTopK,
     "sim16_ann_append" -> annAppendTopK,
-    "sim17_bitext_mine" -> bitextMine)
+    "sim17_bitext_mine" -> bitextMine,
+    "sim18_index_delete" -> indexDeleteTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -1467,6 +1559,22 @@ object Similarity {
        |   FROM ex JOIN ap a ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id
        |   GROUP BY ex.query_id) h ON b.query_id = h.query_id
        |ORDER BY b.query_id""".stripMargin
+
+  /** sim18 mirror: sim13's computation over the SURVIVOR corpus — the
+    * identical oracle text with the delete predicate applied in the v CTE
+    * (every downstream CTE — quantization, cell stats, probe dims,
+    * candidate lists — inherits the restriction, which is exactly what
+    * the engine's tombstone + exact-stat-subtraction serve claims to
+    * equal). Seeds and probes (`vec_id < $ProbeCount`) are protected by
+    * the predicate, so both sides keep one codebook and probe set. */
+  private lazy val Sim18Oracle: String = {
+    val marker = "FROM embeddings)"
+    require(Sim13Oracle.indexOf(marker) == Sim13Oracle.lastIndexOf(marker)
+      && Sim13Oracle.contains(marker),
+      "Sim13Oracle corpus CTE changed shape; update Sim18Oracle surgery")
+    Sim13Oracle.replace(marker,
+      s"FROM embeddings WHERE NOT (vec_id >= $ProbeCount AND vec_id % 7 = 3))")
+  }
 
   /** sim13 mirror: Sim11's exact-integer cell selection CTEs composed with
     * PqOracle's codes/ADC-parts pattern, the parts join restricted to the
@@ -1721,6 +1829,11 @@ object Similarity {
     // sim16's append must reconstruct EXACTLY the full-build index, so it
     // too is oracle-checked against the full-corpus computation
     "sim16_ann_append" -> Sim13Oracle,
+    // sim18: the tombstone delete must serve EXACTLY as a rebuild over the
+    // survivors would — the oracle is Sim13Oracle with its corpus CTE
+    // restricted by the same delete predicate (every downstream CTE —
+    // stats, probes, candidates — inherits the restriction)
+    "sim18_index_delete" -> Sim18Oracle,
     "sim14_recall_bar" -> RecallBarOracle,
     "sim17_bitext_mine" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label
