@@ -671,7 +671,69 @@ object Coverage {
       .orderBy("cohort_week", "week_offset")
   }
 
+  private[graft] val SessionGapUs = 43200000000L // 12 h — see q38 scaladoc
+
+  /** q38: within-session event CO-OCCURRENCE with LIFT — the market-basket
+    * association statistic (lift = P(a,b)/(P(a)·P(b)), Brin et al. 1997)
+    * over behavioral sessions: sessionize each user's stream with a 12-hour
+    * inactivity gap (the testdata's median inter-event gap is ~7 h, so a
+    * web-style 30-min gap would make every event its own session), reduce
+    * each session to its DISTINCT event-type set, and score every unordered
+    * type pair. Lift is computed from exact BIGINT counts — deliberately
+    * lift rather than (log-scaled) PMI: no `ln` crosses the engine
+    * boundary, per the t11 linear-idf determinism rule.
+    *
+    * Gap semantics mirror Spark's session_window: a new session starts only
+    * when the gap strictly EXCEEDS the threshold (CLAUDE.md: merges at
+    * exactly-gap). Session identity is (user_id, running new-session sum)
+    * under the engine-wide (ts, event_id) total order.
+    *
+    * SCALE SHAPE: the sessionizing window is PARTITIONED by user (never
+    * global); the distinct (user, sid, type) projection bounds everything
+    * downstream — the self-join runs on (user_id, sid) with ≤ |types| rows
+    * per side per session, singles/pairs aggregate to ≤ |types|² rows, and
+    * the session total is a scalar subquery (one extra pass over the
+    * distinct frame, broadcast as a literal — the q28 discipline, not a
+    * cartesian). Event payloads never leave the first projection. */
+  def q38CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.eventsNorm(spark, dir).createOrReplaceTempView("cov_events_norm")
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(unix_micros(ts)) OVER w IS NULL
+         |           OR unix_micros(ts) - lag(unix_micros(ts)) OVER w
+         |              > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM cov_events_norm
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, event_type,
+         |        sum(ns) OVER (PARTITION BY user_id
+         |                      ORDER BY ts, event_id) AS sid
+         |      FROM e),
+         |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+         |singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |            FROM st GROUP BY event_type),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |            CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM st a JOIN st b
+         |            ON a.user_id = b.user_id AND a.sid = b.sid
+         |               AND a.event_type < b.event_type
+         |          GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+         |        FROM (SELECT DISTINCT user_id, sid FROM st)),
+         |sc AS (SELECT (SELECT n_sessions FROM tot) AS n_sessions)
+         |SELECT p.type_a, p.type_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+         |  (SELECT n_sessions FROM sc) AS n_sessions,
+         |  CAST(p.n_ab * (SELECT n_sessions FROM sc) AS DOUBLE)
+         |    / CAST(sa.n * sb.n AS DOUBLE) AS lift
+         |FROM pairs p
+         |JOIN singles sa ON sa.event_type = p.type_a
+         |JOIN singles sb ON sb.event_type = p.type_b
+         |ORDER BY type_a, type_b""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_cooccurrence_lift" -> q38CooccurrenceLift,
     "q37_retention_cohorts" -> q37RetentionCohorts,
     "q36_user_trajectories" -> q36UserTrajectories,
     "q35_above_avg_inactive" -> q35AboveAvgInactive,
@@ -702,6 +764,38 @@ object Coverage {
     "x19_partition_pruning" -> x19PartitionPruning)
 
   val oracles: Map[String, String] = Map(
+    "q38_cooccurrence_lift" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |              > ${Coverage.SessionGapUs}
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, event_type,
+         |        sum(ns) OVER (PARTITION BY user_id
+         |                      ORDER BY ts, event_id) AS sid
+         |      FROM e),
+         |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+         |singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |            FROM st GROUP BY event_type),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |            CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM st a JOIN st b
+         |            ON a.user_id = b.user_id AND a.sid = b.sid
+         |               AND a.event_type < b.event_type
+         |          GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+         |        FROM (SELECT DISTINCT user_id, sid FROM st))
+         |SELECT p.type_a, p.type_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+         |  (SELECT n_sessions FROM tot) AS n_sessions,
+         |  CAST(p.n_ab * (SELECT n_sessions FROM tot) AS DOUBLE)
+         |    / CAST(sa.n * sb.n AS DOUBLE) AS lift
+         |FROM pairs p
+         |JOIN singles sa ON sa.event_type = p.type_a
+         |JOIN singles sb ON sb.event_type = p.type_b
+         |ORDER BY type_a, type_b""".stripMargin,
     "q37_retention_cohorts" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |              epoch_us(ts) // 604800000000 AS wk FROM events),

@@ -696,7 +696,54 @@ object Extended {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  private[graft] val ObsQtyFloor = 25
+
+  /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
+    * API (`Dataset.observe` → CollectMetricsExec): rows-in and null-count
+    * measured AT THE SCAN, rows-kept and exact decimal revenue measured
+    * AFTER the quality filter, all collected as a side effect of ONE
+    * pipeline pass (a noop-sink write — no second scan, no extra job per
+    * metric; the Deequ-style audit-gate shape every production pipeline
+    * wants around its filters). The registered result is the one-row
+    * metrics report a gate would assert on.
+    *
+    * SCALE SHAPE: CollectMetrics is an accumulator riding the existing
+    * tasks — per-partition partials merge on the driver, cost O(#metrics),
+    * no shuffle, no rescan; the filter itself still pushes to the scan
+    * below the metrics collector. The revenue metric goes through the
+    * engine-wide DECIMAL(12,2) exact sum, so the observed value is
+    * bit-identical to the oracle's aggregate. */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsKept = org.apache.spark.sql.Observation()
+    val staged = Catalog.table(spark, dir, "lineitem")
+      .observe(obsIn, count(lit(1)).as("rows_in"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"))
+      .filter(col("l_quantity") > ObsQtyFloor)
+      .observe(obsKept, count(lit(1)).as("rows_kept"),
+        sum(dec(col("l_extendedprice"))).as("kept_revenue"))
+    staged.write.format("noop").mode("overwrite").save()
+    val in = obsIn.get
+    val kept = obsKept.get
+    val rowsIn = in("rows_in").asInstanceOf[Long]
+    val rowsKept = kept("rows_kept").asInstanceOf[Long]
+    val revenue =
+      kept("kept_revenue").asInstanceOf[java.math.BigDecimal].doubleValue
+    val schema = StructType(Seq(
+      StructField("rows_in", LongType, nullable = false),
+      StructField("null_qty", LongType, nullable = false),
+      StructField("rows_kept", LongType, nullable = false),
+      StructField("kept_revenue", DoubleType, nullable = false),
+      StructField("keep_ratio", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        rowsIn, in("null_qty").asInstanceOf[Long], rowsKept, revenue,
+        rowsKept.toDouble / rowsIn)),
+      schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
     "x14_percentiles" -> percentiles,
@@ -733,6 +780,17 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x38_observed_metrics" ->
+      s"""SELECT
+         |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS rows_in,
+         |  CAST((SELECT count(*) FROM lineitem
+         |        WHERE l_quantity IS NULL) AS BIGINT) AS null_qty,
+         |  CAST(count(*) AS BIGINT) AS rows_kept,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS kept_revenue,
+         |  CAST(count(*) AS DOUBLE)
+         |    / (SELECT count(*) FROM lineitem) AS keep_ratio
+         |FROM lineitem WHERE l_quantity > ${Extended.ObsQtyFloor}""".stripMargin,
     // bloom prune is semantically transparent (no false negatives + exact
     // semi join downstream), so the oracle is the PLAIN semi join
     "x26_bloom_prune_join" ->

@@ -531,6 +531,59 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- t17: per-document repetition signals ------------------------------
+
+  private[graft] val RepTopTokFrac = 0.12
+  private[graft] val RepAdjFrac = 0.10
+
+  /** t17: per-document REPETITION signals — the Gopher-style repetitive-
+    * content filters (Rae et al. 2021 §A1.1 "repetition" rules, adapted to
+    * token streams): the most-frequent-token share, the adjacent-duplicate
+    * share, and the most-frequent-bigram share, plus the composite
+    * `repetitive` flag a curation pass drops documents on. Complements t16
+    * (WITHIN-source diversity at corpus grain) with the per-document grain
+    * an actual filter runs at.
+    *
+    * SCALE SHAPE: the adjacent-repeat count is computed inside the scan
+    * (bounded per-doc array fold); the two "top share" statistics are each
+    * the t10 discipline — hash-once at the explode so only (doc_id, 8-byte
+    * digest) rows shuffle, groupBy partials combine map-side, and every
+    * shuffle/join key is doc_id so the three branches co-partition. No
+    * corpus-wide key anywhere; linear in executors at 100 TB. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    val base0 = docs(spark, dir).filter(size(toks) >= 2)
+    // positions i (1-based) where toks[i] == toks[i+1]
+    val adj = size(filter(sequence(lit(1), size(toks) - 1), i =>
+      element_at(toks, i) === element_at(toks, i + 1)))
+    val base = base0.select(col("doc_id"),
+      asLong(size(toks)).as("n_tokens"), asLong(adj).as("adj_repeats"))
+    def topShare(occ: DataFrame, out: String): DataFrame =
+      occ.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(asLong(max(col("c"))).as(out))
+    val topTok = topShare(
+      base0.select(col("doc_id"), explode(toks).as("tok"))
+        .select(col("doc_id"), Text.sharedHash(col("tok")).as("h")),
+      "top_tok_cnt")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val topBg = topShare(
+      base0.select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), Text.sharedHash(col("bg")).as("h")),
+      "top_bigram_cnt")
+    val nm1 = (col("n_tokens") - 1L).cast(DoubleType)
+    base.join(topTok, Seq("doc_id")).join(topBg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_tok_cnt").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("top_tok_frac"),
+        (col("adj_repeats").cast(DoubleType) / nm1).as("adj_repeat_frac"),
+        (col("top_bigram_cnt").cast(DoubleType) / nm1).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > RepTopTokFrac ||
+          col("adj_repeat_frac") > RepAdjFrac)
+      .orderBy("doc_id")
+  }
+
   // ---- t15: language-ID confusion matrix --------------------------------
 
   /** t15: classifier EVALUATION — the confusion matrix of t6's n-gram
@@ -613,6 +666,7 @@ object TextAnalysis {
     "t10_bigram_support" -> bigramSupport,
     "t11_tfidf_keywords" -> tfidfKeywords,
     "t16_ngram_diversity" -> ngramDiversity,
+    "t17_repetition" -> repetitionSignals,
     "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
@@ -721,6 +775,32 @@ object TextAnalysis {
          |    / CAST(count(*) AS DOUBLE) AS attested_ratio
          |FROM b LEFT JOIN m ON b.bgh = m.bgh
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "t17_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dd AS (SELECT * FROM d WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |        CAST(len(list_filter(generate_series(1, len(toks) - 1),
+         |          i -> toks[i] = toks[i + 1])) AS BIGINT) AS adj
+         |      FROM dd),
+         |tk AS (SELECT doc_id, ${Text.sqlHash("tok")} AS h
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM dd)),
+         |tc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, ${Text.sqlHash("bgs")} AS h
+         |       FROM (SELECT doc_id,
+         |               unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bgs
+         |             FROM dd)),
+         |bc AS (SELECT doc_id, h, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg FROM bc GROUP BY 1)
+         |SELECT b.doc_id, b.n AS n_tokens,
+         |  CAST(tt.top_tok AS DOUBLE) / b.n AS top_tok_frac,
+         |  CAST(b.adj AS DOUBLE) / (b.n - 1) AS adj_repeat_frac,
+         |  CAST(bt.top_bg AS DOUBLE) / (b.n - 1) AS top_bigram_frac,
+         |  (CAST(tt.top_tok AS DOUBLE) / b.n > $RepTopTokFrac
+         |    OR CAST(b.adj AS DOUBLE) / (b.n - 1) > $RepAdjFrac) AS repetitive
+         |FROM b JOIN tt USING (doc_id) JOIN bt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t16_ngram_diversity" ->
       s"""WITH d AS (SELECT source, $Toks AS toks FROM documents),
          |tk0 AS (SELECT source, unnest(toks) AS tok FROM d),

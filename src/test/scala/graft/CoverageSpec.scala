@@ -109,4 +109,37 @@ class CoverageSpec extends SparkSpec {
         s"length filter would wrongly prune qualifying pair ($a,$b)")
     }
   }
+
+  test("q38 session co-occurrence matches a driver-side sessionization") {
+    val rows = operators.Coverage.q38CooccurrenceLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side truth: sessionize the raw events with the same 12h gap
+    val ev = Catalog.eventsNorm(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = operators.Coverage.SessionGapUs
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sids = sorted.scanLeft((0L, Long.MinValue / 4)) {
+        case ((sid, prev), e) =>
+          (if (e._2 - prev > gap) sid + 1 else sid, e._2)
+      }.tail.map(_._1)
+      sorted.zip(sids).map { case (e, sid) => ((e._1, sid), e._4) }
+    }.toSeq.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val nSess = sessions.size.toLong
+    val nOf = sessions.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val nAb = sessions.count(s => s(a) && s(b)).toLong
+      assert(r.getLong(2) == nAb, s"pair ($a,$b) n_ab")
+      assert(r.getLong(3) == nOf(a) && r.getLong(4) == nOf(b), s"($a,$b) singles")
+      assert(r.getLong(5) == nSess, "n_sessions")
+      assert(r.getDouble(6) == nAb.toDouble * nSess / (nOf(a) * nOf(b)),
+        s"($a,$b) lift")
+    }
+    // completeness: every co-occurring unordered pair is reported
+    val want = sessions.flatMap(s => s.toSeq.sorted.combinations(2)).toSet
+    assert(rows.map(r => Seq(r.getString(0), r.getString(1))).toSet == want)
+  }
 }

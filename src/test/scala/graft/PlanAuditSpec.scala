@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     // x30 collects its (|langs|+1)-row triage and releases the parse cache
     // (caught by the automatic eager detection; the old hand-list audited
     // its LocalRelation vacuously)
-    "x30_corrupt_ingest" -> ("|langs|+1 triage rows", nLangs + 1))
+    "x30_corrupt_ingest" -> ("|langs|+1 triage rows", nLangs + 1),
+    // x38 returns the Observation metrics report: one row by construction
+    "x38_observed_metrics" -> ("one metrics row", 1L))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {

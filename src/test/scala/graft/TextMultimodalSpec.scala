@@ -278,4 +278,34 @@ class TextMultimodalSpec extends SparkSpec {
       .sortBy { case (p, n) => (-n, p) }.take(TextAnalysis.BpeTopPairs)
     assert(got.toSeq == want, "distributed BPE pair counts diverge from driver truth")
   }
+
+  test("t17 repetition signals match a driver-side recompute") {
+    val got = TextAnalysis.repetitionSignals(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    val docs = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got.keySet.subsetOf(docs.keySet))
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 2) {
+        val n = toks.length
+        val topTok = toks.groupBy(identity).values.map(_.length).max
+        val adj = toks.sliding(2).count(p => p(0) == p(1))
+        val topBg = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.length).max
+        val (gn, gtt, gadj, gbg, flag) = got(id)
+        assert(gn == n.toLong, s"doc $id n_tokens")
+        assert(gtt == topTok.toDouble / n, s"doc $id top_tok_frac")
+        assert(gadj == adj.toDouble / (n - 1), s"doc $id adj_repeat_frac")
+        assert(gbg == topBg.toDouble / (n - 1), s"doc $id top_bigram_frac")
+        assert(flag == (gtt > TextAnalysis.RepTopTokFrac ||
+          gadj > TextAnalysis.RepAdjFrac), s"doc $id flag")
+      } else assert(!got.contains(id), s"doc $id under 2 tokens must drop")
+    }
+    // the flag must discriminate at this SF (mixed true/false)
+    val flags = got.values.map(_._5).toSet
+    assert(flags == Set(true, false), "repetitive flag is degenerate")
+  }
 }
