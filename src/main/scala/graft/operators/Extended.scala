@@ -696,6 +696,49 @@ object Extended {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  private[graft] val DeleteIdFloor = 400L
+
+  /** x39: SQL `DELETE FROM` through the connector — DSv2 SupportsDelete
+    * with COPY-ON-WRITE block rewrite (the Delta/Iceberg delete
+    * economics on the block store): the predicate's stats projection
+    * (dictionaries for lang, min/max for doc_id) exonerates
+    * non-intersecting blocks without reading their payload; only
+    * intersecting blocks rewrite. Two deletes exercise both stats kinds
+    * — a dictionary-pruned `lang = 'de'` and a range-pruned
+    * `doc_id >= [[DeleteIdFloor]]` — and the registered result is the
+    * post-delete per-(source, lang) inventory read back through the
+    * store, verified against DuckDB applying the same deletes as
+    * filters. Unsupported predicates fail at ANALYSIS (canDeleteWhere =
+    * false — no silent partial delete), spec-asserted. */
+  def blockStoreDelete(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"del:$dir"
+    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x39_docs")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_del_table
+                 |USING graft.sources.BlockStoreSource
+                 |OPTIONS (store '$store')""".stripMargin)
+    try {
+      spark.sql("INSERT OVERWRITE graft_del_table SELECT * FROM x39_docs")
+      spark.sql("DELETE FROM graft_del_table WHERE lang = 'de'")
+      spark.sql(s"DELETE FROM graft_del_table WHERE doc_id >= $DeleteIdFloor")
+      // materialize eagerly: the frame must survive the DROP TABLE below
+      val out = spark.sql(
+        """SELECT source, lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(min(doc_id) AS BIGINT) AS min_id,
+          |       CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM graft_del_table
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      try spark.sql("DROP TABLE IF EXISTS graft_del_table")
+      catch { case _: Exception => }
+      try spark.catalog.dropTempView("x39_docs")
+      catch { case _: Exception => }
+    }
+  }
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -743,6 +786,7 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_blockstore_delete" -> blockStoreDelete,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -780,6 +824,16 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the deletes, re-expressed as filters over the source table
+    "x39_blockstore_delete" ->
+      s"""SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS min_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM documents
+         |WHERE lang <> 'de' AND doc_id < ${Extended.DeleteIdFloor}
+         |GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
     "x38_observed_metrics" ->
       s"""SELECT
          |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS rows_in,

@@ -309,6 +309,50 @@ object BlockStore {
     if (s == null) 0 else s.size()
   }
 
+  // ---- filter DELETE (copy-on-write block rewrite) -----------------------
+  //
+  // The DSv2 `DELETE FROM` path ([[BlockStoreTable]] SupportsDelete): the
+  // predicate splits into a STATS-level block pre-filter (min/max for
+  // doc_id, dictionaries for lang/source — the same metadata the scan
+  // prunes on) and a row predicate. Blocks the stats prove untouched keep
+  // their payload UNREAD (disk-tier blocks stay on disk); intersecting
+  // blocks are rewritten copy-on-write — filtered payload, recomputed
+  // stats, dropped entirely when emptied. This is the Delta/Iceberg
+  // copy-on-write DELETE economics: at 100 TB a `WHERE lang = 'de'` on a
+  // lang-clustered store rewrites only the 'de' blocks.
+
+  /** Blocks skipped by the last deleteWhere calls because their stats
+    * proved no row could match (payload never read). */
+  val deletePruned = new AtomicLong(0)
+  /** Blocks whose payload was read (and possibly rewritten/dropped). */
+  val deleteScanned = new AtomicLong(0)
+
+  /** Delete every row satisfying `rowPred`, consulting `mayMatch` on
+    * block stats first. Returns the number of rows deleted. Atomic per
+    * store (readers see the old or the new block array, never a mix). */
+  private[sources] def deleteWhere(name: String, mayMatch: Block => Boolean,
+      rowPred: DocRow => Boolean): Long = {
+    var deleted = 0L
+    stores.computeIfPresent(name, (_, blocks) => {
+      blocks.flatMap { b =>
+        if (!mayMatch(b)) { deletePruned.incrementAndGet(); Some(b) }
+        else {
+          deleteScanned.incrementAndGet()
+          val kept = b.rows.filterNot(rowPred)
+          if (kept.length == b.numRows) Some(b)
+          else {
+            deleted += b.numRows - kept.length
+            if (kept.isEmpty) None
+            else Some(new Block(kept.iterator.map(_._1).min,
+              kept.iterator.map(_._1).max, kept, b.shard))
+          }
+        }
+      }
+    }): Unit
+    enforceBudget()
+    deleted
+  }
+
   private[sources] def get(name: String): Array[Block] = {
     val b = stores.get(name)
     if (b == null) Array.empty else b

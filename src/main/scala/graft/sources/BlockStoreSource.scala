@@ -55,7 +55,62 @@ class BlockStoreSource extends TableProvider {
 }
 
 private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Translate one DELETE conjunct into (stats pre-filter, row predicate).
+    * Supported: doc_id equality/range/In (checked against block min/max)
+    * and lang/source equality/In (checked against block dictionaries) —
+    * exactly the predicates the stats can pre-prune, so an accepted DELETE
+    * never scans a block its metadata can exonerate. None ⇒ unsupported ⇒
+    * `canDeleteWhere` = false and Spark fails the statement at analysis
+    * (this table has no row-level-operation fallback; a silent partial
+    * delete would be worse than a loud refusal). */
+  private def translate(f: Filter)
+      : Option[(BlockStore.Block => Boolean, BlockStore.DocRow => Boolean)] = {
+    def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+    def sv(v: Any): String = String.valueOf(v)
+    f match {
+      case org.apache.spark.sql.sources.AlwaysTrue() =>
+        Some((_ => true, _ => true))
+      case EqualTo("doc_id", v) =>
+        val n = lv(v); Some((b => b.minId <= n && n <= b.maxId, _._1 == n))
+      case In("doc_id", vs) =>
+        val ns = vs.map(lv).toSet
+        Some((b => ns.exists(n => b.minId <= n && n <= b.maxId),
+          r => ns.contains(r._1)))
+      case GreaterThan("doc_id", v) =>
+        val n = lv(v); Some((b => b.maxId > n, _._1 > n))
+      case GreaterThanOrEqual("doc_id", v) =>
+        val n = lv(v); Some((b => b.maxId >= n, _._1 >= n))
+      case LessThan("doc_id", v) =>
+        val n = lv(v); Some((b => b.minId < n, _._1 < n))
+      case LessThanOrEqual("doc_id", v) =>
+        val n = lv(v); Some((b => b.minId <= n, _._1 <= n))
+      case EqualTo("lang", v) =>
+        val s = sv(v); Some((b => b.langs.contains(s), _._3 == s))
+      case In("lang", vs) =>
+        val ss = vs.map(sv).toSet
+        Some((b => b.langs.exists(ss), r => ss.contains(r._3)))
+      case EqualTo("source", v) =>
+        val s = sv(v); Some((b => b.sources.contains(s), _._4 == s))
+      case In("source", vs) =>
+        val ss = vs.map(sv).toSet
+        Some((b => b.sources.exists(ss), r => ss.contains(r._4)))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val preds = filters.map(f => translate(f).getOrElse(
+      throw new IllegalArgumentException(s"unsupported DELETE filter: $f")))
+    BlockStore.deleteWhere(store,
+      b => preds.forall(_._1(b)), r => preds.forall(_._2(r))): Unit
+  }
+
   override def name(): String = s"graft-blocks:$store"
   override def schema(): StructType = tableSchema
   /** Sharded stores advertise their layout as a catalog-level transform —

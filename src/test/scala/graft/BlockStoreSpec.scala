@@ -388,4 +388,47 @@ class BlockStoreSpec extends SparkSpec {
     assert(colsLine.contains("lang") && colsLine.contains("n_chars"),
       s"required columns missing from the scan:\n$colsLine")
   }
+
+  test("SQL DELETE: copy-on-write rewrite, stats-pruned; unsupported predicate refused") {
+    // a THROWAWAY lang-clustered store (DELETE mutates it — the shared
+    // ensureLangClustered fixture must stay pristine for other tests)
+    val name = s"delete-spec:$sf"
+    Catalog.table(spark, sf, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("clusterBy", "lang")
+      .mode("overwrite").save()
+    val total = BlockStore.blockCount(name).toLong
+    assert(total > 1, "fixture must span multiple blocks")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS spec_del_table
+                 |USING graft.sources.BlockStoreSource
+                 |OPTIONS (store '$name')""".stripMargin)
+    try {
+      val langBlocks = BlockStore.blocks(name).count(_.langs.contains("de")).toLong
+      assert(langBlocks < total, "clustering must isolate 'de' into few blocks")
+      val (p0, s0) = (BlockStore.deletePruned.get(), BlockStore.deleteScanned.get())
+      spark.sql("DELETE FROM spec_del_table WHERE lang = 'de'")
+      val pruned = BlockStore.deletePruned.get() - p0
+      val scanned = BlockStore.deleteScanned.get() - s0
+      assert(scanned == langBlocks,
+        s"only the $langBlocks 'de'-dictionary blocks may rewrite, scanned $scanned")
+      assert(pruned == total - langBlocks,
+        s"stats must exonerate the other ${total - langBlocks} blocks unread")
+      // result correctness through the connector read-back
+      val got = spark.sql("SELECT count(*) FROM spec_del_table").collect()(0).getLong(0)
+      val want = Catalog.table(spark, sf, "documents")
+        .filter(col("lang") =!= "de").count()
+      assert(got == want, "post-delete row count diverged from filter truth")
+      // an un-translatable predicate must be REFUSED at analysis, store intact
+      val ex = intercept[Exception] {
+        spark.sql("DELETE FROM spec_del_table WHERE text LIKE '%table%'")
+      }
+      assert(ex.getMessage.toLowerCase.contains("delete"),
+        s"refusal should name the delete: ${ex.getMessage}")
+      val after = spark.sql("SELECT count(*) FROM spec_del_table").collect()(0).getLong(0)
+      assert(after == want, "a refused DELETE must not change the store")
+    } finally {
+      try spark.sql("DROP TABLE IF EXISTS spec_del_table")
+      catch { case _: Exception => }
+    }
+  }
 }

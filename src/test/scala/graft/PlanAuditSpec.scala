@@ -79,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     // its LocalRelation vacuously)
     "x30_corrupt_ingest" -> ("|langs|+1 triage rows", nLangs + 1),
     // x38 returns the Observation metrics report: one row by construction
-    "x38_observed_metrics" -> ("one metrics row", 1L))
+    "x38_observed_metrics" -> ("one metrics row", 1L),
+    // x39 collects its post-delete (source, lang) inventory before the
+    // catalog table is dropped (the x36 lifecycle)
+    "x39_blockstore_delete" -> ("|sources| × |langs| groups", nSources * nLangs))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {
