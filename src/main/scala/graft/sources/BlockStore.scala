@@ -278,7 +278,7 @@ object BlockStore {
   private val staged =
     new ConcurrentHashMap[String, ConcurrentHashMap[Int, Block]]()
 
-  private[sources] def stage(name: String, partitionId: Int, b: Block): Unit = {
+  private[graft] def stage(name: String, partitionId: Int, b: Block): Unit = {
     staged.computeIfAbsent(name, _ => new ConcurrentHashMap[Int, Block]())
       .put(partitionId, b): Unit
   }
@@ -288,14 +288,54 @@ object BlockStore {
     * `truncate` replaces the visible store (overwrite mode); otherwise
     * the promoted blocks append. */
   private[sources] def promote(name: String, partitionIds: Seq[Int],
-      truncate: Boolean): Unit = {
-    val s = staged.remove(name)
+      truncate: Boolean): Unit =
+    promoteInto(name, name, partitionIds, truncate)
+
+  /** [[promote]] generalized to a staging key ≠ target store — the
+    * STREAMING write path stages each epoch under its own key (two epochs'
+    * partition 0 must not collide) and promotes into the one target. */
+  private[sources] def promoteInto(stagingKey: String, target: String,
+      partitionIds: Seq[Int], truncate: Boolean): Unit = {
+    val s = staged.remove(stagingKey)
     val blocks: Array[Block] =
       if (s == null) Array.empty
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
-    stores.compute(name, (_, v) =>
+    stores.compute(target, (_, v) =>
       if (truncate || v == null) blocks else v ++ blocks): Unit
     enforceBudget()
+  }
+
+  // ---- streaming write (epoch-atomic append) -----------------------------
+  //
+  // Micro-batch sinks re-run `commit(epochId, ...)` after a recovery that
+  // lost the engine's commit-log write but not the sink's effect; the
+  // watermark below makes the promote IDEMPOTENT per epoch, so a replayed
+  // epoch discards its staged blocks instead of double-appending — the
+  // exactly-once half the sink owes (the source half is the stream's
+  // checkpointed offsets).
+
+  private val streamEpochs = new ConcurrentHashMap[String, Long]()
+
+  private[graft] def epochKey(store: String, epoch: Long): String =
+    s"$store##epoch-$epoch"
+
+  private[graft] def commitEpoch(store: String, epoch: Long,
+      partitionIds: Seq[Int]): Unit = {
+    val last = streamEpochs.getOrDefault(store, -1L)
+    if (epoch <= last) discardStaged(epochKey(store, epoch))
+    else {
+      promoteInto(epochKey(store, epoch), store, partitionIds,
+        truncate = false)
+      streamEpochs.put(store, epoch): Unit
+    }
+  }
+
+  /** Drop a store and its streaming epoch watermark (a re-run of a
+    * streaming-sink query starts from a fresh checkpoint at epoch 0, so
+    * the stale watermark would silently swallow its first commits). */
+  def dropStore(name: String): Unit = {
+    stores.remove(name): Unit
+    streamEpochs.remove(name): Unit
   }
 
   private[sources] def discardStaged(name: String): Unit = {

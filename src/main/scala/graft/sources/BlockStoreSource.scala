@@ -123,7 +123,8 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(store, tableSchema,
       options.getInt("maxBlocksPerTrigger", Int.MaxValue))
@@ -562,6 +563,37 @@ private[sources] class BlockWrite(store: String, schema: StructType,
   override def requiredNumPartitions(): Int = 16
 
   override def toBatch: BatchWrite = new BlockBatchWrite(store, schema, doTruncate)
+
+  /** The STREAMING half of the sink: same task-level staging as batch, but
+    * each epoch stages under its own key and the epoch-level commit is an
+    * idempotent append ([[BlockStore.commitEpoch]]) — blocks land over
+    * time, exactly once per epoch, the daemon's continuous-putBlock life. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new BlockStreamingWrite(store, schema)
+}
+
+private[sources] class BlockStreamingWrite(store: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new BlockStreamingWriterFactory(store,
+      Catalog.documents.fieldNames.map(schema.fieldIndex))
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.commitEpoch(store, epochId,
+      messages.collect { case BlockWriteCommit(pid, _) => pid }.toSeq)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.discardStaged(BlockStore.epochKey(store, epochId))
+}
+
+private[sources] class BlockStreamingWriterFactory(store: String,
+    srcIdx: Array[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new BlockDataWriter(BlockStore.epochKey(store, epochId), partitionId, srcIdx)
 }
 
 private[sources] case class BlockWriteCommit(partitionId: Int, nRows: Int)

@@ -593,6 +593,56 @@ object StreamingOps {
     spark.read.parquet(data).orderBy("query_id", "rank")
   }
 
+  private[graft] val SinkCharFloor = 250L
+
+  /** s24: STREAMING WRITE into the block store — the connector's last
+    * missing capability quadrant (batch read/write and micro-batch READ
+    * existed; this is micro-batch WRITE): a quality-gated document stream
+    * drains from one landed store and lands in ANOTHER through the V2
+    * streaming sink, epoch by epoch. Each micro-batch's tasks stage
+    * blocks under their epoch's own key (two epochs' partition ids must
+    * not collide) and the epoch commit promotes them ATOMICALLY with an
+    * idempotence watermark — a replayed epoch after checkpoint-recovery
+    * discards instead of double-appending, the exactly-once half a sink
+    * owes (the source half is the stream's checkpointed offsets;
+    * spec-asserted at the store level). The registered result reads the
+    * SINK store back through the connector; the full drain equals the
+    * batch filter — the oracle. At 100 TB this is continuous ingest:
+    * blocks land per epoch, readers tail the store (s21) while it grows,
+    * per-epoch cost bounded by the trigger cap. */
+  def streamBlockSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"sinkstream-src:$dir"
+    val dst = s"sinkstream-dst:$dir"
+    Catalog.table(spark, dir, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", src).mode("overwrite").save()
+    // re-runs restart from a fresh checkpoint at epoch 0 — the sink store
+    // and its epoch watermark must reset together
+    graft.sources.BlockStore.dropStore(dst)
+    val base = java.nio.file.Files.createTempDirectory("graft-s24")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", src).option("maxBlocksPerTrigger", "4").load()
+      .filter(col("n_chars") >= SinkCharFloor)
+      .writeStream.format("graft.sources.BlockStoreSource")
+      .option("store", dst)
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", dst).load()
+      .groupBy(col("source"), col("lang"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
   def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
     val store = s"chunkstream:$dir"
     Catalog.table(spark, dir, "documents")
@@ -898,6 +948,7 @@ object StreamingOps {
     "s21_blockstore_stream" -> blockStoreStream,
     "s22_stream_chunks" -> streamContextChunks,
     "s23_stream_ann_serve" -> streamAnnServe,
+    "s24_stream_block_sink" -> streamBlockSink,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -1012,6 +1063,14 @@ object StreamingOps {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // s24: the drained sink holds exactly the filter's survivors (each
+    // epoch appends once — the idempotence watermark), so the read-back
+    // aggregate equals the batch filter+aggregate
+    "s24_stream_block_sink" ->
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE n_chars >= ${StreamingOps.SinkCharFloor}
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // s22: stateless chunking over the full drain equals the batch t12
     // manifest — the oracle is t12's own formulation verbatim
     "s22_stream_chunks" -> graft.operators.TextAnalysis

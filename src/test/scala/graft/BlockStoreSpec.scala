@@ -431,4 +431,33 @@ class BlockStoreSpec extends SparkSpec {
       catch { case _: Exception => }
     }
   }
+
+  test("streaming sink epoch commit is idempotent (replay never double-appends)") {
+    val dst = "epoch-spec-store"
+    BlockStore.dropStore(dst)
+    def mk(lo: Long): BlockStore.Block =
+      BlockStore.Block(lo, lo + 1, Array((lo, "a", "en", "s", 1L), (lo + 1, "b", "en", "s", 1L)))
+    // epoch 0 lands
+    BlockStore.stage(BlockStore.epochKey(dst, 0), 0, mk(0))
+    BlockStore.commitEpoch(dst, 0, Seq(0))
+    assert(BlockStore.blockCount(dst) == 1)
+    // epoch 1 lands
+    BlockStore.stage(BlockStore.epochKey(dst, 1), 0, mk(10))
+    BlockStore.commitEpoch(dst, 1, Seq(0))
+    assert(BlockStore.blockCount(dst) == 2)
+    // REPLAY of epoch 1 (post-recovery re-commit): staged again, but the
+    // watermark discards it — the store must not grow
+    BlockStore.stage(BlockStore.epochKey(dst, 1), 0, mk(10))
+    BlockStore.commitEpoch(dst, 1, Seq(0))
+    assert(BlockStore.blockCount(dst) == 2, "replayed epoch double-appended")
+    assert(BlockStore.stagedCount(BlockStore.epochKey(dst, 1)) == 0,
+      "replayed epoch must drain its staging area")
+    // dropStore resets the watermark: a fresh epoch 0 appends again
+    BlockStore.dropStore(dst)
+    BlockStore.stage(BlockStore.epochKey(dst, 0), 0, mk(0))
+    BlockStore.commitEpoch(dst, 0, Seq(0))
+    assert(BlockStore.blockCount(dst) == 1,
+      "dropStore must reset the epoch watermark for fresh checkpoints")
+    BlockStore.dropStore(dst)
+  }
 }
