@@ -120,6 +120,98 @@ object Similarity {
     topk(pairs, IvfTopK)
   }
 
+  // ---- sim20: Johnson-Lindenstrauss random projection -------------------
+
+  private[graft] val ProjDims = 16
+
+  /** Rademacher ±1 projection rows, drawn from the hyperplane family's
+    * deterministic generator at a disjoint index range (j ≥ 100 ⇒ global
+    * indices ≥ 6400, far past the 18×64 the LSH families consume) — like
+    * the planes, these are LITERALS in both engines' plans. */
+  // lazy: references Dims, declared further down — a strict val here
+  // reads 0 during object init (the Sim11-oracle lesson) and the planes
+  // would silently be EMPTY
+  private[graft] lazy val ProjPlanes: Seq[Array[Double]] =
+    (0 until ProjDims).map(j => Array.tabulate(Dims)(i =>
+      if (graft.expr.RandomHyperplanes.planeVal(100 + j, i) >= 0) 1.0 else -1.0))
+
+  /** sim20: RANDOM-PROJECTION top-k — Johnson–Lindenstrauss dimensionality
+    * reduction (Achlioptas 2003's database-friendly ±1 matrix): every
+    * vector is projected 64 → [[ProjDims]] dims map-side (16 codegen
+    * vec_dots against literal Rademacher rows), ranking runs on the
+    * PROJECTED cosine (4× cheaper per pair, and at 100 TB the projected
+    * index is 4× smaller to store/shuffle), and each reported pair also
+    * carries its TRUE cosine — so the output doubles as the distortion
+    * report JL guarantees bound (‖cos_p − cos‖ concentrated near 0 for
+    * k = 16). The projection composes with every downstream ANN op (cells,
+    * bands, PQ) — this query registers the baseline: exact search in the
+    * reduced space over the bounded probe set (broadcast, the sim1
+    * whitelisted-cross contract).
+    *
+    * SCALE SHAPE: projection is one map-side pass inside the scan
+    * (whole-stage codegen, no shuffle); per-pair scoring touches 16 dims
+    * instead of 64; the true-cosine column is the refine join's cost,
+    * paid only on the k reported pairs per probe. */
+  def randomProjectionTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+      .withColumn("p", array((0 until ProjDims).map(j =>
+        dot(col("e"), typedlit(ProjPlanes(j).toSeq))): _*))
+      .withColumn("pnrm", sqrt(dot(col("p"), col("p"))))
+      .filter(col("pnrm") > 0) // a cancelled-out projection has no cosine
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        col("pnrm").as("qpnrm"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val pairs = all.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("proj_cos", dot(col("qp"), col("p")) / (col("qpnrm") * col("pnrm")))
+      .withColumn("true_cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("proj_cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rank", asLong(row_number().over(w)))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("proj_cos"), 6).as("proj_cos"),
+        round(col("true_cos"), 6).as("true_cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** sim20 mirror: the same literal ±1 rows expanded into the SQL text;
+    * projected/true dots both via the list_sum ordered fold. */
+  private lazy val Sim20Oracle: String = {
+    def lst(a: Array[Double]): String =
+      a.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val projExprs = ProjPlanes.map(r =>
+      s"list_sum(list_transform(generate_series(1, $Dims), i -> ae[i] * (${lst(r)})[i]))")
+      .mkString("[", ",\n         ", "]")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, $Dims), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |pj AS (SELECT vec_id, ae, nrm,
+       |         $projExprs AS p
+       |       FROM nz),
+       |pn AS (SELECT vec_id, ae, nrm, p,
+       |         sqrt(list_sum(list_transform(generate_series(1, $ProjDims), j -> p[j] * p[j]))) AS pnrm
+       |       FROM pj),
+       |pnz AS (SELECT * FROM pn WHERE pnrm > 0),
+       |q AS (SELECT vec_id AS query_id, p AS qp, pnrm AS qpnrm, ae AS qe, nrm AS qnrm
+       |      FROM pnz WHERE vec_id < $ProbeCount),
+       |pairs AS (SELECT q.query_id, n.vec_id,
+       |            list_sum(list_transform(generate_series(1, $ProjDims), j -> qp[j] * n.p[j]))
+       |              / (q.qpnrm * n.pnrm) AS proj_cos,
+       |            list_sum(list_transform(generate_series(1, $Dims), i -> qe[i] * n.ae[i]))
+       |              / (q.qnrm * n.nrm) AS true_cos
+       |          FROM pnz n JOIN q ON n.vec_id <> q.query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                      ORDER BY proj_cos DESC, vec_id) AS rank
+       |           FROM pairs)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       round(proj_cos, 6) AS proj_cos, round(true_cos, 6) AS true_cos
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- sim11: IVF multi-probe ------------------------------------------
   private[graft] val NProbe = 3
 
@@ -1384,6 +1476,7 @@ object Similarity {
     "sim14_recall_bar" -> recallBar,
     "sim15_landed_ann" -> landedAnnTopK,
     "sim19_landed_range" -> landedRangeSearch,
+    "sim20_random_projection" -> randomProjectionTopK,
     "sim16_ann_append" -> annAppendTopK,
     "sim17_bitext_mine" -> bitextMine,
     "sim18_index_delete" -> indexDeleteTopK)
@@ -1907,6 +2000,7 @@ object Similarity {
     // contract is row-identity with sim13, so it shares the oracle text
     "sim15_landed_ann" -> Sim13Oracle,
     "sim19_landed_range" -> Sim19Oracle,
+    "sim20_random_projection" -> Sim20Oracle,
     // sim16's append must reconstruct EXACTLY the full-build index, so it
     // too is oracle-checked against the full-corpus computation
     "sim16_ann_append" -> Sim13Oracle,

@@ -30,7 +30,9 @@ class PlanAuditSpec extends SparkSpec {
   // sim10: the 4-byte code index vs the bounded probe broadcast;
   // x11: the registered demonstration of the non-equi nested-loop tier;
   // t11: a ONE-ROW broadcast N frame attached via cross join.
+  // sim20: JL projected brute-force over the bounded probe broadcast
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
+    "sim20_random_projection",
     "sim6_kmeans_assign", "sim7_kmeans_update",
     "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords")
 
