@@ -739,6 +739,31 @@ object Extended {
     }
   }
 
+  /** x40: hidden METADATA COLUMNS on the block store — parquet's
+    * `_metadata` contract (`SupportsMetadataColumns`) on the connector:
+    * `_block_shard` and `_block_rows` expose each row's enclosing block's
+    * placement metadata, resolved only when referenced by name (a plain
+    * `SELECT *` never sees them) and materialized per block SEGMENT, not
+    * per row. The registered query reconciles physical layout against
+    * logical content: per-shard row counts and id ranges from the
+    * metadata columns must equal what the range-shard function
+    * `shard = doc_id div width` predicts from the data alone — the
+    * layout-audit query a storage engineer runs after a load. */
+  def blockStoreMetadataCols(spark: SparkSession, dir: String): DataFrame = {
+    val (cur, _) =
+      graft.sources.BlockStore.ensureShardedSnapshots(spark, dir)
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", cur).load()
+      .groupBy(col("_block_shard"))
+      .agg(asLong(count(lit(1))).as("n_rows"),
+        asLong(min(col("doc_id"))).as("min_id"),
+        asLong(max(col("doc_id"))).as("max_id"),
+        asLong(max(col("_block_rows"))).as("block_rows"))
+      .select(asLong(col("_block_shard")).as("shard"), col("n_rows"),
+        col("min_id"), col("max_id"), col("block_rows"))
+      .orderBy("shard")
+  }
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -787,6 +812,7 @@ object Extended {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_blockstore_delete" -> blockStoreDelete,
+    "x40_metadata_columns" -> blockStoreMetadataCols,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -824,6 +850,18 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the metadata columns carry what the range-shard function predicts
+    // from the data: shard = doc_id div width, width = max_id div 16 + 1,
+    // one block per shard so block_rows = the shard's row count
+    "x40_metadata_columns" ->
+      s"""WITH w AS (SELECT max(doc_id) // ${graft.sources.BlockStore.SpjShards}
+         |             + 1 AS width FROM documents)
+         |SELECT CAST(doc_id // (SELECT width FROM w) AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(doc_id) AS BIGINT) AS min_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_id,
+         |  CAST(count(*) AS BIGINT) AS block_rows
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     // the deletes, re-expressed as filters over the source table
     "x39_blockstore_delete" ->
       s"""SELECT source, lang,

@@ -56,7 +56,26 @@ class BlockStoreSource extends TableProvider {
 
 private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Hidden METADATA columns (x40 — parquet's `_metadata` contract on the
+    * block store): each row can expose its enclosing block's placement
+    * metadata. Resolved only when referenced by name; block-constant, so
+    * the reader materializes them per segment, never per row. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_block_shard"
+      override def dataType() = org.apache.spark.sql.types.IntegerType
+      override def comment(): String =
+        "range-shard id of the row's block (-1 for unsharded stores)"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_block_rows"
+      override def dataType() = org.apache.spark.sql.types.LongType
+      override def comment(): String = "row count of the row's block"
+    })
 
   /** Translate one DELETE conjunct into (stats pre-filter, row predicate).
     * Supported: doc_id equality/range/In (checked against block min/max)
@@ -417,7 +436,7 @@ private[sources] class BlockScan(store: String, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockReaderFactory(required.fieldNames.map(Catalog.documents.fieldIndex))
+    new BlockReaderFactory(required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BlockMicroBatchStream(store, required, lo, hi, dictSurvives,
@@ -488,7 +507,7 @@ private[sources] class BlockMicroBatchStream(store: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockReaderFactory(required.fieldNames.map(Catalog.documents.fieldIndex))
+    new BlockReaderFactory(required.fieldNames)
 
   override def deserializeOffset(json: String): Offset =
     BlockStreamOffset(json.trim.toInt)
@@ -649,38 +668,56 @@ private[sources] class BlockDataWriter(store: String, partitionId: Int,
 
 /** Materializes ONLY the requested field indices per row — the column
   * pruning payoff (strings become UTF8String lazily, per required field). */
-private[sources] class BlockReaderFactory(fieldIdx: Array[Int])
+private[sources] class BlockReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     // readersOpened counts BLOCKS touched (the pruning spec's metric), so a
-    // shard partition increments once per surviving block it concatenates
-    val rows: Array[BlockStore.DocRow] = p match {
+    // shard partition increments once per surviving block it concatenates.
+    // Rows stay grouped in per-block SEGMENTS so the metadata columns
+    // (block-constant values) need no per-row storage.
+    val segs: Array[BlockStore.Block] = p match {
       case BlockPartition(store, idx) =>
         BlockStore.readersOpened.incrementAndGet(): Unit
-        BlockStore.get(store)(idx).rows
+        Array(BlockStore.get(store)(idx))
       case ShardBlockPartition(store, _, idxs) =>
         val blocks = BlockStore.get(store)
         BlockStore.readersOpened.addAndGet(idxs.length.toLong): Unit
-        idxs.flatMap(i => blocks(i).rows)
+        idxs.map(blocks(_))
     }
+    // per-field extractor: data fields read the row tuple; metadata fields
+    // ([[BlockStoreTable.metadataColumns]]) read the enclosing block
+    val extract: Array[(BlockStore.DocRow, BlockStore.Block) => Any] =
+      fields.map {
+        case "doc_id" => (r, _) => r._1
+        case "text" => (r, _) => UTF8String.fromString(r._2)
+        case "lang" => (r, _) => UTF8String.fromString(r._3)
+        case "source" => (r, _) => UTF8String.fromString(r._4)
+        case "n_chars" => (r, _) => r._5
+        case "_block_shard" => (_, b) => b.shard
+        case "_block_rows" => (_, b) => b.numRows
+        case other => throw new IllegalArgumentException(
+          s"unknown block-store column: $other")
+      }
     new PartitionReader[InternalRow] {
+      private var seg = 0
+      private var rows: Array[BlockStore.DocRow] =
+        if (segs.isEmpty) Array.empty else segs(0).rows
       private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      override def next(): Boolean = {
+        i += 1
+        while (seg < segs.length && i >= rows.length) {
+          seg += 1; i = 0
+          if (seg < segs.length) rows = segs(seg).rows
+        }
+        seg < segs.length && i < rows.length
+      }
       override def get(): InternalRow = {
         val r = rows(i)
-        val vals = new Array[Any](fieldIdx.length)
+        val b = segs(seg)
+        val vals = new Array[Any](extract.length)
         var j = 0
-        while (j < fieldIdx.length) {
-          vals(j) = fieldIdx(j) match {
-            case 0 => r._1
-            case 1 => UTF8String.fromString(r._2)
-            case 2 => UTF8String.fromString(r._3)
-            case 3 => UTF8String.fromString(r._4)
-            case 4 => r._5
-          }
-          j += 1
-        }
+        while (j < extract.length) { vals(j) = extract(j)(r, b); j += 1 }
         new GenericInternalRow(vals)
       }
       override def close(): Unit = ()

@@ -460,4 +460,22 @@ class BlockStoreSpec extends SparkSpec {
       "dropStore must reset the epoch watermark for fresh checkpoints")
     BlockStore.dropStore(dst)
   }
+
+  test("metadata columns: hidden from SELECT *, row-exact vs the shard function") {
+    val (cur, _) = BlockStore.ensureShardedSnapshots(spark, sf)
+    val df = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", cur).load()
+    // hidden: a plain star never surfaces them
+    assert(!df.columns.contains("_block_shard") && !df.columns.contains("_block_rows"))
+    val width = BlockStore.shardingOf(cur).get._2
+    val rows = df.select(col("doc_id"), col("_block_shard"), col("_block_rows")).collect()
+    assert(rows.nonEmpty)
+    val perShard = rows.groupBy(_.getInt(1))
+    rows.foreach { r =>
+      assert(r.getInt(1) == (r.getLong(0) / width).toInt,
+        s"doc ${r.getLong(0)}: _block_shard diverges from doc_id div width")
+      assert(r.getLong(2) == perShard(r.getInt(1)).length.toLong,
+        s"shard ${r.getInt(1)}: _block_rows diverges from the shard's row count")
+    }
+  }
 }
