@@ -764,6 +764,49 @@ object Extended {
       .orderBy("shard")
   }
 
+  /** x41: TIME TRAVEL on the block store — `versionAsOf` reads (the
+    * Delta/Iceberg snapshot contract): every transactional commit (batch
+    * promote, streaming epoch, DELETE) records the resulting block array
+    * as the store's next version, blocks SHARED between versions (one
+    * array of references per commit, never a payload copy). The
+    * registered query runs the full lifecycle — land a corpus, DELETE a
+    * language, then read the pre-delete version and the current state
+    * side by side — the audit-what-changed query time travel exists for.
+    * Versions are addressed relative to `currentVersion` so re-runs
+    * (which accumulate history) stay deterministic. */
+  def blockStoreTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"tt:$dir"
+    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x41_docs")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_tt_table
+                 |USING graft.sources.BlockStoreSource
+                 |OPTIONS (store '$store')""".stripMargin)
+    try {
+      spark.sql("INSERT OVERWRITE graft_tt_table SELECT * FROM x41_docs")
+      spark.sql("DELETE FROM graft_tt_table WHERE lang = 'de'")
+      val vBefore = graft.sources.BlockStore.currentVersion(store) - 1
+      def snap(tag: String, df: DataFrame): DataFrame =
+        df.groupBy(col("lang"))
+          .agg(asLong(count(lit(1))).as("n_docs"),
+            asLong(sum(col("n_chars"))).as("sum_chars"))
+          .withColumn("snap", lit(tag))
+      val before = spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", store).option("versionAsOf", vBefore.toString).load()
+      val now = spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", store).load()
+      val out = snap("1_before_delete", before)
+        .union(snap("2_after_delete", now))
+        .select(col("snap"), col("lang"), col("n_docs"), col("sum_chars"))
+        .orderBy("snap", "lang")
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      try spark.sql("DROP TABLE IF EXISTS graft_tt_table")
+      catch { case _: Exception => }
+      try spark.catalog.dropTempView("x41_docs")
+      catch { case _: Exception => }
+    }
+  }
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -813,6 +856,7 @@ object Extended {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_blockstore_delete" -> blockStoreDelete,
     "x40_metadata_columns" -> blockStoreMetadataCols,
+    "x41_time_travel" -> blockStoreTimeTravel,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -850,6 +894,18 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // two snapshots of one store: pre-delete (full corpus) and current
+    "x41_time_travel" ->
+      """SELECT '1_before_delete' AS snap, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT '2_after_delete' AS snap, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang <> 'de' GROUP BY lang
+        |ORDER BY snap, lang""".stripMargin,
     // the metadata columns carry what the range-shard function predicts
     // from the data: shard = doc_id div width, width = max_id div 16 + 1,
     // one block per shard so block_rows = the shard's row count

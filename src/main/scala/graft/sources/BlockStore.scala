@@ -300,9 +300,46 @@ object BlockStore {
     val blocks: Array[Block] =
       if (s == null) Array.empty
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
-    stores.compute(target, (_, v) =>
-      if (truncate || v == null) blocks else v ++ blocks): Unit
+    val after = stores.compute(target, (_, v) =>
+      if (truncate || v == null) blocks else v ++ blocks)
+    recordVersion(target, after)
     enforceBudget()
+  }
+
+  // ---- time travel (versionAsOf) -----------------------------------------
+  //
+  // Every TRANSACTIONAL commit — batch promote, streaming epoch, DELETE —
+  // records the resulting visible block array as the store's next version
+  // (version 1 = state after the first commit). Blocks are immutable and
+  // SHARED between versions, so history costs one array of references per
+  // commit, never a payload copy — the Delta/Iceberg snapshot economics.
+  // A read with `.option("versionAsOf", v)` resolves to the recorded
+  // array through a read-only snapshot alias; the legacy non-transactional
+  // loaders (ensureLoaded's per-task put()) record nothing, and a
+  // versioned read of such a store fails loudly instead of inventing
+  // history.
+
+  private val history = new ConcurrentHashMap[String, Vector[Array[Block]]]()
+
+  private def recordVersion(name: String, after: Array[Block]): Unit =
+    history.compute(name, (_, v) =>
+      (if (v == null) Vector.empty else v) :+ after): Unit
+
+  /** Latest recorded version number (0 = no transactional commit yet). */
+  def currentVersion(name: String): Int =
+    history.getOrDefault(name, Vector.empty).length
+
+  /** Resolve a versioned read: materialize (idempotently) a read-only
+    * snapshot alias whose block array is the recorded version, and return
+    * its store key. Version numbers are 1-based commit counts. */
+  private[sources] def snapshotAsOf(name: String, version: Int): String = {
+    val h = history.getOrDefault(name, Vector.empty)
+    require(version >= 1 && version <= h.length,
+      s"store '$name' has no version $version (recorded: 1..${h.length}; " +
+        "stores loaded outside the transactional write path record none)")
+    val key = s"$name@@v$version"
+    stores.putIfAbsent(key, h(version - 1)): Unit
+    key
   }
 
   // ---- streaming write (epoch-atomic append) -----------------------------
@@ -336,6 +373,11 @@ object BlockStore {
   def dropStore(name: String): Unit = {
     stores.remove(name): Unit
     streamEpochs.remove(name): Unit
+    // drop the version history and any materialized snapshot aliases
+    history.remove(name): Unit
+    import scala.jdk.CollectionConverters._
+    stores.keySet.asScala.filter(_.startsWith(s"$name@@v"))
+      .foreach(stores.remove(_): Unit)
   }
 
   private[sources] def discardStaged(name: String): Unit = {
@@ -373,7 +415,7 @@ object BlockStore {
   private[sources] def deleteWhere(name: String, mayMatch: Block => Boolean,
       rowPred: DocRow => Boolean): Long = {
     var deleted = 0L
-    stores.computeIfPresent(name, (_, blocks) => {
+    val after = stores.computeIfPresent(name, (_, blocks) => {
       blocks.flatMap { b =>
         if (!mayMatch(b)) { deletePruned.incrementAndGet(); Some(b) }
         else {
@@ -388,7 +430,8 @@ object BlockStore {
           }
         }
       }
-    }): Unit
+    })
+    if (after != null) recordVersion(name, after)
     enforceBudget()
     deleted
   }

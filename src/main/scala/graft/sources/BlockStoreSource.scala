@@ -144,9 +144,15 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockScanBuilder(store, tableSchema,
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // TIME TRAVEL (x41): `versionAsOf` resolves to a read-only snapshot
+    // alias over the recorded version's block array (blocks shared, never
+    // copied) — the rest of the scan machinery is version-oblivious
+    val effective = Option(options.get("versionAsOf"))
+      .map(v => BlockStore.snapshotAsOf(store, v.toInt)).getOrElse(store)
+    new BlockScanBuilder(effective, tableSchema,
       options.getInt("maxBlocksPerTrigger", Int.MaxValue))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BlockWriteBuilder(store, info.schema(),
       Option(info.options.get("clusterBy")))

@@ -478,4 +478,40 @@ class BlockStoreSpec extends SparkSpec {
         s"shard ${r.getInt(1)}: _block_rows diverges from the shard's row count")
     }
   }
+
+  test("time travel: versions at every commit kind, shared blocks, loud failure") {
+    val name = "tt-spec-store"
+    BlockStore.dropStore(name)
+    assert(BlockStore.currentVersion(name) == 0)
+    val docs = Catalog.table(spark, sf, "documents")
+    // commit 1: batch overwrite
+    docs.write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    assert(BlockStore.currentVersion(name) == 1)
+    // commit 2: batch append (doubles the corpus)
+    docs.write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("append").save()
+    assert(BlockStore.currentVersion(name) == 2)
+    // commit 3: streaming epoch
+    BlockStore.stage(BlockStore.epochKey(name, 0), 0,
+      BlockStore.Block(9000, 9001, Array((9000L, "x", "en", "s", 1L), (9001L, "y", "en", "s", 1L))))
+    BlockStore.commitEpoch(name, 0, Seq(0))
+    assert(BlockStore.currentVersion(name) == 3)
+    def countAt(v: Int): Long = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("versionAsOf", v.toString).load().count()
+    val n = docs.count()
+    assert(countAt(1) == n && countAt(2) == 2 * n && countAt(3) == 2 * n + 2,
+      "versioned reads must reproduce each commit's visible state")
+    // current read still serves the latest state
+    assert(spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load().count() == 2 * n + 2)
+    // out-of-range and unrecorded histories fail loudly
+    intercept[Exception] { countAt(4) }
+    intercept[Exception] {
+      spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", BlockStore.ensureLoaded(spark, sf))
+        .option("versionAsOf", "1").load().count()
+    }
+    BlockStore.dropStore(name)
+  }
 }

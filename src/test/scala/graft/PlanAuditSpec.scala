@@ -84,7 +84,9 @@ class PlanAuditSpec extends SparkSpec {
     "x38_observed_metrics" -> ("one metrics row", 1L),
     // x39 collects its post-delete (source, lang) inventory before the
     // catalog table is dropped (the x36 lifecycle)
-    "x39_blockstore_delete" -> ("|sources| × |langs| groups", nSources * nLangs))
+    "x39_blockstore_delete" -> ("|sources| × |langs| groups", nSources * nLangs),
+    // x41 collects its two-snapshot per-lang comparison (x36 lifecycle)
+    "x41_time_travel" -> ("2 snapshots × |langs|", 2 * nLangs))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {
