@@ -1014,7 +1014,53 @@ object Similarity {
     * vec_id bounded by the candidate count, never all-pairs; output is
     * whatever clears τ — no window. At 100 TB the refine reads raw
     * vectors for ~(NProbe+1)/|cells| of the corpus per probe batch. */
-  def landedRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+  def landedRangeSearch(spark: SparkSession, dir: String): DataFrame =
+    landedRefined(spark, dir, identity)
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+
+  /** sim21: FILTERED vector search — the predicate + ANN composition every
+    * retrieval product needs (metadata filters over a vector index:
+    * "nearest docs WHERE license = permissive"): candidates come from the
+    * landed index's probed cells (sim15's serve path), the attribute
+    * predicate (here: even vec_id, a deterministic stand-in for any
+    * metadata filter) is applied to the CANDIDATE set BEFORE the refine —
+    * pre-filtering, the cheap side of the filtered-ANN design space
+    * (post-filtering top-k would under-fill k when the filter is
+    * selective) — and the survivors are rescored EXACTLY and ranked.
+    *
+    * SCALE SHAPE: identical to sim19 (cell-pruned index scan, bounded
+    * refine equi-join) with the filter shrinking the refine input; the
+    * predicate evaluates on index rows, never on raw vectors. */
+  def landedFilteredTopK(spark: SparkSession, dir: String): DataFrame =
+    landedRefined(spark, dir, _.filter(col("vec_id") % 2 === 0))
+      .withColumn("rank", asLong(row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id")))))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+
+  /** sim21 mirror: sim11's candidate chain, even-id filter, rank tail. */
+  private lazy val Sim21Oracle: String =
+    s"""${sim11PairsSql(NProbe)},
+       |ranked AS (SELECT query_id, vec_id AS neighbor_id,
+       |             d / (qnrm * nrm) AS cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rank
+       |           FROM pairs WHERE vec_id % 2 = 0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin
+
+  /** Shared candidates-then-exact-refine pipeline over the landed index
+    * (sim19's architecture): probed-cell candidates, optional candidate
+    * transform, raw-embedding equi-join, full-precision `cos` column. */
+  private def landedRefined(spark: SparkSession, dir: String,
+      candFilter: DataFrame => DataFrame): DataFrame = {
     val (idxStore, metaStore) = ensureLandedIndex(spark, dir)
     graft.expr.VectorExpressions.register(spark)
     val (_, cells) = readMetaStore(spark, metaStore)
@@ -1038,21 +1084,18 @@ object Similarity {
     val probesDf = spark.createDataFrame(
       java.util.Arrays.asList(probeRows.toIndexedSeq: _*), pschema)
     val wanted = pairs.map(_._2.toString).distinct.toSeq
-    // candidate GENERATION: landed code store, probed cells' blocks only
-    val cand = spark.read.format("graft.sources.BlockStoreSource")
+    // candidate GENERATION: landed code store, probed cells' blocks only,
+    // the caller's attribute filter applied to the candidate set
+    val cand = candFilter(spark.read.format("graft.sources.BlockStoreSource")
       .option("store", idxStore).load()
       .filter(col("lang").isin(wanted: _*))
-      .select(col("doc_id").as("vec_id"), col("lang").as("cell"))
+      .select(col("doc_id").as("vec_id"), col("lang").as("cell")))
       .join(broadcast(probesDf),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-    // exact REFINE: raw vectors fetched per candidate, true cosine ≥ τ
+    // exact REFINE: raw vectors fetched per candidate
     cand.join(emb(spark, dir).select(col("vec_id"), col("e"), col("nrm")),
         Seq("vec_id"))
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
-      .filter(col("cos") >= RangeTau)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("query_id", "neighbor_id")
   }
 
   private def serveFromStores(spark: SparkSession, dir: String,
@@ -1477,6 +1520,7 @@ object Similarity {
     "sim15_landed_ann" -> landedAnnTopK,
     "sim19_landed_range" -> landedRangeSearch,
     "sim20_random_projection" -> randomProjectionTopK,
+    "sim21_filtered_ann" -> landedFilteredTopK,
     "sim16_ann_append" -> annAppendTopK,
     "sim17_bitext_mine" -> bitextMine,
     "sim18_index_delete" -> indexDeleteTopK)
@@ -2001,6 +2045,7 @@ object Similarity {
     "sim15_landed_ann" -> Sim13Oracle,
     "sim19_landed_range" -> Sim19Oracle,
     "sim20_random_projection" -> Sim20Oracle,
+    "sim21_filtered_ann" -> Sim21Oracle,
     // sim16's append must reconstruct EXACTLY the full-build index, so it
     // too is oracle-checked against the full-corpus computation
     "sim16_ann_append" -> Sim13Oracle,

@@ -93,4 +93,26 @@ class LandedIndexSpec extends SparkSpec {
     }
     assert(topk.nonEmpty && exact.nonEmpty)
   }
+
+  test("sim21 filtered search: every neighbor satisfies the predicate, k filled") {
+    val rows = Similarity.landedFilteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 30, s"10 probes x k=3 expected, got ${rows.length}")
+    rows.foreach { case (q, n, _, _) =>
+      assert(n % 2 == 0, s"probe $q: neighbor $n violates the candidate filter")
+    }
+    // pre-filtering keeps k FILLED: ranks are contiguous 1..3 per probe
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), s"probe $q ranks")
+    }
+    // filtered result is consistent with the unfiltered range search where
+    // both speak: an even-id pair reported by sim19 with the same probe
+    // must carry the identical rounded cosine here if ranked
+    val range = Similarity.landedRangeSearch(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rows.foreach { case (q, n, _, c) =>
+      range.get((q, n)).foreach(rc => assert(rc == c,
+        s"($q,$n): filtered cosine $c != range cosine $rc"))
+    }
+  }
 }
