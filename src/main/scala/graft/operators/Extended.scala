@@ -807,6 +807,23 @@ object Extended {
     }
   }
 
+  /** x42: GROUPED aggregate pushdown — `GROUP BY lang, COUNT(*)` answered
+    * entirely from the blocks' dictionary VALUE COUNTS (put-time stats):
+    * the scan emits |langs| metadata rows and opens ZERO block readers
+    * (spec-diffed on the reader counter). Parquet's dictionary pages
+    * can't serve this (values without counts); the store's put-time stats
+    * can — the x34 zero-read discipline extended from scalar COUNT/MIN/MAX
+    * to the grouped shape every inventory query has. */
+  def blockStoreGroupedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .createOrReplaceTempView("x42_blocks")
+    spark.sql(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM x42_blocks GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -857,6 +874,7 @@ object Extended {
     "x39_blockstore_delete" -> blockStoreDelete,
     "x40_metadata_columns" -> blockStoreMetadataCols,
     "x41_time_travel" -> blockStoreTimeTravel,
+    "x42_grouped_pushdown" -> blockStoreGroupedAgg,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -894,6 +912,9 @@ object Extended {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x42_grouped_pushdown" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // two snapshots of one store: pre-delete (full corpus) and current
     "x41_time_travel" ->
       """SELECT '1_before_delete' AS snap, lang,

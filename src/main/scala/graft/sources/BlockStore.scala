@@ -98,8 +98,17 @@ object BlockStore {
       * blocks for lang/source equality predicates. Both columns are
       * bounded-cardinality by construction (languages, crawl sources), so
       * the sets cost a few dozen bytes per block at any corpus size. */
-    val langs: Set[String] = rows0.iterator.map(_._3).toSet
-    val sources: Set[String] = rows0.iterator.map(_._4).toSet
+    /** Dictionary VALUE COUNTS (not just membership): what grouped
+      * COUNT(*) pushdown aggregates across blocks without opening any
+      * payload. Bounded cardinality ⇒ bounded bytes per block. */
+    val langCounts: Map[String, Long] =
+      rows0.iterator.map(_._3).toSeq.groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    val sourceCounts: Map[String, Long] =
+      rows0.iterator.map(_._4).toSeq.groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    val langs: Set[String] = langCounts.keySet
+    val sources: Set[String] = sourceCounts.keySet
 
     @volatile private var mem: Array[DocRow] = rows0
     @volatile private var file: java.nio.file.Path = null

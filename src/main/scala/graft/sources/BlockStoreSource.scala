@@ -235,24 +235,90 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
     if (specs.forall(_.isDefined)) Some(specs.flatten) else None
   }
 
+  // x42: GROUPED COUNT(*) pushdown — `GROUP BY lang|source` with a single
+  // COUNT(*) is served from the blocks' dictionary VALUE COUNTS
+  // ([[BlockStore.Block.langCounts]]): the scan emits one row per distinct
+  // value, summed across block metadata, zero payload reads — parquet
+  // can't do this (dictionary pages carry values, not counts); the store's
+  // put-time stats can.
+  private var groupedCol: Option[String] = None
+
+  private def translateGrouped(agg: Aggregation): Option[String] =
+    agg.groupByExpressions match {
+      case Array(n: NamedReference)
+          if n.fieldNames.length == 1 &&
+            (n.fieldNames()(0) == "lang" || n.fieldNames()(0) == "source") &&
+            agg.aggregateExpressions.length == 1 &&
+            agg.aggregateExpressions()(0).isInstanceOf[CountStar] =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+
   private def statsExact: Boolean = lo == Long.MinValue && hi == Long.MaxValue
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    statsExact && translate(agg).isDefined
+    statsExact && (translate(agg).isDefined || translateGrouped(agg).isDefined)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (statsExact) {
-      translate(agg) match {
-        case some @ Some(_) => aggSpec = some; true
-        case None => false
-      }
-    } else false
+    if (!statsExact) false
+    else translate(agg) match {
+      case some @ Some(_) => aggSpec = some; true
+      case None =>
+        translateGrouped(agg) match {
+          case some @ Some(_) => groupedCol = some; true
+          case None => false
+        }
+    }
 
-  override def build(): Scan = aggSpec match {
-    case Some(specs) => new MetadataAggScan(store, specs)
-    case None => new BlockScan(store, required, lo, hi, dict, maxBlocksPerTrigger)
+  override def build(): Scan = (aggSpec, groupedCol) match {
+    case (Some(specs), _) => new MetadataAggScan(store, specs)
+    case (None, Some(c)) => new MetadataGroupedCountScan(store, c)
+    case _ => new BlockScan(store, required, lo, hi, dict, maxBlocksPerTrigger)
   }
 }
+
+/** Serves a completely-pushed `GROUP BY lang|source, COUNT(*)` from block
+  * dictionary value counts: |values| rows, no payload access. */
+private[sources] class MetadataGroupedCountScan(store: String, colName: String)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(colName,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft-blocks grouped-count[$colName] store=$store (stats-served, no readers)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val merged = scala.collection.mutable.Map.empty[String, Long]
+    BlockStore.blocks(store).foreach { b =>
+      val m = if (colName == "lang") b.langCounts else b.sourceCounts
+      m.foreach { case (k, c) => merged(k) = merged.getOrElse(k, 0L) + c }
+    }
+    Array(GroupedCountPartition(merged.toSeq.sortBy(_._1).toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = p.asInstanceOf[GroupedCountPartition].counts
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(rows(i)._1), rows(i)._2))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] case class GroupedCountPartition(counts: Array[(String, Long)])
+  extends InputPartition
 
 /** Serves a completely-pushed aggregation from block metadata: one row,
   * no [[BlockReaderFactory]], no payload access. */

@@ -97,14 +97,18 @@ class BlockStoreSpec extends SparkSpec {
       .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
       (truth.getLong(0), truth.getLong(1), truth.getLong(2)))
-    // a GROUPED aggregate is refused (stats can't answer it) and falls
-    // back to a real scan — correctness over cleverness
+    // a grouped aggregate the stats CANNOT answer (sum of a payload
+    // column) is refused and falls back to a real scan — correctness
+    // over cleverness (grouped COUNT(*) by lang/source, which the
+    // dictionary value counts CAN answer, is covered by the x42 spec)
     val before2 = BlockStore.readersOpened.get()
-    val grouped = viaConnector.groupBy(col("lang")).count().collect()
+    val grouped = viaConnector.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("s")).collect()
     assert(BlockStore.readersOpened.get() - before2 > 0,
-      "grouped agg must fall back to scanning")
+      "non-stats-answerable grouped agg must fall back to scanning")
     assert(grouped.map(r => r.getString(0) -> r.getLong(1)).toMap ==
-      Catalog.table(spark, sf, "documents").groupBy(col("lang")).count()
+      Catalog.table(spark, sf, "documents").groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("s"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
@@ -513,5 +517,28 @@ class BlockStoreSpec extends SparkSpec {
         .option("versionAsOf", "1").load().count()
     }
     BlockStore.dropStore(name)
+  }
+
+  test("grouped COUNT(*) pushdown is stats-served: zero readers, pushed plan") {
+    val df = viaConnector.groupBy(col("lang"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("grouped-count[lang]"),
+      s"grouped count must plan as the stats-served scan:\n$plan")
+    val before = BlockStore.readersOpened.get()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(BlockStore.readersOpened.get() == before,
+      "grouped pushdown must open zero block readers")
+    val want = Catalog.table(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "stats-served grouped count diverged from the data")
+    // a FILTERED grouped count must NOT be stats-served (residual filters
+    // block aggregate pushdown) and must still be correct
+    val filtered = viaConnector.filter(col("doc_id") < 100)
+      .groupBy(col("lang")).agg(count(org.apache.spark.sql.functions.lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("grouped-count"),
+      "a filtered grouped count must fall back to a real scan")
+    assert(filtered.collect().map(_.getLong(1)).sum == 100L)
   }
 }
