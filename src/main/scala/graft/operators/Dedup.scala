@@ -164,12 +164,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash over distinct tokens; docs sharing a bucket are
-    * near-dup candidates. Output: doc, simhash, bucket size. */
-  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    // Explode distinct tokens and hash each ONCE; the 16 bit-sums are then
-    // cheap conditional aggregates in a single codegen'd hash aggregate
-    // (array-fold columns would re-digest every token 16 times).
+  /** (doc_id, simhash) — the shared 16-bit SimHash computation of dd4 and
+    * dd15. Explode distinct tokens and hash each ONCE; the 16 bit-sums are
+    * then cheap conditional aggregates in a single codegen'd hash
+    * aggregate (array-fold columns would re-digest every token 16 times). */
+  private def simhashOf(spark: SparkSession, dir: String): DataFrame = {
     val tokRows = Text.withTokens(Catalog.table(spark, dir, "documents"))
       .select(col("doc_id"), explode(array_distinct(col("_toks"))).as("t"))
       .select(col("doc_id"), Text.sharedHash(col("t")).as("h"))
@@ -179,14 +178,89 @@ object Dedup {
     val simhash = (0 until 16)
       .map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val withHash = tokRows.groupBy(col("doc_id"))
+    tokRows.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-    withHash
+  }
+
+  /** 16-bit SimHash over distinct tokens; docs sharing a bucket are
+    * near-dup candidates. Output: doc, simhash, bucket size. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(spark, dir)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
       .orderBy("doc_id")
+
+  private[graft] val EditMax = 25L
+
+  /** dd15: EDIT-DISTANCE near-dup verification — the fuzzy-match flavor
+    * the hash-based family can't express: dd3/dd6 verify candidates by
+    * SET similarity (Jaccard over shingles), which is blind to small
+    * in-place edits that reorder nothing; Levenshtein verifies the byte
+    * stream itself. Candidates are dd4's SimHash buckets (an equi-join,
+    * never all-pairs), each candidate pair verified with the exact DP
+    * edit distance and kept at ≤ [[EditMax]] — the near-identical copies
+    * a crawl dedup wants (measured: ~2.8k candidate pairs per 500-doc
+    * corpus, of which ~10 survive).
+    *
+    * SCALE SHAPE: the bucket key is the shuffle key (dd4's discipline);
+    * Levenshtein cost is per CANDIDATE pair only, and Spark's built-in is
+    * codegen'd. At 100 TB the verify cost is bounded by collision rate,
+    * not corpus size; a production variant would band the DP (early-exit
+    * above the threshold), an optimization that changes no results. */
+  def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val withText = simhashOf(spark, dir)
+      .join(Catalog.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("lt", length(col("text")))
+      // length bucket of width EditMax+1: |len(a)-len(b)| <= EditMax
+      // implies adjacent buckets, so joining a's {k-1,k,k+1} against b's
+      // own bucket loses nothing (each qualifying pair matches in exactly
+      // one bucket — b's). The bucket is part of the JOIN KEY for two
+      // reasons: it prunes non-candidates before they materialize, and it
+      // SPLITS the hot simhash buckets (one 469-doc bucket at sf0.1 put
+      // 78% of all pairs — and their Levenshtein DP — into a single task;
+      // work per join key scales with c², so the blocker must bound c)
+      .withColumn("lb0", (col("lt") / lit(EditMax + 1)).cast(LongType))
+    val a = withText.select(col("simhash"), col("doc_id").as("doc_a"),
+      col("text").as("ta"), col("lt").as("la"),
+      explode(array(col("lb0") - 1, col("lb0"), col("lb0") + 1)).as("jb"))
+    val b = withText.select(col("simhash"), col("doc_id").as("doc_b"),
+      col("text").as("tb"), col("lt").as("lb"), col("lb0").as("jb"))
+    // exact LENGTH prefilter before any DP: edit distance >= |Δlen|
+    val cand = a.join(b, Seq("simhash", "jb"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= EditMax)
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+    // The candidate set is BYTE-small but CPU-heavy (each pair costs a
+    // ~90k-cell DP), and AQE coalesces the join's output to one partition
+    // by SIZE — which would serialize ~65 s of Levenshtein onto one core
+    // (measured at sf0.1). Re-spread pairs by key and persist: the cache
+    // is the pushdown barrier that keeps the DP filter from being inlined
+    // back below the repartition into the coalesced join stage (the
+    // dd3/dd6 persist-barrier pattern).
+    val spread = synchronized {
+      lastEditCache.foreach { prev =>
+        try prev.unpersist(blocking = false) catch { case _: Exception => }
+      }
+      val df = cand
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastEditCache = Some(df)
+      df
+    }
+    spread
+      // THRESHOLD form = banded DP (O(n·k) cells instead of O(n·m), -1
+      // when the bound is exceeded) — exact for every kept distance
+      .withColumn("edit_dist",
+        asLong(levenshtein(col("ta"), col("tb"), EditMax.toInt)))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy("doc_a", "doc_b")
   }
+
+  private var lastEditCache: Option[DataFrame] = None
 
   /** n-gram (word-bigram) Jaccard near-dup pairs with cheap-feature
     * BLOCKING: candidate pairs are generated only within a (lang,
@@ -637,6 +711,7 @@ object Dedup {
     "dd2_fingerprint_dedup" -> fingerprintDedup,
     "dd3_minhash_neardup" -> minhashNearDup,
     "dd4_simhash_buckets" -> simhashBuckets,
+    "dd15_edit_distance" -> editDistanceNearDup,
     "dd5_embedding_neardup" -> embeddingNearDup,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
@@ -861,6 +936,28 @@ object Dedup {
          |    AND len(sb.shh) * 10 >= len(sa.shh) * 7)
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dd15_edit_distance" -> {
+      val bitSums = (0 until 16).map { k =>
+        s"CAST(list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) AS BIGINT) AS b$k"
+      }.mkString(",\n  ")
+      val simhash = (0 until 16)
+        .map(k => s"CASE WHEN b$k >= 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text,
+         |  list_transform(list_distinct($Toks), t -> ${Text.sqlHash("t")}) AS hs
+         |FROM documents),
+         |d2 AS (SELECT * FROM d WHERE len(hs) > 0),
+         |b AS (SELECT doc_id, text,
+         |  $bitSums
+         |FROM d2),
+         |h AS (SELECT doc_id, text, CAST($simhash AS BIGINT) AS simhash FROM b)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         |FROM h a JOIN h b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+         |  AND abs(len(a.text) - len(b.text)) <= $EditMax
+         |WHERE levenshtein(a.text, b.text) <= $EditMax
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dd4_simhash_buckets" -> {
       val bitSums = (0 until 16).map { k =>

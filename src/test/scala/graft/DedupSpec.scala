@@ -146,4 +146,32 @@ class DedupSpec extends SparkSpec {
     assert(extra.nonEmpty && extra.forall(_.getLong(3) >= 3),
       "repeated body half must be deduped within its doc")
   }
+
+  test("dd15 edit-distance verify agrees with a driver-side Levenshtein") {
+    val got = Dedup.editDistanceNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "fixture must contain edit-near duplicates")
+    val texts = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      var cur = new Array[Int](b.length + 1)
+      var p = prev
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, p(j) + 1),
+            p(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        val t = p; p = cur; cur = t
+      }
+      p(b.length)
+    }
+    got.foreach { case (da, db, d) =>
+      assert(d == lev(texts(da), texts(db)).toLong,
+        s"pair ($da,$db): engine distance $d != driver DP")
+      assert(d <= Dedup.EditMax)
+      assert(da < db)
+    }
+  }
 }
