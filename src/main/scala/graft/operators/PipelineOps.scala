@@ -686,7 +686,54 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  // ---- p17: snapshot diff between two landed versions --------------------
+
+  /** p17: dataset DIFF between two landed VERSIONS of one store — the
+    * release-to-release changelog dataset versioning exists for (what
+    * did the new crawl add, what did the policy delete remove, what got
+    * re-extracted?), computed through x41's time-travel reads so both
+    * inputs are REAL snapshots of one store, not two ad-hoc frames.
+    * Version 1 lands the original corpus; version 2 lands the revised
+    * one (a deterministic edit: the 'de' slice removed, every 7th doc's
+    * text re-cased, every 13th doc cloned under a new id). The diff is
+    * one full-outer join on doc_id comparing content digests: added /
+    * removed / modified / unchanged per id.
+    *
+    * SCALE SHAPE: the canonical diff shape — digests computed map-side
+    * at the scans, ONE full-outer equi-join on the id, no payload
+    * comparison (md5 equality stands in for byte equality); both sides
+    * are dictionary/stat-prunable store scans. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val store = s"diff:$dir"
+    val docs = Catalog.table(spark, dir, "documents")
+    def land(df: DataFrame): Unit =
+      df.write.format("graft.sources.BlockStoreSource")
+        .option("store", store).mode("overwrite").save()
+    land(docs)
+    val revised = docs.filter(col("lang") =!= "de")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L))
+    land(revised)
+    val vNow = graft.sources.BlockStore.currentVersion(store)
+    def snap(v: Int): DataFrame = spark.read
+      .format("graft.sources.BlockStoreSource")
+      .option("store", store).option("versionAsOf", v.toString).load()
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val prev = snap(vNow - 1).select(col("doc_id"), col("fp").as("pfp"))
+    val cur = snap(vNow).select(col("doc_id"), col("fp").as("cfp"))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("pfp").isNull, lit("added"))
+          .when(col("cfp").isNull, lit("removed"))
+          .when(col("cfp") =!= col("pfp"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_snapshot_diff" -> snapshotDiff,
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
     "p5_token_shards" -> tokenShards,
@@ -763,6 +810,22 @@ object PipelineOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "p17_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS pfp FROM documents),
+        |cur AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 7 = 0 THEN md5(upper(text))
+        |               ELSE md5(text) END AS cfp
+        |        FROM documents WHERE lang <> 'de'
+        |        UNION ALL
+        |        SELECT doc_id + 10000, md5(text) FROM documents
+        |        WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN c.cfp <> p.pfp THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "p14_model_score" -> P14Oracle,
     "p16_data_card" ->
       s"""WITH q AS (SELECT doc_id, quality
