@@ -732,7 +732,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- p18: temperature-sampled mixture weights --------------------------
+
+  /** p18: TEMPERATURE-sampled source weights — the multilingual/multi-
+    * source rebalancing rule (sample source s with probability ∝ n_s^(1/T),
+    * T = 2 here, the standard mBERT/XLM-R recipe): big sources are
+    * down-weighted toward the tail so low-resource slices survive the mix.
+    * Weights are reported RELATIVE TO THE LARGEST SOURCE — a deliberate
+    * determinism call: normalizing by Σ n_t^(1/T) would put a float SUM
+    * whose accumulation order differs between engines on the boundary;
+    * dividing by the exact-BIGINT max keeps every output a single IEEE
+    * op chain on exact integers (sqrt and divide are correctly rounded in
+    * both engines). `boost` = temp_weight / share_of_max = √(n_max/n_s),
+    * the factor temperature sampling hands each source vs proportional.
+    *
+    * SCALE SHAPE: one partial-aggregated count per source; the max is a
+    * scalar subquery over the |sources|-row aggregate (the q28
+    * discipline); everything else is per-row arithmetic on a bounded
+    * table. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    Catalog.table(spark, dir, "documents")
+      .createOrReplaceTempView("p18_docs")
+    spark.sql(
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM p18_docs GROUP BY source),
+        |m AS (SELECT max(n) AS nm FROM c)
+        |SELECT source, n AS n_docs,
+        |  CAST(n AS DOUBLE) / (SELECT nm FROM m) AS share_of_max,
+        |  sqrt(CAST(n AS DOUBLE) / (SELECT nm FROM m)) AS temp_weight,
+        |  sqrt(CAST((SELECT nm FROM m) AS DOUBLE) / n) AS boost
+        |FROM c ORDER BY source""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_temperature_mix" -> temperatureMix,
     "p17_snapshot_diff" -> snapshotDiff,
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -810,6 +843,15 @@ object PipelineOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "p18_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT max(n) AS nm FROM c)
+        |SELECT source, n AS n_docs,
+        |  CAST(n AS DOUBLE) / (SELECT nm FROM m) AS share_of_max,
+        |  sqrt(CAST(n AS DOUBLE) / (SELECT nm FROM m)) AS temp_weight,
+        |  sqrt(CAST((SELECT nm FROM m) AS DOUBLE) / n) AS boost
+        |FROM c ORDER BY source""".stripMargin,
     "p17_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, md5(text) AS pfp FROM documents),
         |cur AS (SELECT doc_id,

@@ -1298,6 +1298,41 @@ object Similarity {
       col("vec_id") < ProbeCount, tombstones = Some(tombStore))
   }
 
+  /** sim22: top-k served from the COMPACTED index — the maintenance step
+    * that closes the index lifecycle (build sim15 → append sim16 →
+    * delete sim18 → COMPACT): tombstones make deletes O(|deleted|) but
+    * tax every serve with an anti-join; compaction pays that cost back
+    * once — a DISTRIBUTED rewrite of the code store anti-joining the
+    * tombstone set, landed cell-clustered through the same V2 write path
+    * as the original build, after which serves run tombstone-free. The
+    * corrected meta store is reused as-is (sim18 already subtracted the
+    * deleted vectors' stats exactly). Row-identical to sim18's
+    * tombstoned serve — the shared oracle is the survivor-corpus
+    * computation.
+    *
+    * SCALE SHAPE: one equi anti-join (codes × tombstones) + one
+    * clustered write — both distributed; nothing driver-sized. */
+  def indexCompactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (cIdx, meta) = ensureCompactedIndex(spark, dir)
+    serveFromStores(spark, dir, cIdx, meta, ProbeCount)
+  }
+
+  private[graft] def ensureCompactedIndex(spark: SparkSession,
+      dir: String): (String, String) = synchronized {
+    val (idx, meta, tomb) = ensureTombstonedIndex(spark, dir)
+    val cName = s"annidx4@$dir"
+    if (graft.sources.BlockStore.blockCount(cName) == 0) {
+      def rd(n: String) = spark.read
+        .format("graft.sources.BlockStoreSource").option("store", n).load()
+      rd(idx)
+        .join(rd(tomb).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", cName).option("clusterBy", "lang")
+        .mode("overwrite").save()
+    }
+    (cName, meta)
+  }
+
   /** sim16: top-k served from the INCREMENTALLY-built index — the
     * registered proof that the landed ANN index admits O(batch) appends
     * without drifting: the serve over initial+appended generations is
@@ -1523,7 +1558,8 @@ object Similarity {
     "sim21_filtered_ann" -> landedFilteredTopK,
     "sim16_ann_append" -> annAppendTopK,
     "sim17_bitext_mine" -> bitextMine,
-    "sim18_index_delete" -> indexDeleteTopK)
+    "sim18_index_delete" -> indexDeleteTopK,
+    "sim22_index_compact" -> indexCompactTopK)
 
   // DuckDB mirror: same ordered fold via index-transform + list_sum over
   // doubles, same rank tie-break, same rounding.
@@ -2054,6 +2090,7 @@ object Similarity {
     // restricted by the same delete predicate (every downstream CTE —
     // stats, probes, candidates — inherits the restriction)
     "sim18_index_delete" -> Sim18Oracle,
+    "sim22_index_compact" -> Sim18Oracle,
     "sim14_recall_bar" -> RecallBarOracle,
     "sim17_bitext_mine" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label

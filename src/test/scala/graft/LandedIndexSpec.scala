@@ -115,4 +115,20 @@ class LandedIndexSpec extends SparkSpec {
         s"($q,$n): filtered cosine $c != range cosine $rc"))
     }
   }
+
+  test("sim22 compaction: serve identical to tombstoned serve, tombstones gone") {
+    val compacted = SparkEntry.queries("sim22_index_compact")(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    val tombstoned = SparkEntry.queries("sim18_index_delete")(spark, sf)
+      .collect().map(_.toSeq.toVector).toVector
+    assert(compacted == tombstoned,
+      "compacted serve diverged from the tombstoned serve")
+    // the compacted store physically contains no deleted id
+    val (cIdx, _) = Similarity.ensureCompactedIndex(spark, sf)
+    val (_, _, tomb) = Similarity.ensureTombstonedIndex(spark, sf)
+    def ids(n: String) = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", n).load().select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = ids(cIdx).intersect(ids(tomb))
+    assert(overlap.isEmpty, s"compacted store still holds deleted ids: $overlap")
+  }
 }
