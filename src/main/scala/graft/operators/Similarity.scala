@@ -1201,19 +1201,65 @@ object Similarity {
         writeIndexStore(batch, pqCodebookFrom(landedSeeds), idxName,
           append = true)
         val batchCells = collectCellStats(quantFrame(batch))
-        val merged = (landedCells ++ batchCells)
-          .groupBy(_._1).toArray.map { case (lb, gs) =>
-            val s = new Array[Long](Dims)
-            gs.foreach { case (_, _, sv) =>
-              var d = 0; while (d < Dims) { s(d) += sv(d); d += 1 }
-            }
-            (lb, gs.map(_._2).sum, s)
-          }
-        writeMetaStore(spark, metaName, landedSeeds, merged)
+        writeMetaStore(spark, metaName, landedSeeds,
+          mergeCells(landedCells, batchCells))
       } finally all.unpersist(): Unit
     }
     (idxName, metaName)
   }
+
+  /** Exact commutative merge of two cell-stats sets (BIGINT sums and
+    * counts add per cell) — shared by sim16's batch append and s25's
+    * streaming ingest; commutativity is what makes the streamed index
+    * independent of batch partitioning. */
+  private def mergeCells(xs: Array[(Int, Long, Array[Long])],
+      ys: Array[(Int, Long, Array[Long])]): Array[(Int, Long, Array[Long])] =
+    (xs ++ ys).groupBy(_._1).toArray.map { case (lb, gs) =>
+      val s = new Array[Long](Dims)
+      gs.foreach { case (_, _, sv) =>
+        var d = 0; while (d < Dims) { s(d) += sv(d); d += 1 }
+      }
+      (lb, gs.map(_._2).sum, s)
+    }
+
+  // ---- s25 support: streaming index ingest (driven by StreamingOps) -----
+
+  /** Land generation 1 of a STREAM-fed index: the codebook-seed subset
+    * only (`vec_id < PqK`) — identical seeds to the full build, so the
+    * streamed index's codes are codebook-compatible with sim13's. */
+  private[graft] def streamIngestInit(spark: SparkSession, dir: String,
+      idxName: String, metaName: String): Unit = {
+    graft.expr.VectorExpressions.register(spark)
+    val initial = emb(spark, dir).filter(col("vec_id") < PqK)
+    val seeds = pqSeeds(initial)
+    writeIndexStore(initial, pqCodebookFrom(seeds), idxName, append = false)
+    writeMetaStore(spark, metaName, seeds,
+      collectCellStats(quantFrame(initial)))
+  }
+
+  /** Append one arriving id-batch to the stream-fed index: encode with
+    * the LANDED codebook (constant across batches — seeds never change),
+    * append codes, merge stats exactly. O(batch); the initial corpus is
+    * never rescanned (sim16's incremental contract, per micro-batch). */
+  private[graft] def streamIngestAppend(spark: SparkSession, dir: String,
+      idxName: String, metaName: String, ids: Seq[Long]): Unit = {
+    graft.expr.VectorExpressions.register(spark)
+    val (landedSeeds, landedCells) = readMetaStore(spark, metaName)
+    val batch = emb(spark, dir)
+      .filter(col("vec_id").isin(ids.map(Long.box): _*))
+    writeIndexStore(batch, pqCodebookFrom(landedSeeds), idxName,
+      append = true)
+    writeMetaStore(spark, metaName, landedSeeds,
+      mergeCells(landedCells, collectCellStats(quantFrame(batch))))
+  }
+
+  /** Non-seed, non-zero vector ids — the feed a streaming ingest drains. */
+  private[graft] def ingestFeedIds(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).filter(col("vec_id") >= PqK).select(col("vec_id"))
+
+  private[graft] def streamIngestServe(spark: SparkSession, dir: String,
+      idxName: String, metaName: String): DataFrame =
+    serveFromStores(spark, dir, idxName, metaName, ProbeCount)
 
   // ---- sim18: tombstone DELETE from the landed index ---------------------
 

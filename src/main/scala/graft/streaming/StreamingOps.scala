@@ -643,6 +643,54 @@ object StreamingOps {
       .orderBy("source", "lang")
   }
 
+  /** s25: STREAMING ANN INDEX INGEST — the index is BUILT by the stream
+    * (s23 served queries from a fixed index; this is the other half of a
+    * live retrieval system): generation 1 lands only the codebook seeds,
+    * then vector ids arrive over the block-store micro-batch stream in
+    * bounded batches and each batch is PQ-encoded with the LANDED
+    * codebook and appended — codes to the code store, cell stats merged
+    * exactly (sim16's O(batch) incremental contract, per micro-batch).
+    * Because the codebook is constant and the stats merge is commutative
+    * BIGINT addition, the drained index is independent of batch
+    * partitioning and row-identical to the one-shot full build — the
+    * oracle IS sim13's. Per-batch cost: |batch| encodes + a bounded
+    * |cells|×64 stats merge; the landed corpus is never rescanned. */
+  def streamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val idx = s"annidx5@$dir"
+    val meta = s"annmeta5@$dir"
+    val feed = s"annfeed@$dir"
+    // fresh lifecycle per run: the stream restarts at epoch 0 with a new
+    // checkpoint, so the stores and their epoch watermarks reset together
+    Seq(idx, meta, feed).foreach(graft.sources.BlockStore.dropStore)
+    graft.operators.Similarity.streamIngestInit(spark, dir, idx, meta)
+    graft.operators.Similarity.ingestFeedIds(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit("").as("text"),
+        lit("feed").as("lang"), lit("feed").as("source"), lit(0L).as("n_chars"))
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", feed).mode("overwrite").save()
+    val base = java.nio.file.Files.createTempDirectory("graft-s25")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", feed).option("maxBlocksPerTrigger", "4").load()
+      .select(col("doc_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty)
+          graft.operators.Similarity
+            .streamIngestAppend(spark, dir, idx, meta, ids)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Similarity.streamIngestServe(spark, dir, idx, meta)
+  }
+
   def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
     val store = s"chunkstream:$dir"
     Catalog.table(spark, dir, "documents")
@@ -949,6 +997,7 @@ object StreamingOps {
     "s22_stream_chunks" -> streamContextChunks,
     "s23_stream_ann_serve" -> streamAnnServe,
     "s24_stream_block_sink" -> streamBlockSink,
+    "s25_stream_ann_ingest" -> streamAnnIngest,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -1075,6 +1124,10 @@ object StreamingOps {
     // manifest — the oracle is t12's own formulation verbatim
     "s22_stream_chunks" -> graft.operators.TextAnalysis
       .oracles("t12_context_chunks"),
+    // s25: constant codebook + commutative exact stats merge => the
+    // drained streamed index equals the one-shot full build (sim13's)
+    "s25_stream_ann_ingest" -> graft.operators.Similarity
+      .oracles("sim13_ivf_pq"),
     // s23: each probe is served exactly once from the FIXED landed index,
     // so the full drain is row-identical to the one-shot serve (= sim13's
     // full-corpus computation; see sim15's shared-oracle argument)
