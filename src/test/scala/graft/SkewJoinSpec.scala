@@ -37,4 +37,39 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE converts a statically-SMJ join to broadcast from runtime sizes") {
+    // The size-only estimator gives a Filter its CHILD's sizeInBytes (no
+    // selectivity discount), so with a small broadcast threshold the
+    // planner statically picks SortMergeJoin for a filtered-but-
+    // "big-looking" side; at runtime the filtered shuffle is a few
+    // hundred bytes and AQE re-plans the join as a broadcast — the
+    // runtime-statistics re-plan SURVEY maps the reference's offline
+    // predictor to (its other half being the skew split above).
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "4kb")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = Catalog.table(spark, sf, "orders")
+      val lineitem = Catalog.table(spark, sf, "lineitem")
+      val tiny = orders.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val joined = lineitem.join(tiny, col("l_orderkey") === col("o_orderkey"))
+      // BEFORE execution: the adaptive plan is not final and the initial
+      // physical choice is a sort-merge join
+      val initial = joined.queryExecution.executedPlan.toString
+      assert(initial.contains("isFinalPlan=false") &&
+        initial.contains("SortMergeJoin"),
+        s"static plan should start as SMJ under the shrunken threshold:\n$initial")
+      val n = joined.collect().length
+      assert(n > 0, "join fixture selected nothing")
+      val fin = joined.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true") &&
+        fin.contains("BroadcastHashJoin"),
+        s"AQE should have re-planned the join as broadcast:\n$fin")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
