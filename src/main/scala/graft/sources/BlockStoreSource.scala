@@ -740,8 +740,122 @@ private[sources] class BlockDataWriter(store: String, partitionId: Int,
 
 /** Materializes ONLY the requested field indices per row — the column
   * pruning payoff (strings become UTF8String lazily, per required field). */
+private[sources] object BlockReaderFactory {
+  /** Minimum block rows for the columnar path (see supportColumnarReads). */
+  val ColumnarMinRows = 512L
+}
+
 private[sources] class BlockReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
+
+  /** Segments (blocks) of a partition — METADATA only, no counter. */
+  private def blocksOf(p: InputPartition): Array[BlockStore.Block] = p match {
+    case BlockPartition(store, idx) => Array(BlockStore.get(store)(idx))
+    case ShardBlockPartition(store, _, idxs) =>
+      val blocks = BlockStore.get(store); idxs.map(blocks(_))
+  }
+
+  /** Segments of a partition with the reader-count bookkeeping (the
+    * pruning specs' blocks-touched metric — one tick per block read). */
+  private def segsOf(p: InputPartition): Array[BlockStore.Block] = {
+    val segs = blocksOf(p)
+    BlockStore.readersOpened.addAndGet(segs.length.toLong): Unit
+    segs
+  }
+
+  // ---- COLUMNAR read path (x32 vectorized half) --------------------------
+  //
+  // The scan hands Spark ColumnarBatches of on-heap vectors (one batch per
+  // block — blocks are the store's natural batch grain), so the downstream
+  // plan runs Spark's vectorized ColumnarToRow instead of a per-row
+  // GenericInternalRow allocation — the same execution shape the parquet
+  // reader gets. Metadata columns are block-constant fills.
+
+  /** Columnar only when the batch grain is worth it: tiny blocks (the
+    * test-SF shape, ~30 rows) pay more in per-batch vector allocation and
+    * the ColumnarToRow transition than they save (measured 1.3-1.9x vs a
+    * 1.24x control band), while production-sized blocks amortize it — the
+    * same rows-per-batch economics behind parquet's vectorized-reader
+    * batch size. Decided from block METADATA (numRows), no payload read;
+    * Spark goes columnar only if every partition agrees. */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    // decided from the STORE's whole block set, not this partition's:
+    // Spark refuses mixed row/columnar partitions, and a pruned-empty
+    // shard partition must answer exactly like its populated siblings
+    val store = p match {
+      case BlockPartition(st, _) => st
+      case ShardBlockPartition(st, _, _) => st
+      case _ => return false
+    }
+    val blocks = BlockStore.blocks(store)
+    blocks.nonEmpty &&
+      blocks.forall(_.numRows >= BlockReaderFactory.ColumnarMinRows)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types._
+    val segs = segsOf(p)
+    val schema = StructType(fields.map {
+      case f @ ("doc_id" | "n_chars" | "_block_rows") =>
+        StructField(f, LongType)
+      case "_block_shard" => StructField("_block_shard", IntegerType)
+      case f => StructField(f, StringType)
+    })
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var seg = -1
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = null
+      override def next(): Boolean = {
+        seg += 1
+        if (seg >= segs.length) false
+        else {
+          val b = segs(seg)
+          val rows = b.rows
+          val vecs = OnHeapColumnVector.allocateColumns(rows.length, schema)
+          fields.indices.foreach { j =>
+            val v = vecs(j)
+            fields(j) match {
+              case "doc_id" =>
+                var i = 0; while (i < rows.length) { v.putLong(i, rows(i)._1); i += 1 }
+              case "text" =>
+                var i = 0
+                while (i < rows.length) {
+                  val bs = rows(i)._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, bs, 0, bs.length); i += 1
+                }
+              case "lang" =>
+                var i = 0
+                while (i < rows.length) {
+                  val bs = rows(i)._3.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, bs, 0, bs.length); i += 1
+                }
+              case "source" =>
+                var i = 0
+                while (i < rows.length) {
+                  val bs = rows(i)._4.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, bs, 0, bs.length); i += 1
+                }
+              case "n_chars" =>
+                var i = 0; while (i < rows.length) { v.putLong(i, rows(i)._5); i += 1 }
+              case "_block_shard" =>
+                var i = 0; while (i < rows.length) { v.putInt(i, b.shard); i += 1 }
+              case "_block_rows" =>
+                var i = 0; while (i < rows.length) { v.putLong(i, b.numRows); i += 1 }
+              case other => throw new IllegalArgumentException(
+                s"unknown block-store column: $other")
+            }
+          }
+          batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+            vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector],
+            rows.length)
+          true
+        }
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     // readersOpened counts BLOCKS touched (the pruning spec's metric), so a

@@ -541,4 +541,35 @@ class BlockStoreSpec extends SparkSpec {
       "a filtered grouped count must fall back to a real scan")
     assert(filtered.collect().map(_.getLong(1)).sum == 100L)
   }
+
+  test("columnar reads: vectorized for big blocks, row path for tiny ones") {
+    // tiny blocks (the shared fixture, ~30 rows each) stay on the row
+    // path — per-batch vector allocation would cost more than it saves
+    val small = viaConnector
+    assert(!small.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "tiny-block scan should not go columnar")
+    // a store of production-sized blocks goes columnar
+    val name = "columnar-spec-store"
+    BlockStore.dropStore(name)
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, s"text body $i", s"l${i % 3}", s"s${i % 5}", (i % 97).toLong)).toArray
+    Seq(0, 1, 2).foreach { k =>
+      BlockStore.stage(BlockStore.epochKey(name, 0), k,
+        BlockStore.Block(k * 1000L, k * 1000L + 999,
+          rows.slice(k * 1000, (k + 1) * 1000)))
+    }
+    BlockStore.commitEpoch(name, 0, Seq(0, 1, 2))
+    val big = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"big-block scan should feed Spark's vectorized ColumnarToRow:\n$plan")
+    // columnar path is byte-lossless, including UTF8 text and metadata cols
+    val got = big.collect().map(_.toSeq.toVector).toSet
+    assert(got == rows.map(r => Vector(r._1, r._2, r._3, r._4, r._5)).toSet,
+      "columnar read diverged from the staged rows")
+    val m = big.select(col("doc_id"), col("_block_rows"), col("_block_shard")).collect()
+    assert(m.length == 3000 && m.forall(r => r.getLong(1) == 1000L && r.getInt(2) == -1))
+    BlockStore.dropStore(name)
+  }
 }
