@@ -824,6 +824,24 @@ object Extended {
         |FROM x42_blocks GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** x43: equal-width HISTOGRAM via `width_bucket` — the distribution-
+    * shape summary (data profiling's most common chart) as one pass:
+    * bucket assignment is a scalar expression inside the scan, the
+    * aggregate is a ≤ 14-key groupBy (12 buckets + the two overflow
+    * sentinels). The DuckDB mirror derives the bucket with the SAME
+    * IEEE arithmetic width_bucket performs internally
+    * (1 + floor(v / 50000) for these bounds) — an independent
+    * formulation, so agreement checks the SEMANTICS of the function,
+    * not a shared implementation. */
+  def widthBucketHistogram(spark: SparkSession, dir: String): DataFrame =
+    Catalog.table(spark, dir, "orders")
+      .select(expr("width_bucket(o_totalprice, 0D, 600000D, 12)").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(asLong(count(lit(1))).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -875,6 +893,7 @@ object Extended {
     "x40_metadata_columns" -> blockStoreMetadataCols,
     "x41_time_travel" -> blockStoreTimeTravel,
     "x42_grouped_pushdown" -> blockStoreGroupedAgg,
+    "x43_width_bucket" -> widthBucketHistogram,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -915,6 +934,13 @@ object Extended {
     "x42_grouped_pushdown" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // independent bucket derivation: 1 + floor(v/50000) on (0, 600000, 12)
+    // (o_totalprice is always inside the bounds at these SFs)
+    "x43_width_bucket" ->
+      """SELECT CAST(1 + floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     // two snapshots of one store: pre-delete (full corpus) and current
     "x41_time_travel" ->
       """SELECT '1_before_delete' AS snap, lang,

@@ -584,6 +584,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- t18: template-prefix boilerplate groups ---------------------------
+
+  /** t18: TEMPLATE-PREFIX detection — documents opening with the same
+    * 5-token prefix form a template group (shared headers / generated-page
+    * scaffolding): the AFFIX-based boilerplate signal, complementary to
+    * t10's attested-bigram scoring (content-interior) and dd15's edit
+    * distance (whole-document). Groups of ≥ 2 with more than one distinct
+    * body are the interesting ones — same opening, different payload, the
+    * signature of templated generation (21 such groups at sf0.001).
+    *
+    * SCALE SHAPE: prefix digest computed map-side; the groupBy keys on
+    * the 32-char digest (high cardinality — no hot key, so the per-group
+    * countDistincts are safe); only digests shuffle, never text. */
+  def templatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    docs(spark, dir).filter(size(toks) >= 5)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(toks, 1, 5))).as("prefix_fp"),
+        md5(col("text")).as("body_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(countDistinct(col("body_fp"))).as("n_bodies"),
+        asLong(countDistinct(col("source"))).as("n_sources"),
+        asLong(min(col("doc_id"))).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_fp")
+  }
+
   // ---- t15: language-ID confusion matrix --------------------------------
 
   /** t15: classifier EVALUATION — the confusion matrix of t6's n-gram
@@ -667,6 +695,7 @@ object TextAnalysis {
     "t11_tfidf_keywords" -> tfidfKeywords,
     "t16_ngram_diversity" -> ngramDiversity,
     "t17_repetition" -> repetitionSignals,
+    "t18_template_prefixes" -> templatePrefixes,
     "t9_quality_deciles" -> qualityDeciles,
     "t8_top_tokens" -> topTokens,
     "t7_pii_scan" -> piiScan,
@@ -775,6 +804,19 @@ object TextAnalysis {
          |    / CAST(count(*) AS DOUBLE) AS attested_ratio
          |FROM b LEFT JOIN m ON b.bgh = m.bgh
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "t18_template_prefixes" ->
+      s"""WITH d AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         |p AS (SELECT doc_id, source,
+         |        md5(array_to_string(toks[1:5], ' ')) AS prefix_fp,
+         |        md5(text) AS body_fp
+         |      FROM d WHERE len(toks) >= 5)
+         |SELECT prefix_fp,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT body_fp) AS BIGINT) AS n_bodies,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc
+         |FROM p GROUP BY prefix_fp HAVING count(*) >= 2
+         |ORDER BY prefix_fp""".stripMargin,
     "t17_repetition" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
          |dd AS (SELECT * FROM d WHERE len(toks) >= 2),
