@@ -421,7 +421,7 @@ object BlockStore {
   /** Delete every row satisfying `rowPred`, consulting `mayMatch` on
     * block stats first. Returns the number of rows deleted. Atomic per
     * store (readers see the old or the new block array, never a mix). */
-  private[sources] def deleteWhere(name: String, mayMatch: Block => Boolean,
+  private[graft] def deleteWhere(name: String, mayMatch: Block => Boolean,
       rowPred: DocRow => Boolean): Long = {
     var deleted = 0L
     val after = stores.computeIfPresent(name, (_, blocks) => {
