@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.BlockStore
+
+/** Property-style tests (seeded random sequences) over the block store's
+  * TRANSACTIONAL semantics — the mechanisms the connector queries ride:
+  * copy-on-write DELETE, commit-recorded version history, and the
+  * streaming epoch watermark. Each property replays a random interaction
+  * sequence against a trivial in-memory model; divergence anywhere fails
+  * with the sequence that produced it. */
+class StoreSemanticsSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  private def mkRows(lo: Long, n: Int): Array[BlockStore.DocRow] =
+    Array.tabulate(n)(i => (lo + i, s"t${lo + i}",
+      s"l${(lo + i) % 3}", s"s${(lo + i) % 4}", (lo + i) % 11))
+
+  private def stageCommit(name: String, epoch: Long,
+      blocks: Seq[Array[BlockStore.DocRow]]): Unit = {
+    blocks.zipWithIndex.foreach { case (rs, pid) =>
+      BlockStore.stage(BlockStore.epochKey(name, epoch), pid,
+        BlockStore.Block(rs.map(_._1).min, rs.map(_._1).max, rs))
+    }
+    BlockStore.commitEpoch(name, epoch, blocks.indices)
+  }
+
+  private def visible(name: String): Seq[BlockStore.DocRow] =
+    BlockStore.blocks(name).flatMap(_.rows)
+
+  test("deleteWhere == filterNot for random predicates over random stores (property)") {
+    (0 until 25).foreach { trial =>
+      val name = s"prop-del-$trial"
+      BlockStore.dropStore(name)
+      var model = Vector.empty[BlockStore.DocRow]
+      (0 until 1 + rnd.nextInt(4)).foreach { e =>
+        val rows = mkRows(rnd.nextInt(1000).toLong, 1 + rnd.nextInt(40))
+        stageCommit(name, e.toLong, Seq(rows))
+        model ++= rows
+      }
+      // random predicate family mirroring the DELETE translator's surface
+      val (mayMatch, rowPred, desc):
+          (BlockStore.Block => Boolean, BlockStore.DocRow => Boolean, String) =
+        rnd.nextInt(3) match {
+          case 0 =>
+            val l = s"l${rnd.nextInt(3)}"
+            (b => b.langs.contains(l), r => r._3 == l, s"lang=$l")
+          case 1 =>
+            val cut = rnd.nextInt(1100).toLong
+            (b => b.maxId >= cut, r => r._1 >= cut, s"id>=$cut")
+          case _ =>
+            val m = 2 + rnd.nextInt(5)
+            (_ => true, r => r._1 % m == 0, s"id%$m==0")
+        }
+      val deleted = BlockStore.deleteWhere(name, mayMatch, rowPred)
+      val want = model.filterNot(rowPred)
+      assert(deleted == model.size - want.size,
+        s"trial $trial ($desc): deleted-count diverged")
+      assert(visible(name).sortBy(_._1) == want.sortBy(_._1).toSeq,
+        s"trial $trial ($desc): surviving rows diverged from filterNot")
+      // stats stay sound after the rewrite: every surviving block's
+      // min/max bound its rows
+      BlockStore.blocks(name).foreach { b =>
+        assert(b.rows.forall(r => r._1 >= b.minId && r._1 <= b.maxId),
+          s"trial $trial: rewritten block stats do not bound its rows")
+      }
+      BlockStore.dropStore(name)
+    }
+  }
+
+  test("version history reproduces every commit state; replays never fork it (property)") {
+    (0 until 15).foreach { trial =>
+      val name = s"prop-tt-$trial"
+      BlockStore.dropStore(name)
+      var states = Vector.empty[Vector[BlockStore.DocRow]]
+      var model = Vector.empty[BlockStore.DocRow]
+      var epoch = 0L
+      (0 until 2 + rnd.nextInt(5)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 | 1 => // streaming epoch append (occasionally REPLAYED)
+            val rows = mkRows(rnd.nextInt(1000).toLong, 1 + rnd.nextInt(20))
+            stageCommit(name, epoch, Seq(rows))
+            model ++= rows
+            states :+= model
+            if (rnd.nextBoolean()) { // replay: must not fork history
+              stageCommit(name, epoch, Seq(rows))
+            }
+            epoch += 1
+          case _ if BlockStore.currentVersion(name) > 0 => // delete commit
+            // (a delete against a never-committed store records nothing —
+            // there is no state transition to version)
+            val m = 2 + rnd.nextInt(4)
+            BlockStore.deleteWhere(name, _ => true, _._1 % m == 0): Unit
+            model = model.filterNot(_._1 % m == 0)
+            states :+= model
+          case _ => ()
+        }
+      }
+      assert(BlockStore.currentVersion(name) == states.size,
+        s"trial $trial: replays or commits miscounted versions")
+      states.zipWithIndex.foreach { case (want, i) =>
+        val snap = spark.read.format("graft.sources.BlockStoreSource")
+          .option("store", name).option("versionAsOf", (i + 1).toString)
+          .load().collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+        assert(snap == want.sortBy(_._1).toSeq,
+          s"trial $trial: version ${i + 1} does not reproduce its commit state")
+      }
+      BlockStore.dropStore(name)
+    }
+  }
+}
