@@ -338,6 +338,32 @@ object BlockStore {
   def currentVersion(name: String): Int =
     history.getOrDefault(name, Vector.empty).length
 
+  /** VACUUM: retire history older than the last `keepLast` versions —
+    * the maintenance half of time travel (unbounded history pins every
+    * version's block references; a store that churns forever must be
+    * able to let go — Delta's VACUUM contract). Version NUMBERS keep
+    * their absolute meaning: a vacuumed version stays addressable as a
+    * number but reads fail loudly ("vacuumed"), never serve stale or
+    * wrong data. Returns the number of versions retired. Snapshot
+    * aliases already materialized for retired versions are dropped. */
+  def vacuum(name: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"vacuum must keep at least 1 version, got $keepLast")
+    var retired = 0
+    history.computeIfPresent(name, (_, h) => {
+      val cut = math.max(0, h.length - keepLast)
+      // index-stable: retired slots become null (their block REFERENCES
+      // are released — the point of vacuum) while version numbers keep
+      // their absolute meaning
+      h.zipWithIndex.map { case (blocks, i) =>
+        if (i < cut) {
+          if (blocks != null) { retired += 1; stores.remove(s"$name@@v${i + 1}"): Unit }
+          null
+        } else blocks
+      }
+    })
+    retired
+  }
+
   /** Resolve a versioned read: materialize (idempotently) a read-only
     * snapshot alias whose block array is the recorded version, and return
     * its store key. Version numbers are 1-based commit counts. */
@@ -346,6 +372,8 @@ object BlockStore {
     require(version >= 1 && version <= h.length,
       s"store '$name' has no version $version (recorded: 1..${h.length}; " +
         "stores loaded outside the transactional write path record none)")
+    require(h(version - 1) != null,
+      s"store '$name' version $version was vacuumed and is no longer readable")
     val key = s"$name@@v$version"
     stores.putIfAbsent(key, h(version - 1)): Unit
     key

@@ -110,4 +110,28 @@ class StoreSemanticsSpec extends SparkSpec {
       BlockStore.dropStore(name)
     }
   }
+
+  test("vacuum retires old versions: refs released, reads fenced, tail intact") {
+    val name = "vacuum-spec-store"
+    BlockStore.dropStore(name)
+    (0 until 5).foreach { e =>
+      stageCommit(name, e.toLong, Seq(mkRows(e * 100L, 10)))
+    }
+    assert(BlockStore.currentVersion(name) == 5)
+    val retired = BlockStore.vacuum(name, keepLast = 2)
+    assert(retired == 3, s"expected versions 1-3 retired, got $retired")
+    // vacuum is idempotent
+    assert(BlockStore.vacuum(name, keepLast = 2) == 0)
+    // retired versions fail LOUDLY; surviving tail still reproduces
+    intercept[Exception] {
+      spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", name).option("versionAsOf", "2").load().count()
+    }
+    val v4 = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("versionAsOf", "4").load().count()
+    assert(v4 == 40, "surviving version must reproduce its commit state")
+    // version numbers keep their absolute meaning after vacuum
+    assert(BlockStore.currentVersion(name) == 5)
+    BlockStore.dropStore(name)
+  }
 }
