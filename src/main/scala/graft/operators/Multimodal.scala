@@ -201,27 +201,7 @@ object Multimodal {
       .select((col("doc_id") + CopyIdOffset).as("doc_id"),
         concat(substring(col("text"), 1, 10), lit("~"),
           substring(col("text"), 12, Int.MaxValue)).as("text"))
-    val sigs = base.unionAll(copies)
-      .filter(length(col("text")) >= DHashPoints)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, p) =>
-        val n = p.length
-        def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
-        val bands = new Array[Long](DHashBands)
-        var bit = 0
-        var r = 0
-        while (r < DHashH) {
-          var c = 0
-          while (c < DHashW - 1) {
-            val i = r * DHashW + c
-            if (pt(i) < pt(i + 1)) bands(bit / 16) |= 1L << (bit % 16)
-            bit += 1; c += 1
-          }
-          r += 1
-        }
-        (id, bands(0), bands(1), bands(2), bands(3))
-      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val sigs = sigFrame(spark, base.unionAll(copies))
     val bands = sigs.select(col("doc_id"), explode(array(
         (0 until DHashBands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bsig"))): _*)).as("bs"))
@@ -243,7 +223,103 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+
+  /** (doc_id, b0..b3) dHash band signatures of a (doc_id, text) frame —
+    * the typed decode tier shared by mm6's near-dup scan and mm7's landed
+    * index build/serve (partition-local; payloads never shuffle). */
+  private def sigFrame(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    df.filter(length(col("text")) >= DHashPoints)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val n = p.length
+        def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
+        val bands = new Array[Long](DHashBands)
+        var bit = 0
+        var r = 0
+        while (r < DHashH) {
+          var c = 0
+          while (c < DHashW - 1) {
+            val i = r * DHashW + c
+            if (pt(i) < pt(i + 1)) bands(bit / 16) |= 1L << (bit % 16)
+            bit += 1; c += 1
+          }
+          r += 1
+        }
+        (id, bands(0), bands(1), bands(2), bands(3))
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Land the corpus' dHash signatures as a BLOCK STORE: one row per
+    * media, the four 16-bit bands packed into the n_chars long — an
+    * 8-byte/item perceptual index (the sim15 landing discipline for the
+    * image modality). */
+  private[graft] def ensurePhashIndex(spark: SparkSession,
+      dir: String): String = synchronized {
+    val name = s"phashidx@$dir"
+    if (graft.sources.BlockStore.blockCount(name) == 0) {
+      val base = Catalog.tableSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val packed = shiftleft(col("b0"), 48) + shiftleft(col("b1"), 32) +
+        shiftleft(col("b2"), 16) + col("b3")
+      sigFrame(spark, base)
+        .select(col("doc_id"), lit("").as("text"), lit("").as("lang"),
+          lit("phash").as("source"), packed.as("n_chars"))
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", name).mode("overwrite").save()
+    }
+    name
+  }
+
+  /** mm7: QUERY-BY-IMAGE from the LANDED perceptual index — the serving
+    * half mm6's batch scan lacks (a moderation/copyright/dedup service
+    * answers "have we seen this image?" per arriving item, it does not
+    * re-scan the corpus): arriving payloads (mm6's perturbed-copy
+    * fixture) are dHashed, candidates come from an equi-join of probe
+    * bands against the landed 8-byte signatures, and exact Hamming ≤
+    * [[HammingMax]] accepts — same banding recall contract as mm6.
+    *
+    * SCALE SHAPE: the index row is 8 bytes/media (no payload); candidates
+    * are (band, bsig) equi-join collisions — never all-pairs; the probe
+    * side is the bounded arriving batch, broadcast to the verify. */
+  def phashServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensurePhashIndex(spark, dir)
+    val base = Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val arriving = base
+      .filter(col("doc_id") % 11 === 7 && length(col("text")) >= DHashPoints)
+      .select((col("doc_id") + CopyIdOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("~"),
+          substring(col("text"), 12, Int.MaxValue)).as("text"))
+    val probes = sigFrame(spark, arriving)
+      .select(col("doc_id").as("query_id"), col("b0").as("q0"),
+        col("b1").as("q1"), col("b2").as("q2"), col("b3").as("q3"))
+    val idxSigs = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", idx).load()
+      .select(col("doc_id").as("match_id"),
+        shiftright(col("n_chars"), 48).bitwiseAND(lit(0xFFFFL)).as("i0"),
+        shiftright(col("n_chars"), 32).bitwiseAND(lit(0xFFFFL)).as("i1"),
+        shiftright(col("n_chars"), 16).bitwiseAND(lit(0xFFFFL)).as("i2"),
+        col("n_chars").bitwiseAND(lit(0xFFFFL)).as("i3"))
+    val pb = probes.select(col("query_id"), posexplode(array(
+      col("q0"), col("q1"), col("q2"), col("q3"))).as(Seq("band", "bsig")))
+    val ib = idxSigs.select(col("match_id"), posexplode(array(
+      col("i0"), col("i1"), col("i2"), col("i3"))).as(Seq("band", "bsig")))
+    val cand = pb.join(ib, Seq("band", "bsig"))
+      .select(col("query_id"), col("match_id")).distinct()
+    cand.join(broadcast(probes), Seq("query_id")).join(idxSigs, Seq("match_id"))
+      .withColumn("hamming", graft.Sql.asLong(
+        expr("bit_count(q0 ^ i0) + bit_count(q1 ^ i1)" +
+          " + bit_count(q2 ^ i2) + bit_count(q3 ^ i3)")))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("query_id"), col("match_id"), col("hamming"))
+      .orderBy("query_id", "match_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_phash_serve" -> phashServe,
     "mm5_payload_chunks" -> payloadChunks,
     "mm1_media_meta" -> mediaMeta,
     "mm2_decode_features" -> decodeFeatures,
@@ -302,6 +378,54 @@ object Multimodal {
     // over the ASCII corpus (1 byte/char — the mm3/mm4 precedent), bands
     // summed from the per-bit shifts (all < 2^16, no 1<<63 overflow),
     // banding join + fixed-order 4-term Hamming
+    // mm7: probe-vs-index variant of the mm6 mirror — probes are the
+    // perturbed copies, the index side is the raw corpus, band collision
+    // then exact Hamming
+    "mm7_phash_serve" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |             UNION ALL
+         |             SELECT doc_id + $CopyIdOffset,
+         |                    substr(text, 1, 10) || '~' || substr(text, 12)
+         |             FROM documents
+         |             WHERE doc_id % 11 = 7 AND length(text) >= $DHashPoints),
+         |d AS (SELECT doc_id, text, length(text) AS n FROM aug
+         |      WHERE length(text) >= $DHashPoints),
+         |bits AS (SELECT doc_id, r * ${DHashW - 1} + c AS bit,
+         |           CASE WHEN ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1))
+         |                   < ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1))
+         |                THEN 1 ELSE 0 END AS v
+         |         FROM d, generate_series(0, ${DHashH - 1}) t1(r),
+         |                 generate_series(0, ${DHashW - 2}) t2(c)),
+         |sigs AS (SELECT doc_id,
+         |           CAST(sum(CASE WHEN bit // 16 = 0 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+         |           CAST(sum(CASE WHEN bit // 16 = 1 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+         |           CAST(sum(CASE WHEN bit // 16 = 2 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+         |           CAST(sum(CASE WHEN bit // 16 = 3 AND v = 1
+         |                         THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+         |         FROM bits GROUP BY doc_id),
+         |probes AS (SELECT * FROM sigs WHERE doc_id >= $CopyIdOffset),
+         |idx AS (SELECT * FROM sigs WHERE doc_id < $CopyIdOffset),
+         |pb AS (SELECT doc_id, band,
+         |         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                   WHEN 2 THEN b2 ELSE b3 END AS bsig
+         |       FROM probes, generate_series(0, ${DHashBands - 1}) g(band)),
+         |ib AS (SELECT doc_id, band,
+         |         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                   WHEN 2 THEN b2 ELSE b3 END AS bsig
+         |       FROM idx, generate_series(0, ${DHashBands - 1}) g(band)),
+         |cand AS (SELECT DISTINCT p.doc_id AS query_id, i.doc_id AS match_id
+         |         FROM pb p JOIN ib i ON p.band = i.band AND p.bsig = i.bsig)
+         |SELECT c.query_id, c.match_id,
+         |  CAST(bit_count(xor(sp.b0, si.b0)) + bit_count(xor(sp.b1, si.b1))
+         |     + bit_count(xor(sp.b2, si.b2)) + bit_count(xor(sp.b3, si.b3)) AS BIGINT) AS hamming
+         |FROM cand c JOIN sigs sp ON c.query_id = sp.doc_id
+         |            JOIN sigs si ON c.match_id = si.doc_id
+         |WHERE bit_count(xor(sp.b0, si.b0)) + bit_count(xor(sp.b1, si.b1))
+         |    + bit_count(xor(sp.b2, si.b2)) + bit_count(xor(sp.b3, si.b3)) <= $HammingMax
+         |ORDER BY query_id, match_id""".stripMargin,
     "mm6_perceptual_neardup" ->
       s"""WITH aug AS (SELECT doc_id, text FROM documents
          |             UNION ALL
