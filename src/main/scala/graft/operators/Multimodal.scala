@@ -285,14 +285,28 @@ object Multimodal {
     * are (band, bsig) equi-join collisions — never all-pairs; the probe
     * side is the bounded arriving batch, broadcast to the verify. */
   def phashServe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = ensurePhashIndex(spark, dir)
     val base = Catalog.tableSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val arriving = base
+    phashServeFor(spark, dir, perturbedCopies(base))
+  }
+
+  /** mm6/mm7's perturbed-copy fixture over any (doc_id, text) frame —
+    * also the per-batch transform of the STREAMING serve (s26). */
+  private[graft] def perturbedCopies(base: DataFrame): DataFrame =
+    base
       .filter(col("doc_id") % 11 === 7 && length(col("text")) >= DHashPoints)
       .select((col("doc_id") + CopyIdOffset).as("doc_id"),
         concat(substring(col("text"), 1, 10), lit("~"),
           substring(col("text"), 12, Int.MaxValue)).as("text"))
+
+  /** Serve an EXPLICIT arriving batch against the landed perceptual
+    * index — the per-micro-batch entry point of s26: each arriving item
+    * is served exactly once against the FIXED index, so the union over
+    * any batch partitioning equals the one-shot serve (the s23
+    * argument, image modality). */
+  private[graft] def phashServeFor(spark: SparkSession, dir: String,
+      arriving: DataFrame): DataFrame = {
+    val idx = ensurePhashIndex(spark, dir)
     val probes = sigFrame(spark, arriving)
       .select(col("doc_id").as("query_id"), col("b0").as("q0"),
         col("b1").as("q1"), col("b2").as("q2"), col("b3").as("q3"))

@@ -691,6 +691,43 @@ object StreamingOps {
     graft.operators.Similarity.streamIngestServe(spark, dir, idx, meta)
   }
 
+  /** s26: STREAMING image moderation — mm7's query-by-image serve driven
+    * by the stream (the image-modality twin of s23's text-ANN serving):
+    * document payloads arrive over the block-store micro-batch stream in
+    * bounded batches, each batch's perturbed-copy fixture is dHashed and
+    * matched against the LANDED perceptual index (band collision + exact
+    * Hamming), matches appended to a parquet result log. Each arriving
+    * item is served exactly once against a FIXED index, so the full
+    * drain is row-identical to mm7's one-shot serve — the oracle IS
+    * mm7's. Per-batch cost: |batch| dHashes + a bounded band equi-join;
+    * no streaming state. */
+  def streamPhashServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Multimodal.ensurePhashIndex(spark, dir): Unit
+    val docsStore = graft.sources.BlockStore.ensureLoaded(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-s26")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+    val data = s"$base/data"
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", docsStore).option("maxBlocksPerTrigger", "4").load()
+      .select(col("doc_id"), col("text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val arriving = graft.operators.Multimodal.perturbedCopies(batch)
+        if (!arriving.isEmpty)
+          graft.operators.Multimodal.phashServeFor(spark, dir, arriving)
+            .write.mode("append").parquet(data)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(data).orderBy("query_id", "match_id")
+  }
+
   def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
     val store = s"chunkstream:$dir"
     Catalog.table(spark, dir, "documents")
@@ -998,6 +1035,7 @@ object StreamingOps {
     "s23_stream_ann_serve" -> streamAnnServe,
     "s24_stream_block_sink" -> streamBlockSink,
     "s25_stream_ann_ingest" -> streamAnnIngest,
+    "s26_stream_phash_serve" -> streamPhashServe,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
@@ -1124,6 +1162,10 @@ object StreamingOps {
     // manifest — the oracle is t12's own formulation verbatim
     "s22_stream_chunks" -> graft.operators.TextAnalysis
       .oracles("t12_context_chunks"),
+    // s26: per-item serving from a FIXED landed perceptual index — the
+    // full drain equals mm7's one-shot serve
+    "s26_stream_phash_serve" -> graft.operators.Multimodal
+      .oracles("mm7_phash_serve"),
     // s25: constant codebook + commutative exact stats merge => the
     // drained streamed index equals the one-shot full build (sim13's)
     "s25_stream_ann_ingest" -> graft.operators.Similarity
