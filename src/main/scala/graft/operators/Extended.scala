@@ -873,8 +873,11 @@ object Extended {
     val kept = obsKept.get
     val rowsIn = in("rows_in").asInstanceOf[Long]
     val rowsKept = kept("rows_kept").asInstanceOf[Long]
-    val revenue =
-      kept("kept_revenue").asInstanceOf[java.math.BigDecimal].doubleValue
+    // a filter keeping zero rows observes a NULL sum (and an empty scan a
+    // zero rows_in) — guard both so the audit report degrades to zeros
+    // instead of an NPE/NaN
+    val revenue = Option(kept("kept_revenue"))
+      .map(_.asInstanceOf[java.math.BigDecimal].doubleValue).getOrElse(0.0)
     val schema = StructType(Seq(
       StructField("rows_in", LongType, nullable = false),
       StructField("null_qty", LongType, nullable = false),
@@ -884,7 +887,7 @@ object Extended {
     spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(
         rowsIn, in("null_qty").asInstanceOf[Long], rowsKept, revenue,
-        rowsKept.toDouble / rowsIn)),
+        if (rowsIn == 0L) 0.0 else rowsKept.toDouble / rowsIn)),
       schema)
   }
 

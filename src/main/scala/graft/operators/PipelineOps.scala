@@ -710,11 +710,17 @@ object PipelineOps {
       df.write.format("graft.sources.BlockStoreSource")
         .option("store", store).mode("overwrite").save()
     land(docs)
+    // clone ids start past the corpus's id range (max+1), never at a fixed
+    // offset: a fixed constant collides with real ids at a large-enough SF,
+    // producing duplicate join keys and misclassified diff rows. One-row
+    // scalar, mirrored by the oracle's (SELECT max(doc_id)+1 ...) subquery.
+    val cloneOffset =
+      docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val revised = docs.filter(col("lang") =!= "de")
       .withColumn("text",
         when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 10000L))
+        .withColumn("doc_id", col("doc_id") + lit(cloneOffset)))
     land(revised)
     val vNow = graft.sources.BlockStore.currentVersion(store)
     def snap(v: Int): DataFrame = spark.read
@@ -859,7 +865,8 @@ object PipelineOps {
         |               ELSE md5(text) END AS cfp
         |        FROM documents WHERE lang <> 'de'
         |        UNION ALL
-        |        SELECT doc_id + 10000, md5(text) FROM documents
+        |        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |          md5(text) FROM documents
         |        WHERE doc_id % 13 = 0)
         |SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
         |  CASE WHEN p.doc_id IS NULL THEN 'added'

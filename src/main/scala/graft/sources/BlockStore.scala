@@ -111,35 +111,86 @@ object BlockStore {
     val sources: Set[String] = sourceCounts.keySet
 
     @volatile private var mem: Array[DocRow] = rows0
+    /** OFF-HEAP middle tier: the payload serialized into a DIRECT
+      * ByteBuffer — real native memory outside the GC'd heap (the
+      * reference's OFF_HEAP StorageLevel, `storage/StorageLevel.scala:150-162`,
+      * shipped enabled at 1024 MB in `conf/scache.conf:1-5`). Opt-in by
+      * budget, like `spark.memory.offHeap.enabled`. */
+    @volatile private var offHeapBuf: java.nio.ByteBuffer = null
     @volatile private var file: java.nio.file.Path = null
     /** LRU clock stamp of the last payload access (put counts as one). */
     @volatile private[sources] var lastAccess: Long = tickClock()
 
     def isInMemory: Boolean = mem != null
+    def isOffHeap: Boolean = offHeapBuf != null
+    /** Native bytes this block holds in the off-heap tier (0 if none). */
+    def offHeapHeld: Long = {
+      val b = offHeapBuf
+      if (b == null) 0L else b.capacity.toLong
+    }
+    /** Which tier currently serves the payload (spec surface). */
+    def tier: String =
+      if (mem != null) "memory" else if (offHeapBuf != null) "offheap" else "disk"
 
-    /** The payload, from whichever tier holds it. A disk-tier read does
-      * NOT re-promote (the reference's DiskStore serves reads in place;
-      * promotion policy belongs to the caller) — but it does advance the
-      * LRU stamp so a later promotion decision could see recency. */
+    /** The payload, from whichever tier holds it. Neither an off-heap nor
+      * a disk read re-promotes (the reference's DiskStore serves reads in
+      * place; promotion policy belongs to the caller) — but both advance
+      * the LRU stamp so a later promotion decision could see recency. */
     def rows: Array[DocRow] = {
       lastAccess = tickClock()
       val m = mem
       if (m != null) m
       else {
-        diskReads.incrementAndGet()
-        readBlockFile(file)
+        val oh = offHeapBuf
+        if (oh != null) {
+          offHeapReads.incrementAndGet()
+          // read through a private duplicate: the shared buffer's
+          // position/limit must not race concurrent readers
+          val dup = oh.duplicate()
+          val bytes = new Array[Byte](dup.capacity)
+          dup.rewind()
+          dup.get(bytes)
+          decodeRows(bytes)
+        } else {
+          diskReads.incrementAndGet()
+          readBlockFile(file)
+        }
       }
     }
 
-    /** Demote the payload to the disk tier (called under the eviction
-      * lock). Write-once: a block re-demoted after budget churn reuses
-      * its existing file. In-flight readers that already grabbed the
-      * array reference finish safely — demotion only drops the ref. */
-    private[sources] def demote(): Unit = {
+    /** Demote the heap payload one tier down (called under the eviction
+      * lock): to the off-heap tier when `toOffHeap` (the tier is enabled
+      * and budgeted), else to disk. Disk is write-once: a block
+      * re-demoted after budget churn reuses its existing file. In-flight
+      * readers that already grabbed the array reference finish safely —
+      * demotion only drops the ref. */
+    private[sources] def demote(toOffHeap: Boolean): Unit = {
       val m = mem
       if (m != null) {
-        if (file == null) file = writeBlockFile(m)
+        if (toOffHeap) {
+          val bytes = encodeRows(m)
+          val buf = java.nio.ByteBuffer.allocateDirect(bytes.length)
+          buf.put(bytes)
+          offHeapBuf = buf
+        } else if (file == null) file = writeBlockFile(m)
         mem = null
+      }
+    }
+
+    /** Spill the off-heap payload to the disk tier (the envelope's second
+      * eviction stage, under the eviction lock). The direct buffer is
+      * released to the GC; its native memory frees on collection. */
+    private[sources] def spillOffHeap(): Unit = {
+      val oh = offHeapBuf
+      if (oh != null) {
+        if (file == null) {
+          val dup = oh.duplicate()
+          val bytes = new Array[Byte](dup.capacity)
+          dup.rewind()
+          dup.get(bytes)
+          file = writeBlockBytes(bytes)
+        }
+        offHeapBuf = null
       }
     }
   }
@@ -150,6 +201,79 @@ object BlockStore {
   }
 
   private val stores = new ConcurrentHashMap[String, Array[Block]]()
+
+  /** Read-only TIME-TRAVEL aliases (`name@@vN`), held OUTSIDE [[stores]]:
+    * aliases share Block references with live stores and history, so
+    * listing them as tables (the catalog's listTables) would surface
+    * pseudo-tables, and counting them in [[memoryUsed]] would bill shared
+    * payloads once per containing array and trigger premature LRU
+    * demotion. They are resolvable through [[get]] but invisible to
+    * [[storeNames]]; accounting de-duplicates by block identity. */
+  private val snapshotAliases = new ConcurrentHashMap[String, Array[Block]]()
+
+  // ---- pinned scan snapshots ---------------------------------------------
+  //
+  // A planned batch (or micro-batch) names its blocks by INDEX, and a
+  // DELETE's copy-on-write rewrite shifts the visible array's positions —
+  // so a reader resolving indices against the CURRENT array could silently
+  // serve wrong blocks if a DELETE committed between planning and
+  // execution. Planning therefore PINS the exact block array it indexed
+  // under a snapshot id; readers resolve through the pin, which is
+  // immutable by construction (promote/delete swap the array reference,
+  // never mutate it). Retention is bounded (an LRU of recent pins — far
+  // above any concurrent-scan count); an expired pin fails LOUDLY rather
+  // than falling back to the mutable array.
+
+  private val pinnedSnaps = new ConcurrentHashMap[Long, Array[Block]]()
+  private val pinSeq = new AtomicLong(0)
+  private val pinOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  private val MaxPinnedSnaps = 256
+
+  private[sources] def pinSnapshot(blocks: Array[Block]): Long = {
+    val id = pinSeq.incrementAndGet()
+    pinnedSnaps.put(id, blocks): Unit
+    pinOrder.add(java.lang.Long.valueOf(id)): Unit
+    while (pinnedSnaps.size > MaxPinnedSnaps) {
+      val old = pinOrder.poll()
+      if (old != null) pinnedSnaps.remove(old.longValue): Unit
+    }
+    id
+  }
+
+  private[sources] def pinned(id: Long): Array[Block] = {
+    val a = pinnedSnaps.get(id)
+    require(a != null, s"scan snapshot $id expired (more than " +
+      s"$MaxPinnedSnaps scans planned since) — re-plan the query")
+    a
+  }
+
+  // ---- live streaming readers (the DELETE/TRUNCATE fence) ----------------
+  //
+  // Streaming offsets are POSITIONAL block counts, sound because the
+  // visible array's committed prefix is append-only. A DELETE rewrite or a
+  // truncating overwrite breaks that invariant, so both are FENCED while
+  // any streaming reader is live on the store: loud refusal, never a
+  // silently re-numbered replay. (Batch scans need no fence — they pin
+  // their snapshot above.)
+
+  private val liveStreams =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private[sources] def registerStreamReader(store: String): Unit =
+    liveStreams.computeIfAbsent(store,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+      .incrementAndGet(): Unit
+
+  private[sources] def unregisterStreamReader(store: String): Unit = {
+    val c = liveStreams.get(store)
+    if (c != null) c.updateAndGet(n => math.max(0, n - 1)): Unit
+  }
+
+  def liveStreamReaders(store: String): Int = {
+    val c = liveStreams.get(store)
+    if (c == null) 0 else c.get()
+  }
 
   // ---- memory envelope: byte budget + LRU demotion to the disk tier ----
   //
@@ -182,6 +306,39 @@ object BlockStore {
   def setMemoryBudget(b: Long): Unit = { budget = b; enforceBudget() }
   def resetMemoryBudget(): Unit = setMemoryBudget(defaultBudget)
 
+  // ---- OFF-HEAP middle tier (memory → off-heap → disk) -------------------
+  //
+  // The reference's StorageLevel lattice includes OFF_HEAP
+  // (`storage/StorageLevel.scala:150-162`) and its shipped conf budgets it
+  // at 1024 MB (`conf/scache.conf:1-5`); Spark's analogue is
+  // `spark.memory.offHeap.enabled/.size` — DISABLED unless sized, which
+  // this tier mirrors: budget 0 (default) demotes heap payloads straight
+  // to disk exactly as before; a positive budget inserts serialized
+  // DIRECT ByteBuffers between them. What the tier buys at scale: demoted
+  // blocks stop pressuring the GC (native memory, no heap objects) but
+  // still serve ~disk-free at memory speed; the disk tier remains the
+  // unbounded floor. Eviction is two-stage LRU under one lock: heap over
+  // budget → demote LRU payloads (to off-heap if it has room); off-heap
+  // over ITS budget → spill its LRU buffers to disk.
+
+  @volatile private var offHeapBudget: Long = 0L
+  def offHeapTierBudget: Long = offHeapBudget
+
+  /** Enable/resize the off-heap tier and enforce both budgets at once. */
+  def setOffHeapBudget(b: Long): Unit = {
+    offHeapBudget = math.max(0L, b); enforceBudget()
+  }
+  def resetOffHeapBudget(): Unit = setOffHeapBudget(0L)
+
+  /** Native bytes currently held by the off-heap tier. */
+  def offHeapUsed: Long = distinctBlocks(_.isOffHeap).iterator
+    .map(_.offHeapHeld).sum
+
+  /** Off-heap-tier reads served (the three-tier spec's metric). */
+  val offHeapReads = new AtomicLong(0)
+  /** Off-heap buffers spilled to the disk tier over the JVM's lifetime. */
+  val offHeapSpills = new AtomicLong(0)
+
   private val clock = new AtomicLong(0)
   private def tickClock(): Long = clock.incrementAndGet()
 
@@ -190,12 +347,23 @@ object BlockStore {
   /** Blocks demoted memory → disk over the JVM's lifetime. */
   val demotions = new AtomicLong(0)
 
-  /** Bytes currently held by the memory tier across all visible stores. */
-  def memoryUsed: Long = {
+  /** Every distinct block matching `p` across stores AND snapshot
+    * aliases, de-duplicated by IDENTITY: versions/aliases share Block
+    * references, and billing a shared payload once per containing array
+    * would inflate usage and force premature demotion. */
+  private def distinctBlocks(p: Block => Boolean): Array[Block] = {
     import scala.jdk.CollectionConverters._
-    stores.values().asScala.iterator
-      .flatMap(_.iterator).filter(_.isInMemory).map(_.bytes).sum
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Block, java.lang.Boolean]())
+    (stores.values().asScala.iterator ++ snapshotAliases.values().asScala.iterator)
+      .flatMap(_.iterator)
+      .filter(b => p(b) && seen.add(b))
+      .toArray
   }
+
+  /** Bytes currently held by the memory tier across all visible stores. */
+  def memoryUsed: Long =
+    distinctBlocks(_.isInMemory).iterator.map(_.bytes).sum
 
   /** Dedicated eviction monitor — NOT `BlockStore.this`: the ensure*
     * loaders hold this object's monitor on the DRIVER thread while their
@@ -210,17 +378,31 @@ object BlockStore {
     * a just-put block carries the freshest stamp, so it is evicted last,
     * matching the reference's "don't evict what you're writing"). */
   private def enforceBudget(): Unit = evictionLock.synchronized {
-    import scala.jdk.CollectionConverters._
     var used = memoryUsed
-    if (used <= budget) return
-    val lru = stores.values().asScala.iterator.flatMap(_.iterator)
-      .filter(_.isInMemory).toArray.sortBy(_.lastAccess)
-    var i = 0
-    while (used > budget && i < lru.length) {
-      lru(i).demote()
-      demotions.incrementAndGet()
-      used -= lru(i).bytes
-      i += 1
+    if (used > budget) {
+      val lru = distinctBlocks(_.isInMemory).sortBy(_.lastAccess)
+      var i = 0
+      while (used > budget && i < lru.length) {
+        // land in the off-heap tier when it is enabled (budget > 0); its
+        // own budget is enforced in the second stage below
+        lru(i).demote(toOffHeap = offHeapBudget > 0)
+        demotions.incrementAndGet()
+        used -= lru(i).bytes
+        i += 1
+      }
+    }
+    // stage 2: the off-heap tier over ITS budget spills LRU to disk
+    var ohUsed = offHeapUsed
+    if (ohUsed > offHeapBudget) {
+      val lru = distinctBlocks(_.isOffHeap).sortBy(_.lastAccess)
+      var i = 0
+      while (ohUsed > offHeapBudget && i < lru.length) {
+        val held = lru(i).offHeapHeld
+        lru(i).spillOffHeap()
+        offHeapSpills.incrementAndGet()
+        ohUsed -= held
+        i += 1
+      }
     }
   }
 
@@ -241,29 +423,40 @@ object BlockStore {
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def writeBlockFile(rows: Array[DocRow]): java.nio.file.Path = {
+  /** One length-prefixed binary encoding shared by BOTH demoted tiers —
+    * an off-heap buffer and a disk file hold identical bytes, so spilling
+    * off-heap → disk is a byte copy, never a re-serialization. */
+  private def encodeRows(rows: Array[DocRow]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(rows.length)
+    rows.foreach { r =>
+      out.writeLong(r._1); writeStr(out, r._2); writeStr(out, r._3)
+      writeStr(out, r._4); out.writeLong(r._5)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def decodeRows(bytes: Array[Byte]): Array[DocRow] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    Array.fill(in.readInt()) {
+      (in.readLong(), readStr(in), readStr(in), readStr(in), in.readLong())
+    }
+  }
+
+  private def writeBlockBytes(bytes: Array[Byte]): java.nio.file.Path = {
     val p = diskDir.resolve(s"block-${fileSeq.incrementAndGet()}.bin")
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(p)))
-    try {
-      out.writeInt(rows.length)
-      rows.foreach { r =>
-        out.writeLong(r._1); writeStr(out, r._2); writeStr(out, r._3)
-        writeStr(out, r._4); out.writeLong(r._5)
-      }
-    } finally out.close()
+    java.nio.file.Files.write(p, bytes): Unit
     p
   }
 
-  private def readBlockFile(p: java.nio.file.Path): Array[DocRow] = {
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(p)))
-    try {
-      Array.fill(in.readInt()) {
-        (in.readLong(), readStr(in), readStr(in), readStr(in), in.readLong())
-      }
-    } finally in.close()
-  }
+  private def writeBlockFile(rows: Array[DocRow]): java.nio.file.Path =
+    writeBlockBytes(encodeRows(rows))
+
+  private def readBlockFile(p: java.nio.file.Path): Array[DocRow] =
+    decodeRows(java.nio.file.Files.readAllBytes(p))
 
   /** Readers opened since JVM start — the pruning spec diffs this around
     * scans to count how many blocks a query actually touched. */
@@ -305,6 +498,12 @@ object BlockStore {
     * partition 0 must not collide) and promotes into the one target. */
   private[sources] def promoteInto(stagingKey: String, target: String,
       partitionIds: Seq[Int], truncate: Boolean): Unit = {
+    // appends keep positional stream offsets sound; a truncating replace
+    // does not — fence it while any streaming reader tails the store
+    require(!truncate || liveStreamReaders(target) == 0,
+      s"cannot overwrite store '$target': ${liveStreamReaders(target)} live " +
+        "streaming reader(s) hold positional offsets into it — stop the " +
+        "stream(s) or append instead")
     val s = staged.remove(stagingKey)
     val blocks: Array[Block] =
       if (s == null) Array.empty
@@ -356,7 +555,9 @@ object BlockStore {
       // their absolute meaning
       h.zipWithIndex.map { case (blocks, i) =>
         if (i < cut) {
-          if (blocks != null) { retired += 1; stores.remove(s"$name@@v${i + 1}"): Unit }
+          if (blocks != null) {
+            retired += 1; snapshotAliases.remove(s"$name@@v${i + 1}"): Unit
+          }
           null
         } else blocks
       }
@@ -375,7 +576,7 @@ object BlockStore {
     require(h(version - 1) != null,
       s"store '$name' version $version was vacuumed and is no longer readable")
     val key = s"$name@@v$version"
-    stores.putIfAbsent(key, h(version - 1)): Unit
+    snapshotAliases.putIfAbsent(key, h(version - 1)): Unit
     key
   }
 
@@ -410,11 +611,13 @@ object BlockStore {
   def dropStore(name: String): Unit = {
     stores.remove(name): Unit
     streamEpochs.remove(name): Unit
-    // drop the version history and any materialized snapshot aliases
+    // drop the version history, materialized snapshot aliases, and any
+    // stale live-stream counter (a re-run starts clean)
     history.remove(name): Unit
+    liveStreams.remove(name): Unit
     import scala.jdk.CollectionConverters._
-    stores.keySet.asScala.filter(_.startsWith(s"$name@@v"))
-      .foreach(stores.remove(_): Unit)
+    snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
+      .foreach(snapshotAliases.remove(_): Unit)
   }
 
   private[sources] def discardStaged(name: String): Unit = {
@@ -451,6 +654,12 @@ object BlockStore {
     * store (readers see the old or the new block array, never a mix). */
   private[graft] def deleteWhere(name: String, mayMatch: Block => Boolean,
       rowPred: DocRow => Boolean): Long = {
+    // a copy-on-write rewrite shifts block positions; positional stream
+    // offsets would silently re-number a checkpointed replay — refuse loudly
+    require(liveStreamReaders(name) == 0,
+      s"cannot DELETE from store '$name': ${liveStreamReaders(name)} live " +
+        "streaming reader(s) hold positional offsets into it — stop the " +
+        "stream(s) first")
     var deleted = 0L
     val after = stores.computeIfPresent(name, (_, blocks) => {
       blocks.flatMap { b =>
@@ -475,7 +684,11 @@ object BlockStore {
 
   private[sources] def get(name: String): Array[Block] = {
     val b = stores.get(name)
-    if (b == null) Array.empty else b
+    if (b != null) b
+    else {
+      val a = snapshotAliases.get(name)
+      if (a == null) Array.empty else a
+    }
   }
 
   def blockCount(name: String): Int = get(name).length

@@ -254,7 +254,14 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
       case _ => None
     }
 
-  private def statsExact: Boolean = lo == Long.MinValue && hi == Long.MaxValue
+  /** Stats answer aggregates exactly only for the WHOLE store: no pushed
+    * doc_id bounds and no pushed dictionary filters. Today every filter
+    * stays residual (so Spark refuses aggregate pushdown whenever any
+    * filter exists, spec-covered) — the dict check is the defensive guard
+    * that keeps a future non-residual dict filter from silently serving
+    * unfiltered counts. */
+  private def statsExact: Boolean =
+    lo == Long.MinValue && hi == Long.MaxValue && dict.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     statsExact && (translate(agg).isDefined || translateGrouped(agg).isDefined)
@@ -481,7 +488,14 @@ private[sources] class BlockScan(store: String, required: StructType,
         case _              => true
       }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // PIN the exact block array planning indexed: a DELETE's copy-on-write
+    // rewrite between planning and reader creation shifts positions, and a
+    // reader resolving indices against the mutable array would silently
+    // serve wrong blocks. The pin is immutable (commits swap the array
+    // reference, never mutate it), so [snap, idx] names one block forever.
+    val arr = BlockStore.get(store)
+    val snap = BlockStore.pinSnapshot(arr)
     BlockStore.shardingOf(store) match {
       case Some((n, _)) =>
         // One input partition PER BLOCK, keyed by its shard (the standard
@@ -493,19 +507,20 @@ private[sources] class BlockScan(store: String, required: StructType,
         // not pre-merge them. A shard whose blocks were all pruned still
         // emits one empty partition so both join sides always expose the
         // identical key set.
-        val blocks = BlockStore.get(store).zipWithIndex
+        val blocks = arr.zipWithIndex
         (0 until n).flatMap { s =>
           val mine = blocks.collect {
             case (b, i) if b.shard == s && survives(b) => i
           }
-          if (mine.isEmpty) Seq(ShardBlockPartition(store, s, Array.empty))
-          else mine.map(i => ShardBlockPartition(store, s, Array(i)))
+          if (mine.isEmpty) Seq(ShardBlockPartition(snap, s, Array.empty))
+          else mine.map(i => ShardBlockPartition(snap, s, Array(i)))
         }.toArray[InputPartition]
       case None =>
-        BlockStore.get(store).zipWithIndex.collect {
-          case (b, i) if survives(b) => BlockPartition(store, i): InputPartition
+        arr.zipWithIndex.collect {
+          case (b, i) if survives(b) => BlockPartition(snap, i): InputPartition
         }
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockReaderFactory(required.fieldNames)
@@ -567,14 +582,20 @@ private[sources] class BlockMicroBatchStream(store: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  // fence registration: while this stream is live, DELETE / truncating
+  // overwrite on the store are refused (positional offsets stay sound
+  // because only appends can commit)
+  BlockStore.registerStreamReader(store)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BlockStreamOffset].n
     val e = end.asInstanceOf[BlockStreamOffset].n
     val blocks = BlockStore.get(store)
+    val snap = BlockStore.pinSnapshot(blocks)
     (s until math.min(e, blocks.length)).collect {
       case i if blocks(i).maxId >= lo && blocks(i).minId <= hi &&
           dictSurvives(blocks(i)) =>
-        BlockPartition(store, i): InputPartition
+        BlockPartition(snap, i): InputPartition
     }.toArray
   }
 
@@ -585,19 +606,22 @@ private[sources] class BlockMicroBatchStream(store: String,
     BlockStreamOffset(json.trim.toInt)
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = BlockStore.unregisterStreamReader(store)
 }
 
 private[sources] case class BlockStreamOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
 
-private[sources] case class BlockPartition(store: String, idx: Int)
+/** One block of a PINNED scan snapshot — `snap` names the immutable block
+  * array planning indexed ([[BlockStore.pinSnapshot]]), so a concurrent
+  * DELETE/overwrite can never re-number what the reader resolves. */
+private[sources] case class BlockPartition(snap: Long, idx: Int)
   extends InputPartition
 
 /** One SHARD of a sharded store: all surviving blocks tagged with this
   * shard id, keyed for the planner's partition grouping (SPJ). */
-private[sources] case class ShardBlockPartition(store: String, shard: Int,
+private[sources] case class ShardBlockPartition(snap: Long, shard: Int,
     idxs: Array[Int]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](shard))
@@ -748,11 +772,13 @@ private[sources] object BlockReaderFactory {
 private[sources] class BlockReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
 
-  /** Segments (blocks) of a partition — METADATA only, no counter. */
+  /** Segments (blocks) of a partition — METADATA only, no counter.
+    * Resolution goes through the PINNED snapshot the planner indexed,
+    * never the store's mutable current array. */
   private def blocksOf(p: InputPartition): Array[BlockStore.Block] = p match {
-    case BlockPartition(store, idx) => Array(BlockStore.get(store)(idx))
-    case ShardBlockPartition(store, _, idxs) =>
-      val blocks = BlockStore.get(store); idxs.map(blocks(_))
+    case BlockPartition(snap, idx) => Array(BlockStore.pinned(snap)(idx))
+    case ShardBlockPartition(snap, _, idxs) =>
+      val blocks = BlockStore.pinned(snap); idxs.map(blocks(_))
   }
 
   /** Segments of a partition with the reader-count bookkeeping (the
@@ -779,15 +805,16 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     * batch size. Decided from block METADATA (numRows), no payload read;
     * Spark goes columnar only if every partition agrees. */
   override def supportColumnarReads(p: InputPartition): Boolean = {
-    // decided from the STORE's whole block set, not this partition's:
+    // decided from the SNAPSHOT's whole block set, not this partition's:
     // Spark refuses mixed row/columnar partitions, and a pruned-empty
-    // shard partition must answer exactly like its populated siblings
-    val store = p match {
-      case BlockPartition(st, _) => st
-      case ShardBlockPartition(st, _, _) => st
+    // shard partition must answer exactly like its populated siblings —
+    // all of a scan's partitions share one snapshot, so this is uniform
+    val snap = p match {
+      case BlockPartition(s, _) => s
+      case ShardBlockPartition(s, _, _) => s
       case _ => return false
     }
-    val blocks = BlockStore.blocks(store)
+    val blocks = BlockStore.pinned(snap)
     blocks.nonEmpty &&
       blocks.forall(_.numRows >= BlockReaderFactory.ColumnarMinRows)
   }
@@ -863,11 +890,11 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     // Rows stay grouped in per-block SEGMENTS so the metadata columns
     // (block-constant values) need no per-row storage.
     val segs: Array[BlockStore.Block] = p match {
-      case BlockPartition(store, idx) =>
+      case BlockPartition(snap, idx) =>
         BlockStore.readersOpened.incrementAndGet(): Unit
-        Array(BlockStore.get(store)(idx))
-      case ShardBlockPartition(store, _, idxs) =>
-        val blocks = BlockStore.get(store)
+        Array(BlockStore.pinned(snap)(idx))
+      case ShardBlockPartition(snap, _, idxs) =>
+        val blocks = BlockStore.pinned(snap)
         BlockStore.readersOpened.addAndGet(idxs.length.toLong): Unit
         idxs.map(blocks(_))
     }

@@ -572,4 +572,94 @@ class BlockStoreSpec extends SparkSpec {
     assert(m.length == 3000 && m.forall(r => r.getLong(1) == 1000L && r.getInt(2) == -1))
     BlockStore.dropStore(name)
   }
+
+  test("planned scan pins its snapshot: a DELETE between plan and read cannot re-number blocks") {
+    val name = "pin-spec-store"
+    BlockStore.dropStore(name)
+    Catalog.table(spark, sf, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val n = Catalog.table(spark, sf, "documents").count()
+    val df = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+    // force physical planning: planInputPartitions runs here and pins the
+    // block array the partition indices refer to
+    val rdd = df.queryExecution.toRdd
+    assert(rdd.partitions.nonEmpty)
+    // now a DELETE rewrites the visible array copy-on-write (positions shift)
+    val deleted = BlockStore.deleteWhere(name,
+      _ => true, (r: BlockStore.DocRow) => r._1 % 2 == 0)
+    assert(deleted > 0, "fixture delete must remove rows")
+    // the already-planned scan must still serve the blocks it indexed at
+    // planning time — the pre-delete snapshot, not the rewritten array
+    assert(rdd.count() == n,
+      "planned partitions must resolve against the pinned snapshot")
+    // a FRESH plan sees the post-delete state
+    assert(spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load().count() == n - deleted)
+    BlockStore.dropStore(name)
+  }
+
+  test("live streaming reader fences DELETE and truncating overwrite; stop lifts the fence") {
+    val name = "fence-spec-store"
+    BlockStore.dropStore(name)
+    val docs = Catalog.table(spark, sf, "documents")
+    docs.write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("fence-spec-ckpt").toString
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(BlockStore.liveStreamReaders(name) >= 1,
+        "an active streaming query must register as a live reader")
+      // positional offsets are checkpointed: a rewrite/re-number must refuse
+      val exDel = intercept[Exception] {
+        BlockStore.deleteWhere(name, _ => true,
+          (r: BlockStore.DocRow) => r._1 % 2 == 0)
+      }
+      assert(exDel.getMessage.contains("streaming reader"),
+        s"DELETE refusal must name the live stream: ${exDel.getMessage}")
+      val exTrunc = intercept[Exception] {
+        docs.limit(5).write.format("graft.sources.BlockStoreSource")
+          .option("store", name).mode("overwrite").save()
+      }
+      assert(exTrunc.getMessage.contains("streaming reader") ||
+        Option(exTrunc.getCause).exists(_.getMessage.contains("streaming reader")),
+        s"overwrite refusal must name the live stream: ${exTrunc.getMessage}")
+      // APPEND stays allowed — it only grows the tail, offsets stay sound
+      docs.limit(5).write.format("graft.sources.BlockStoreSource")
+        .option("store", name).mode("append").save()
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(BlockStore.liveStreamReaders(name) == 0,
+      "stopping the query must deregister the live reader")
+    // fence lifted: the same DELETE now succeeds
+    assert(BlockStore.deleteWhere(name, _ => true,
+      (r: BlockStore.DocRow) => r._1 % 2 == 0) > 0)
+    BlockStore.dropStore(name)
+  }
+
+  test("time-travel aliases stay out of storeNames and memory accounting") {
+    val name = "alias-spec-store"
+    BlockStore.dropStore(name)
+    Catalog.table(spark, sf, "documents")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val usedBefore = BlockStore.memoryUsed
+    val namesBefore = BlockStore.storeNames.toSet
+    // materialize a versioned read: the alias shares every Block reference
+    val n = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("versionAsOf", "1").load().count()
+    assert(n > 0)
+    assert(BlockStore.storeNames.forall(!_.contains("@@v")),
+      "snapshot aliases must not surface as catalog tables")
+    assert(BlockStore.storeNames.toSet == namesBefore,
+      "a versioned read must not add visible stores")
+    assert(BlockStore.memoryUsed == usedBefore,
+      "alias blocks are SHARED references — usage must not double-count them")
+    BlockStore.dropStore(name)
+  }
 }
