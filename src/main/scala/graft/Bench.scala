@@ -77,6 +77,7 @@ object Bench {
       sources.BlockStore.ensureLoaded(spark, sfDir): Unit
       operators.Similarity.ensureLandedIndex(spark, sfDir): Unit
       operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit
+      operators.Extended.ensureColumnarStore(spark, sfDir): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] landed-index pre-build failed (serve queries will pay the build): $e")
     }

@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE BLOW-UP HARNESS — the measured answer to "would this still work
+  * at N× the data", for the five bucketed operators whose 100 TB claims
+  * otherwise rest on plan shape alone (dd3 MinHash banding, dd6 feature
+  * blocking, dd15 simhash-bucketed edit distance, mm6 perceptual banding,
+  * sim11 IVF multi-probe). The reference's own pitch was measured, at
+  * 128–512 GB (`/root/reference/README.md:30,49-58`); this is the
+  * equivalent discipline at harness scale.
+  *
+  * CORPUS BLOW-UP (untimed setup): factor-N variants of
+  * documents/embeddings are synthesized as N stacked copies with shifted
+  * ids, each copy's text passed through a copy-specific CHARACTER
+  * BIJECTION (a rotation of a scrambled 26-cycle + 10-cycle). Properties
+  * this buys, all load-bearing:
+  *
+  *   - copy 0 is the identity — the ×1 run is exactly the registered
+  *     query on the original corpus;
+  *   - WITHIN a copy, every similarity structure is preserved exactly
+  *     (Jaccard/MinHash/edit distance are invariant under a character
+  *     bijection; token and char lengths unchanged), so TRUE near-dup
+  *     pairs replicate exactly N×. Found rows track N× within a small
+  *     tolerance rather than exactly: each copy's hash VALUES differ, so
+  *     hash-banded candidate recall (dd3's bands, dd15's simhash, mm6's
+  *     dHash) re-rolls per copy around the same rate — while dd6's
+  *     feature blocking (hash-free) replicates its rows exactly;
+  *   - ACROSS copies, shingle/token/byte content is disjoint (scrambled
+  *     bijections also de-correlate byte ORDER, so dHash signatures are
+  *     independent) — no cross-copy true pairs for the set/edit metrics,
+  *     which is what makes candidate growth attributable to the banding
+  *     math instead of the fixture. The one honest exception is mm6
+  *     ("banded16sat"): a Hamming-THRESHOLD accept over biased 64-bit
+  *     text-byte signatures saturates with density, so its found rows
+  *     grow a genuine quadratic tail (bounded in [[rowsTrack]]).
+  *
+  * What the candidate counts should do — the BANDING MATH the spec bounds:
+  *
+  *   - dd3: band signatures are 4×60-bit minhashes — incidental
+  *     collisions negligible, candidates ≈ N × base (LINEAR);
+  *   - dd15/mm6: 16-bit simhash/dHash bands — candidates = N·true +
+  *     ~C(n,2)/2^16-scaled incidental collisions (quadratic with a tiny
+  *     constant: the fixed-band-width trade, visible in the table);
+  *   - dd6: (lang, length-bucket) FEATURE blocking — block sizes grow
+  *     with the corpus, candidates ≈ N² × base (QUADRATIC — measured
+  *     honestly here; the production fix at 100 TB is content-hash
+  *     banding, i.e. dd3's shape, or a finer blocking key);
+  *   - sim11: probed cells hold a fixed FRACTION of the corpus —
+  *     candidates ≈ N × base (linear), measured through the registered
+  *     arm's own cell-selection plans (ivfMultiRecallFraction).
+  *
+  * Usage: `runMain graft.Scale [baseSfDir] [factors-csv]` (defaults
+  * sf0.1 and 1,8,16,32). Writes scale.json (and the blown-up corpora
+  * under /tmp/graft-scale-<sf>/xN/, reused across runs).
+  */
+object Scale {
+
+  // scrambled cycles (NOT the natural alphabet order: rotations of a
+  // scrambled cycle de-correlate byte order, which Caesar shifts do not —
+  // dHash compares byte magnitudes, so order correlation would create
+  // cross-copy perceptual near-dups). TWO distinct base cycles per class:
+  // a single 26-cycle's rotations have period 26, so at ×32 copy 26 would
+  // repeat copy 0's bijection EXACTLY and every doc would gain a perfect
+  // cross-copy duplicate (measured: a 10× row cliff at ×32 before this
+  // fix); alternating base cycles push the letter-map period to 52.
+  private val LettersA = "qwertyuiopasdfghjklzxcvbnm"
+  private val LettersB = "mzaqxswcdevfrbgtnhyjukilop"
+  private val DigitsA = "7301942865"
+  private val DigitsB = "5826491073"
+
+  /** translate() source/target for copy k: a scrambled cycle rotated by a
+    * NEVER-ZERO-past-k=0 shift — k = 0 is the identity, k = 1..25 rotates
+    * cycle A by k, k = 26..50 rotates cycle B by k−25 (1..25: a zero
+    * shift on ANY cycle is the identity again — the second cause of the
+    * ×32 duplicate-copy cliff). [[ScaleSpec]] pins all 51 letter maps
+    * pairwise distinct AS FUNCTIONS. */
+  private[graft] def copyMapping(k: Int): (String, String) = {
+    require(k <= 50, s"copy fixture supports factors up to 51, got copy $k")
+    def rot(c: String, s: Int): String =
+      c.indices.map(i => c((i + s) % c.length)).mkString
+    val (lc, ls) = if (k < 26) (LettersA, k) else (LettersB, k - 25)
+    val dc = if ((k / 10) % 2 == 0) DigitsA else DigitsB
+    (lc + dc, rot(lc, ls) + rot(dc, k % 10))
+  }
+
+  /** Synthesize (once) the factor-`n` corpus under `outRoot/x$n` and
+    * return that directory. Layout matches the testdata contract
+    * (documents.parquet, embeddings.parquet), so every registered query
+    * runs on it UNCHANGED via its `dir` parameter. */
+  private[graft] def ensureBlowup(spark: SparkSession, baseDir: String,
+      outRoot: String, n: Int): String = {
+    val dir = s"$outRoot/x$n"
+    // marker versioned with the fixture recipe: a recipe change must
+    // regenerate corpora an earlier run cached under /tmp
+    val done = java.nio.file.Paths.get(s"$dir/_READY_v3")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Catalog.table(spark, baseDir, "documents")
+      val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      (0 until n).map { k =>
+        val (src, dst) = copyMapping(k)
+        docs.select((col("doc_id") + lit(k * stride)).as("doc_id"),
+          (if (k == 0) col("text") else translate(col("text"), src, dst))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionAll(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val embT = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val strideE = embT.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      (0 until n).map { k =>
+        // deterministic hash-based jitter (±2.4% per component): copies
+        // stay near their copy-0 original's cell structure without being
+        // bit-identical; k = 0 is the identity
+        val pert =
+          if (k == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            x + (pmod(col("vec_id") * 31 + i * 7 + lit(k * 13), lit(17))
+              .cast("float") - lit(8.0f)) * lit(0.003f))
+        embT.select((col("vec_id") + lit(k * strideE)).as("vec_id"),
+          pert.cast("array<float>").as("embedding"), col("label"))
+      }.reduce(_.unionAll(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      java.nio.file.Files.createFile(done): Unit
+    }
+    dir
+  }
+
+  /** One measured operator: the registered query fn, its candidate-stage
+    * counter, the candidate growth model ("linear" | "quadratic" |
+    * "banded16" = linear true pairs + 1/2^16 incidental term), and the
+    * factor cap (dd6's quadratic candidates get unaffordable past ~16×). */
+  private case class Op(name: String,
+      query: (SparkSession, String) => DataFrame,
+      candidates: (SparkSession, String) => Long,
+      model: String, maxFactor: Int = Int.MaxValue)
+
+  private def ops: Seq[Op] = Seq(
+    Op("dd3_minhash", operators.Dedup.minhashNearDup,
+      (s, d) => operators.Dedup.minhashPieces(s, d)._2.count(), "linear"),
+    Op("dd6_ngram", operators.Dedup.ngramJaccard,
+      (s, d) => operators.Dedup.ngramCandidateFrame(s, d).count(),
+      "quadratic", maxFactor = 16),
+    Op("dd15_edit", operators.Dedup.editDistanceNearDup,
+      (s, d) => operators.Dedup.editCandidateFrame(s, d).count(), "banded16"),
+    Op("mm6_phash", operators.Multimodal.perceptualNearDup,
+      (s, d) => operators.Multimodal.perceptualPieces(s, d)._2.count(),
+      "banded16sat"),
+    Op("sim11_ivf", operators.Similarity.ivfMultiProbeTopK,
+      (s, d) => {
+        val corpus = operators.Similarity.emb(s, d)
+        val n = corpus.count()
+        val (_, frac) = operators.Similarity
+          .ivfMultiRecallFraction(s, corpus, operators.Similarity.NProbe)
+        math.round(frac * 10 * n) // scanned rows = fraction × |probes| × n
+      }, "linear"))
+
+  /** (rows, elapsedSec, gcSec) of one registered-query run through the
+    * bench's own noop-sink protocol. */
+  private def timed(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+      dir: String): (Long, Double, Double) = {
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    val gc0 = gcMillis()
+    val t0 = System.nanoTime()
+    fn(spark, dir).write.mode("overwrite").format("noop").save()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val gcSec = (gcMillis() - gc0) / 1e3
+    val rows = fn(spark, dir).count() // untimed: the deterministic invariant
+    try spark.catalog.clearCache() catch { case _: Throwable => }
+    System.gc()
+    (rows, elapsed, gcSec)
+  }
+
+  /** Do found rows track N× the base? EXACT for hash-free dd6 blocking
+    * and for sim11 (|probes|×k, factor-independent); hash-banded ops
+    * (dd3/dd15/mm6) re-roll their banding recall per copy (each copy's
+    * hash values differ), so they track within ±15% + a small absolute
+    * floor rather than exactly. */
+  private[graft] def rowsTrack(name: String, model: String, factor: Int,
+      base: Long, rows: Long): Boolean = {
+    // 16-bit band spaces re-roll recall harder per copy than dd3's
+    // 4×60-bit bands (bit bias concentrates true pairs in few buckets;
+    // a copy's rehash redistributes them) — measured ±18% at sf0.1 ×8
+    val tol = if (model.startsWith("banded16")) 0.25 else 0.15
+    if (name == "sim11_ivf") rows == base
+    else if (model == "quadratic") rows == base * factor
+    else if (model == "banded16sat")
+      // mm6: a Hamming-THRESHOLD dedup over biased 64-bit signatures
+      // saturates with density — pairs inside the Hamming-6 ball grow a
+      // quadratic tail of GENUINE accepts (the hash is a stub over text
+      // bytes; real luminance dHashes are far more dispersed). Bounded
+      // between ~linear from below and quadratic from above. (dd15 stays
+      // strictly linear: char-scrambled copies provably exceed EditMax.)
+      rows >= base * factor * 3 / 4 &&
+        rows <= base * factor.toLong * factor * 13 / 10 + 50
+    else math.abs(rows - base * factor) <=
+      math.max(math.round(tol * base * factor), 10L)
+  }
+
+  /** Does the candidate count track the op's banding-math model?
+    *   linear    — 60-bit bands / probed-cell fractions: ≈ N × base;
+    *   quadratic — feature blocking: between N× and ~N²× (block sizes
+    *               grow with the corpus — the measured honest answer);
+    *   banded16  — linear true pairs + a 16-bit-band incidental term
+    *               whose constant depends on bit bias, bounded by pure
+    *               quadratic growth. */
+  private[graft] def candTrack(model: String, factor: Int, base: Long,
+      cand: Long): Boolean = {
+    val n = factor.toLong
+    model match {
+      case "linear" => cand <= base * n * 13 / 10 + 50
+      case "quadratic" =>
+        cand >= base * n && cand <= base * n * n * 13 / 10 + 50
+      case _ => cand <= base * n * n * 13 / 10 + 50
+    }
+  }
+
+  /** Per-model runtime bound vs the ×1 measurement (generous slack — the
+    * point is catching a blown-up plan going quadratic when it claimed
+    * linear, not adjudicating host noise; an absolute floor keeps
+    * overhead-dominated sub-second baselines from tripping it). */
+  private[graft] def runtimeBound(model: String, factor: Int,
+      base: Double): Double = {
+    val growth = if (model == "quadratic") factor.toDouble * factor else factor.toDouble
+    base * growth * 2.5 + 15.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 16, 32))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus),
+      "graft-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfName = java.nio.file.Paths.get(baseDir).getFileName.toString
+    val outRoot = s"/tmp/graft-scale-$sfName"
+    // untimed setup: synthesize every factor's corpus, then the bench's
+    // standard JVM/codegen warmups
+    val dirs = factors.map(n => n -> ensureBlowup(spark, baseDir, outRoot, n)).toMap
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      functions.Text.withTokens(
+          Catalog.table(spark, baseDir, "documents").limit(64))
+        .select(explode(col("_toks")).as("tok")).groupBy("tok").count()
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => }
+
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    ops.foreach { op =>
+      var base: Option[(Long, Long, Double)] = None // rows, cand, sec @ ×1
+      factors.filter(_ <= op.maxFactor).foreach { n =>
+        val dir = dirs(n)
+        val (rows, sec, gcSec) = timed(spark, op.query, dir)
+        val cand = op.candidates(spark, dir)
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        if (n == 1) base = Some((rows, cand, sec))
+        val (rowsTrack, candTrack, withinBound) = base match {
+          case Some((r1, c1, s1)) =>
+            (Scale.rowsTrack(op.name, op.model, n, r1, rows),
+              Scale.candTrack(op.model, n, c1, cand),
+              sec <= runtimeBound(op.model, n, s1))
+          case None => (true, true, true)
+        }
+        lines += s"""{"op":"${op.name}","factor":$n,"rows":$rows,""" +
+          s""""candidates":$cand,"sec":$sec,"gc_sec":$gcSec,""" +
+          s""""model":"${op.model}","rows_track_xN":$rowsTrack,""" +
+          s""""cand_track_model":$candTrack,""" +
+          s""""runtime_within_bound":$withinBound}"""
+        System.err.println(s"[scale] ${lines.last}")
+      }
+    }
+    val json = lines.mkString("[", ",\n ", "]")
+    println(json)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".") + "/scale.json").toAbsolutePath
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    System.err.println(s"[scale] wrote $out")
+    spark.stop()
+  }
+}

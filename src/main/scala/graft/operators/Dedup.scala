@@ -81,7 +81,14 @@ object Dedup {
   // cached copies (each is ~5x the corpus text size)
   private var lastShingleCache: Option[DataFrame] = None
 
-  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** dd3's pipeline up to (and including) the BANDED candidate stage:
+    * returns (persisted shingle frame, distinct candidate-pair frame).
+    * Shared by [[minhashNearDup]] and the scale harness ([[graft.Scale]]),
+    * which asserts the candidate count tracks the banding math (~linear:
+    * band signatures are 4×60-bit minhashes — incidental collisions are
+    * negligible, unlike the 16-bit simhash/dHash band spaces). */
+  private[graft] def minhashPieces(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     graft.expr.VectorExpressions.register(spark)
     val tokenized = Text.withTokens(Catalog.table(spark, dir, "documents"))
     // Filter on the CHEAP precondition (≥3 tokens ⟺ ≥1 shingle), not on
@@ -143,7 +150,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (withSh, cand)
+  }
 
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val (withSh, cand) = minhashPieces(spark, dir)
     // Verify: codegen'd two-pointer intersection over the sorted hash
     // arrays + inclusion-exclusion union (|∪| = na + nb - |∩|) — one
     // intersection count per candidate pair, no interpreted set ops. The
@@ -208,7 +219,15 @@ object Dedup {
     * codegen'd. At 100 TB the verify cost is bounded by collision rate,
     * not corpus size; a production variant would band the DP (early-exit
     * above the threshold), an optimization that changes no results. */
-  def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** dd15's candidate stage — SimHash-bucket × length-bucket collisions
+    * with the exact |Δlen| prefilter, texts attached for the DP. Shared
+    * by [[editDistanceNearDup]] and the scale harness: the simhash is
+    * 16-BIT, so beyond the true (linear) pairs the candidate count
+    * carries an incidental-collision term ~C(n,2)/2^16 per length-bucket
+    * — quadratic with a tiny constant, the standard fixed-width-banding
+    * trade the harness measures against dd3's 60-bit bands. */
+  private[graft] def editCandidateFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val withText = simhashOf(spark, dir)
       .join(Catalog.table(spark, dir, "documents")
         .select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -228,10 +247,14 @@ object Dedup {
     val b = withText.select(col("simhash"), col("doc_id").as("doc_b"),
       col("text").as("tb"), col("lt").as("lb"), col("lb0").as("jb"))
     // exact LENGTH prefilter before any DP: edit distance >= |Δlen|
-    val cand = a.join(b, Seq("simhash", "jb"))
+    a.join(b, Seq("simhash", "jb"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= EditMax)
       .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+  }
+
+  def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val cand = editCandidateFrame(spark, dir)
     // The candidate set is BYTE-small but CPU-heavy (each pair costs a
     // ~90k-cell DP), and AQE coalesces the join's output to one partition
     // by SIZE — which would serialize ~65 s of Levenshtein onto one core
@@ -315,9 +338,15 @@ object Dedup {
       df
     }
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** dd6's BLOCKED candidate stage — pairs within a (lang, length-bucket)
+    * block surviving the PPJoin length prune, with both bigram arrays
+    * attached for the verify. Shared by [[ngramJaccard]] and the scale
+    * harness: feature blocking (unlike content-hash banding) grows block
+    * sizes with the corpus, so candidates scale ~QUADRATICALLY in the
+    * blow-up factor — the measured contrast the harness documents. */
+  private[graft] def ngramCandidateFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
-    val NgramThreshold = 0.6
     val base = ngramBase(spark, dir)
     val a = base.select(col("doc_id").as("doc_a"), col("lang"),
       col("len_bucket"), col("bg").as("bg_a"), col("n_bg").as("na"))
@@ -326,13 +355,19 @@ object Dedup {
     // Length filter (PPJoin-style): J = |∩|/|∪| <= min/max, so any pair with
     // 5*min(n) < 3*max(n) cannot reach 0.6 — pruned by an integer compare in
     // the join condition, BEFORE the intersection count runs. Exact: never
-    // removes a qualifying pair. Jaccard via inclusion-exclusion
-    // (|∪| = na + nb - |∩|): one intersection count per candidate.
+    // removes a qualifying pair.
     // (Written explicitly here; graft.plans.JaccardLengthPrune injects the
     // same prune automatically for user queries that omit it.)
-    val nInt = call_function("sorted_intersect_count", col("bg_a"), col("bg_b"))
     a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b") &&
-        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+      col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val NgramThreshold = 0.6
+    // Jaccard via inclusion-exclusion (|∪| = na + nb - |∩|): one
+    // intersection count per candidate.
+    val nInt = call_function("sorted_intersect_count", col("bg_a"), col("bg_b"))
+    ngramCandidateFrame(spark, dir)
       .withColumn("jaccard",
         nInt.cast(DoubleType) / (col("na") + col("nb") - nInt).cast(DoubleType))
       .filter(col("jaccard") >= NgramThreshold)

@@ -842,6 +842,51 @@ object Extended {
         dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("bucket")
 
+  /** Land a PRODUCTION-BLOCK-SIZE store once per (JVM, dir): lineitem
+    * mapped onto the documents schema — 60k rows at sf0.01 land ~3.8k
+    * rows/block across the sink's 16-way clustered layout, far above the
+    * adaptive columnar threshold ([[graft.sources.BlockReaderFactory
+    * .ColumnarMinRows]]) that the ~30-row documents fixtures never reach.
+    * This is what puts the VECTORIZED read path into the benched/verified
+    * registry instead of only a spec. doc_id = orderkey·8 + linenumber
+    * (unique: linenumber ≤ 7); the dictionary columns carry returnflag/
+    * linestatus, so dictionary stats and pruning work unchanged. */
+  private[graft] def ensureColumnarStore(spark: SparkSession, dir: String): String =
+    synchronized {
+      val name = s"colstore:$dir"
+      if (graft.sources.BlockStore.blockCount(name) == 0) {
+        Catalog.table(spark, dir, "lineitem")
+          .select((col("l_orderkey") * 8 + col("l_linenumber"))
+              .cast(LongType).as("doc_id"),
+            concat(lit("item-"), col("l_orderkey"), lit("-"),
+              col("l_linenumber")).as("text"),
+            col("l_returnflag").as("lang"), col("l_linestatus").as("source"),
+            col("l_quantity").cast(LongType).as("n_chars"))
+          .write.format("graft.sources.BlockStoreSource")
+          .option("store", name).mode("overwrite").save()
+      }
+      name
+    }
+
+  /** x44: an aggregate whose scan PLANS COLUMNAR — the connector hands
+    * Spark ColumnarBatches (one per block) and the plan runs the
+    * vectorized ColumnarToRow transition, the execution shape parquet
+    * scans get (spec-asserted on the plan; blocks must be
+    * production-sized, see [[ensureColumnarStore]]). The two-column
+    * grouping with a SUM refuses every stats pushdown (x34/x42 serve only
+    * whole-store or single-column COUNT shapes), so this is a REAL
+    * vectorized scan: three pruned columns decode, `text` never
+    * materializes. */
+  def columnarStoreAgg(spark: SparkSession, dir: String): DataFrame = {
+    val store = ensureColumnarStore(spark, dir)
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", store).load()
+      .groupBy(col("lang"), col("source"))
+      .agg(asLong(count(lit(1))).as("n_items"),
+        asLong(sum(col("n_chars"))).as("sum_qty"))
+      .orderBy("lang", "source")
+  }
+
   private[graft] val ObsQtyFloor = 25
 
   /** x38: OBSERVED METRICS — pipeline audit counters via the Observation
@@ -897,6 +942,7 @@ object Extended {
     "x41_time_travel" -> blockStoreTimeTravel,
     "x42_grouped_pushdown" -> blockStoreGroupedAgg,
     "x43_width_bucket" -> widthBucketHistogram,
+    "x44_columnar_scan" -> columnarStoreAgg,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -944,6 +990,13 @@ object Extended {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the columnar store is lineitem re-keyed onto the documents schema
+    // (x44's ensureColumnarStore mapping, mirrored exactly here)
+    "x44_columnar_scan" ->
+      """SELECT l_returnflag AS lang, l_linestatus AS source,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // two snapshots of one store: pre-delete (full corpus) and current
     "x41_time_travel" ->
       """SELECT '1_before_delete' AS snap, lang,

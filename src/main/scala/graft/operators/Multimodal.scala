@@ -192,16 +192,16 @@ object Multimodal {
     * itself never shuffles); the candidate join is an equi-join on
     * (band, bsig) — 2^16 buckets per band bound the collision rate; the
     * verify join carries only (doc_id, 4 longs). Never all-pairs. */
-  def perceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** mm6's pipeline up to the banded candidate stage: (signature frame,
+    * distinct candidate pairs). Shared by [[perceptualNearDup]] and the
+    * scale harness — the bands are 16-BIT, so the candidate count carries
+    * an incidental term ~4·C(n,2)/2^16 beyond the true (linear) pairs
+    * (the fixed-width banding trade, same model as dd15's simhash). */
+  private[graft] def perceptualPieces(spark: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val base = Catalog.tableSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val copies = base
-      .filter(col("doc_id") % 11 === 7 && length(col("text")) >= DHashPoints)
-      .select((col("doc_id") + CopyIdOffset).as("doc_id"),
-        concat(substring(col("text"), 1, 10), lit("~"),
-          substring(col("text"), 12, Int.MaxValue)).as("text"))
-    val sigs = sigFrame(spark, base.unionAll(copies))
+    val sigs = sigFrame(spark, base.unionAll(perturbedCopies(base)))
     val bands = sigs.select(col("doc_id"), explode(array(
         (0 until DHashBands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bsig"))): _*)).as("bs"))
@@ -211,6 +211,11 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sigs, cand)
+  }
+
+  def perceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cand) = perceptualPieces(spark, dir)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("b0").as("v0"),

@@ -51,7 +51,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     Catalog.tableSpread(spark, dir, "embeddings")
       .select(col("vec_id"), toD(col("embedding")).as("e"), col("label"))

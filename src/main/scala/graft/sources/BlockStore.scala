@@ -426,7 +426,7 @@ object BlockStore {
   /** One length-prefixed binary encoding shared by BOTH demoted tiers —
     * an off-heap buffer and a disk file hold identical bytes, so spilling
     * off-heap → disk is a byte copy, never a re-serialization. */
-  private def encodeRows(rows: Array[DocRow]): Array[Byte] = {
+  private[graft] def encodeRows(rows: Array[DocRow]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(1024)
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(rows.length)
@@ -438,7 +438,7 @@ object BlockStore {
     bos.toByteArray
   }
 
-  private def decodeRows(bytes: Array[Byte]): Array[DocRow] = {
+  private[graft] def decodeRows(bytes: Array[Byte]): Array[DocRow] = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     Array.fill(in.readInt()) {

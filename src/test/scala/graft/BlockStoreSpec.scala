@@ -573,6 +573,30 @@ class BlockStoreSpec extends SparkSpec {
     BlockStore.dropStore(name)
   }
 
+  test("x44 plans COLUMNAR: ColumnarToRow over the connector scan on the registry query") {
+    // sf0.01 is the driver's verify SF: 60k lineitem rows land ~3.8k-row
+    // blocks, so the REGISTRY query itself (not just a synthetic store)
+    // takes the vectorized path there
+    val dir = "/root/testdata/sf0.01"
+    val df = operators.Extended.queries("x44_columnar_scan")(spark, dir)
+    // execute FIRST: the query aggregates (AQE-wrapped), and AQE inserts
+    // the columnar transitions at stage creation — the final plan is the
+    // one that shows them
+    val got = df.collect().map(_.toSeq.toVector)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") && plan.contains("graft-blocks"),
+      s"x44 must plan the vectorized path over the connector scan:\n$plan")
+    // and the scan prunes text: only the three aggregated columns decode
+    assert(plan.contains("cols=lang,source,n_chars"),
+      s"x44 scan must prune to the aggregated columns:\n$plan")
+    val want = Catalog.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("lang"), col("l_linestatus").as("source"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("lang", "source").collect().map(_.toSeq.toVector)
+    assert(got.sameElements(want), "columnar aggregate diverged from parquet")
+  }
+
   test("planned scan pins its snapshot: a DELETE between plan and read cannot re-number blocks") {
     val name = "pin-spec-store"
     BlockStore.dropStore(name)

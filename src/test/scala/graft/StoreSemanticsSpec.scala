@@ -111,6 +111,63 @@ class StoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("vacuum/versionAsOf interleaved with commits/deletes/replays: " +
+    "fenced retired reads, byte-identical survivors (property)") {
+    (0 until 15).foreach { trial =>
+      val name = s"prop-vac-$trial"
+      BlockStore.dropStore(name)
+      var states = Vector.empty[Vector[BlockStore.DocRow]]
+      var model = Vector.empty[BlockStore.DocRow]
+      var epoch = 0L
+      var retiredBelow = 0 // versions 1..retiredBelow are vacuumed
+
+      def readVersion(v: Int): Seq[BlockStore.DocRow] =
+        spark.read.format("graft.sources.BlockStoreSource")
+          .option("store", name).option("versionAsOf", v.toString)
+          .load().collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+
+      def checkVersion(v: Int): Unit =
+        if (v <= retiredBelow) {
+          val ex = intercept[Exception] { readVersion(v) }
+          assert(ex.getMessage.contains("vacuum"),
+            s"trial $trial: retired v$v must fail naming the vacuum, " +
+              s"got: ${ex.getMessage}")
+        } else assert(readVersion(v) == states(v - 1).sortBy(_._1).toSeq,
+          s"trial $trial: surviving v$v not byte-identical to its commit")
+
+      (0 until 3 + rnd.nextInt(6)).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // epoch append, occasionally replayed
+            val rows = mkRows(rnd.nextInt(1000).toLong, 1 + rnd.nextInt(20))
+            stageCommit(name, epoch, Seq(rows))
+            model ++= rows
+            states :+= model
+            if (rnd.nextBoolean()) stageCommit(name, epoch, Seq(rows))
+            epoch += 1
+          case 2 if BlockStore.currentVersion(name) > 0 => // delete commit
+            val m = 2 + rnd.nextInt(4)
+            BlockStore.deleteWhere(name, _ => true, _._1 % m == 0): Unit
+            model = model.filterNot(_._1 % m == 0)
+            states :+= model
+          case 3 if BlockStore.currentVersion(name) > 0 => // vacuum
+            val cur = BlockStore.currentVersion(name)
+            val keep = 1 + rnd.nextInt(cur)
+            BlockStore.vacuum(name, keep): Unit
+            retiredBelow = math.max(retiredBelow, cur - keep)
+          case 4 if BlockStore.currentVersion(name) > 0 => // random read
+            checkVersion(1 + rnd.nextInt(BlockStore.currentVersion(name)))
+          case _ => ()
+        }
+      }
+      // closing sweep: EVERY version is either loudly fenced or
+      // byte-identical to the state its commit produced
+      (1 to BlockStore.currentVersion(name)).foreach(checkVersion)
+      BlockStore.dropStore(name)
+    }
+  }
+
   test("vacuum retires old versions: refs released, reads fenced, tail intact") {
     val name = "vacuum-spec-store"
     BlockStore.dropStore(name)
