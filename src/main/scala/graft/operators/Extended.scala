@@ -868,6 +868,40 @@ object Extended {
       name
     }
 
+  /** x45: OPTIMIZE — bin-packing compaction closing the store's table-
+    * format lifecycle (ingest → delete → OPTIMIZE → read; the ANN index
+    * got its compaction in sim22, the STORE itself had none): eight
+    * fragmented epoch appends land ~100 tiny blocks, a dictionary-pruned
+    * DELETE fragments them further, [[graft.sources.BlockStore.optimize]]
+    * coalesces minId-adjacent small blocks toward 200 rows (large blocks
+    * pass through unrewritten — Delta OPTIMIZE's bin-packing economics,
+    * recorded as a TIME-TRAVELABLE version), and the registered read
+    * aggregates the compacted store. Content is provably unchanged — the
+    * oracle is the same aggregate straight over parquet; the compaction
+    * mechanics (block-count drop, preserved range clustering, pre-
+    * optimize version intact) are spec-asserted. */
+  def blockStoreOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"optstore:$dir"
+    graft.sources.BlockStore.dropStore(name)
+    val docs = Catalog.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val step = maxId / 8 + 1
+    (0 until 8).foreach { k =>
+      docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", name).mode("append").save()
+    }
+    graft.sources.BlockStore.deleteWhere(name,
+      b => b.langs.contains("zh"), _._3 == "zh"): Unit
+    graft.sources.BlockStore.optimize(name, targetRows = 200L): Unit
+    spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .groupBy(col("source"))
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** x44: an aggregate whose scan PLANS COLUMNAR — the connector hands
     * Spark ColumnarBatches (one per block) and the plan runs the
     * vectorized ColumnarToRow transition, the execution shape parquet
@@ -943,6 +977,7 @@ object Extended {
     "x42_grouped_pushdown" -> blockStoreGroupedAgg,
     "x43_width_bucket" -> widthBucketHistogram,
     "x44_columnar_scan" -> columnarStoreAgg,
+    "x45_store_optimize" -> blockStoreOptimize,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -990,6 +1025,13 @@ object Extended {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // fragmented-ingest + DELETE + OPTIMIZE must preserve content exactly:
+    // the oracle is the same aggregate straight over parquet
+    "x45_store_optimize" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang <> 'zh'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // the columnar store is lineitem re-keyed onto the documents schema
     // (x44's ensureColumnarStore mapping, mirrored exactly here)
     "x44_columnar_scan" ->

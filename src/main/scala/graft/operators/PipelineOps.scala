@@ -738,6 +738,38 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- p19: stratified EXACT sampler -------------------------------------
+
+  /** p19: STRATIFIED EXACT SAMPLER — exactly ⌈n_s/5⌉ documents per
+    * source, deterministically. p2's Bernoulli-by-hash split gives each
+    * stratum only an EXPECTED rate (per-stratum counts fluctuate ±√n);
+    * a budgeted training-mix contract ("exactly 20% of every source")
+    * needs the count exact, which takes a per-stratum RANK: order each
+    * stratum by the salted md5 hash (doc_id tiebreak — the engine's
+    * total-order discipline) and keep ranks through the ceiling quota.
+    * Output is the per-doc sample manifest (stratum position included,
+    * so downstream can sub-quota without re-ranking).
+    *
+    * SCALE SHAPE: one window per stratum — the shuffle key is `source`,
+    * per-task work is a sort of one stratum (bounded by the largest
+    * source; a web-scale stratum would swap the full sort for a sampled
+    * hash-cutoff + exact trim of the boundary run, same result). The
+    * quota compare is integer cross-multiplication (5·pos ≤ n_s+4 ⟺
+    * pos ≤ ⌈n_s/5⌉) — no float rates cross engines. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = Text.sharedHash(
+      concat(lit("sample:"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    Catalog.tableSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("pos", asLong(row_number().over(w)))
+      .withColumn("ns", asLong(count(lit(1))
+        .over(Window.partitionBy(col("source")))))
+      .filter(col("pos") * 5 <= col("ns") + 4)
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy("source", "pos")
+  }
+
   // ---- p18: temperature-sampled mixture weights --------------------------
 
   /** p18: TEMPERATURE-sampled source weights — the multilingual/multi-
@@ -772,6 +804,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p18_temperature_mix" -> temperatureMix,
+    "p19_stratified_sample" -> stratifiedSample,
     "p17_snapshot_diff" -> snapshotDiff,
     "p2_hash_split" -> hashSplit,
     "p3_corpus_mix" -> corpusMix,
@@ -849,6 +882,16 @@ object PipelineOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    "p19_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ${Text.sqlHash("concat('sample:', CAST(doc_id AS VARCHAR))")},
+         |      doc_id) AS pos,
+         |  count(*) OVER (PARTITION BY source) AS ns
+         |FROM documents)
+         |SELECT doc_id, source, CAST(pos AS BIGINT) AS pos
+         |FROM r WHERE pos * 5 <= ns + 4
+         |ORDER BY source, pos""".stripMargin,
     "p18_temperature_mix" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |           FROM documents GROUP BY source),

@@ -682,6 +682,55 @@ object BlockStore {
     deleted
   }
 
+  // ---- OPTIMIZE (bin-packing compaction) ---------------------------------
+  //
+  // Fragmented ingest (many small epoch appends) and copy-on-write DELETEs
+  // leave stores with many small blocks — per-block metadata and
+  // per-partition task overhead grow while stats pruning loses resolution.
+  // OPTIMIZE coalesces small neighbors (in minId order, preserving the
+  // range-clustered layout so min/max pruning keeps working) into
+  // ~targetRows blocks; already-large blocks pass through UNTOUCHED (their
+  // payloads are not rewritten — Delta OPTIMIZE's bin-packing economics).
+  // A transactional commit: the result is recorded as a new version, so
+  // time travel to the fragmented layout still works.
+
+  /** Compact `name`'s visible blocks toward `targetRows` rows per block.
+    * Returns (blocks before, blocks after). Refused for sharded stores
+    * (coalescing across shards would break SPJ co-location) and, like
+    * DELETE, while a streaming reader holds positional offsets. */
+  def optimize(name: String, targetRows: Long): (Int, Int) = {
+    require(targetRows > 0, s"optimize needs a positive target, got $targetRows")
+    require(shardingOf(name).isEmpty,
+      s"cannot OPTIMIZE sharded store '$name': coalescing across shards " +
+        "would break the co-registered SPJ layout")
+    require(liveStreamReaders(name) == 0,
+      s"cannot OPTIMIZE store '$name': ${liveStreamReaders(name)} live " +
+        "streaming reader(s) hold positional offsets into it")
+    var result = (0, 0)
+    val after = stores.computeIfPresent(name, (_, blocks) => {
+      val sorted = blocks.sortBy(_.minId)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[DocRow]
+      def flush(): Unit = if (buf.nonEmpty) {
+        out += Block(buf.iterator.map(_._1).min, buf.iterator.map(_._1).max,
+          buf.toArray)
+        buf.clear()
+      }
+      sorted.foreach { b =>
+        if (b.numRows >= targetRows) { flush(); out += b }
+        else {
+          buf ++= b.rows
+          if (buf.length >= targetRows) flush()
+        }
+      }
+      flush()
+      result = (blocks.length, out.length)
+      out.toArray
+    })
+    if (after != null) { recordVersion(name, after); enforceBudget() }
+    result
+  }
+
   private[sources] def get(name: String): Array[Block] = {
     val b = stores.get(name)
     if (b != null) b

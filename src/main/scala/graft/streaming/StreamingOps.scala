@@ -611,6 +611,51 @@ object StreamingOps {
       .orderBy("query_id", "rank")
   }
 
+  private[graft] val QuotaCap = 15L
+
+  /** s27: STREAMING QUOTA ADMISSION — a per-source document cap enforced
+    * AT INGEST with `transformWithState` ValueState: every arriving doc
+    * increments its source's admitted count, docs past [[QuotaCap]] are
+    * dropped, admitted docs carry their admission index. This is dd10's
+    * source-cap contract moved to where production enforces it — the
+    * ingest gate (a crawler's per-domain budget, an API's per-tenant
+    * rate cap): batch dd10 caps a corpus it can already see; the stream
+    * must decide per arrival with only O(|sources|) state, and the cap
+    * holds ACROSS micro-batches (the fixture drains in multiple bounded
+    * batches through the block store's admission control — counts carry
+    * over; per-batch emit, no timers, no watermark).
+    *
+    * Determinism (the oracle contract): the landed store's blocks are
+    * globally range-sorted on doc_id and promoted in partition order, so
+    * micro-batches are consecutive doc_id ranges; within a batch each
+    * key's rows are sorted by doc_id before admission (the s8/s16
+    * in-batch ordering contract). Admission order per source is
+    * therefore global doc_id order — the oracle's ROW_NUMBER. */
+  def streamSourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"quota-src:$dir"
+    if (graft.sources.BlockStore.blockCount(src) == 0)
+      Catalog.table(spark, dir, "documents")
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", src).mode("overwrite").save()
+    val arriving = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", src).option("maxBlocksPerTrigger", "8").load()
+      .select(col("source"), col("doc_id"))
+      .as[(String, Long)]
+    val admitted = arriving.groupByKey(_._1)
+      .transformWithState(new SourceQuotaProcessor(QuotaCap),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("source", "doc_id", "admit_idx")
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try runToTable(spark, admitted, OutputMode.Append())
+      .orderBy("source", "admit_idx")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   private[graft] val SinkCharFloor = 250L
 
   /** s24: STREAMING WRITE into the block store — the connector's last
@@ -872,8 +917,8 @@ object StreamingOps {
   /** Arbitrary stateful processing under a genuinely MULTI-micro-batch
     * replay: s4's running per-user cent totals, but the events table is
     * pre-split into 8 time-ranged files and the file source is throttled to
-    * `maxFilesPerTrigger=1` — so the query executes 8 micro-batches and the
-    * per-group state must survive and accumulate ACROSS batches (the
+    * `maxFilesPerTrigger=2` — so the query executes FOUR micro-batches and
+    * the per-group state must survive and accumulate ACROSS batches (the
     * single-file replays above complete in one batch, which a stateless
     * fold could fake). Final state recovered exactly as in s4; oracle
     * shared with s4 — the result must be replay-granularity-invariant. */
@@ -884,8 +929,11 @@ object StreamingOps {
     // µs timestamp — read with the normalized schema, no second div-1000
     val normSchema = StructType(Catalog.events.map(f =>
       if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+    // 2 files/trigger -> FOUR micro-batches: still genuinely multi-batch
+    // (state must accumulate across batches), without 8 overhead-dominated
+    // job launches (the s23 r11 lesson; result is granularity-invariant)
     val stream = spark.readStream.schema(normSchema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
+      .option("maxFilesPerTrigger", "2").parquet(src)
     val typed = stream
       .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
       .as[(Long, Long)]
@@ -1002,8 +1050,10 @@ object StreamingOps {
         // split files carry the already-normalized µs ts (see multiBatchTotals)
         val normSchema = StructType(Catalog.events.map(f =>
           if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        // 2 files/trigger -> four batches: the latest-batch-wins merge
+        // still sees several partial generations (granularity-invariant)
         val agg = spark.readStream.schema(normSchema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
+          .option("maxFilesPerTrigger", "2").parquet(src)
           .groupBy(col("user_id"))
           .agg(asLong(count(lit(1))).as("n_events"),
             sum(round(col("value") * 100, 0).cast(LongType)).as("total_cents"))
@@ -1062,6 +1112,7 @@ object StreamingOps {
     "s25_stream_ann_ingest" -> streamAnnIngest,
     "s26_stream_phash_serve" -> streamPhashServe,
     "s20_stream_dedup_bootstrap" -> streamDedupBootstrap,
+    "s27_stream_quota" -> streamSourceQuota,
     "s16_closed_sessions_tws" -> closedSessionsTws,
     "s17_latest_k_events" -> latestKEvents,
     "s18_type_tallies_tws" -> typeTalliesTws,
@@ -1205,6 +1256,14 @@ object StreamingOps {
     // (the processor's sorted single-batch replay), so the oracle is the
     // batch formulation: index canon via group-min, stream canon via a
     // per-fingerprint window min over the incoming side
+    "s27_stream_quota" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |    AS admit_idx
+         |FROM documents)
+         |SELECT source, doc_id, CAST(admit_idx AS BIGINT) AS admit_idx
+         |FROM r WHERE admit_idx <= $QuotaCap
+         |ORDER BY source, admit_idx""".stripMargin,
     "s20_stream_dedup_bootstrap" -> {
       val fp = graft.functions.Text.sqlContentFingerprint(
         graft.functions.Text.sqlTokens("text"))
@@ -1378,6 +1437,33 @@ object StreamingOps {
   * owned by the gap timer, and a wall-clock TTL would silently drop open
   * sessions. The TTL facility itself is exercised (and proven to evict) in
   * TransformWithStateSpec's counter processor. */
+/** Per-source admitted-count gate for [[StreamingOps.streamSourceQuota]]
+  * (s27). State = ONE `ValueState[Long]` per source — O(|sources|) total,
+  * independent of stream length; over-quota arrivals are dropped at the
+  * gate (emit-on-arrival, no timers). In-batch rows sort by doc_id before
+  * admission — the determinism contract the oracle's ROW_NUMBER mirrors. */
+private class SourceQuotaProcessor(cap: Long)
+    extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var admittedCount: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    admittedCount = getHandle.getValueState[Long]("n", E.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[(String, Long)],
+      tv: TimerValues): Iterator[(String, Long, Long)] = {
+    var n = if (admittedCount.exists) admittedCount.get else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    rows.toSeq.sortBy(_._2).foreach { r =>
+      if (n < cap) { n += 1; out += ((source, r._2, n)) }
+    }
+    admittedCount.update(n)
+    out.iterator
+  }
+}
+
 private class ClosedSessionProcessor(gapUs: Long)
     extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long, String)] {
   import org.apache.spark.sql.{Encoders => E}

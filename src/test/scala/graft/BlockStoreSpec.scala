@@ -666,6 +666,51 @@ class BlockStoreSpec extends SparkSpec {
     BlockStore.dropStore(name)
   }
 
+  test("OPTIMIZE bin-packs small blocks: fewer blocks, clustering kept, history intact") {
+    val name = "optimize-spec-store"
+    BlockStore.dropStore(name)
+    val docs = Catalog.table(spark, sf, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = maxId / 8 + 1
+    (0 until 8).foreach { k =>
+      docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", name).mode("append").save()
+    }
+    val fragmented = BlockStore.blockCount(name)
+    assert(fragmented >= 32, s"fixture must fragment (got $fragmented blocks)")
+    val versionBefore = BlockStore.currentVersion(name)
+    val n = docs.count()
+    val bigRows = 100L
+    val (before, after) = BlockStore.optimize(name, targetRows = bigRows)
+    assert(before == fragmented && after < before / 2,
+      s"optimize must coalesce substantially ($before -> $after)")
+    val blocks = BlockStore.blocks(name)
+    // content identical, range clustering preserved: blocks sorted by
+    // minId have non-overlapping [min,max] ranges and bound their rows
+    assert(blocks.map(_.numRows).sum == n, "optimize changed the row count")
+    val sorted = blocks.sortBy(_.minId)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxId < b.minId,
+        "optimized blocks must keep disjoint key ranges (pruning relies on it)")
+      case _ => ()
+    }
+    sorted.foreach(b => assert(b.rows.forall(r => r._1 >= b.minId && r._1 <= b.maxId)))
+    // all-but-last packed to at least the target (bin-packing, not churn)
+    assert(sorted.init.forall(_.numRows >= bigRows),
+      "packed blocks must reach the target size")
+    // a NEW version was recorded; the fragmented layout is still readable
+    assert(BlockStore.currentVersion(name) == versionBefore + 1)
+    val pre = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).option("versionAsOf", versionBefore.toString)
+      .load().count()
+    assert(pre == n, "pre-optimize version must stay time-travelable")
+    // sharded stores refuse (SPJ co-location) and a live stream fences
+    val (cur, _) = BlockStore.ensureShardedSnapshots(spark, sf)
+    intercept[IllegalArgumentException] { BlockStore.optimize(cur, 100L) }
+    BlockStore.dropStore(name)
+  }
+
   test("time-travel aliases stay out of storeNames and memory accounting") {
     val name = "alias-spec-store"
     BlockStore.dropStore(name)
