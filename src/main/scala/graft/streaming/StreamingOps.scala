@@ -722,15 +722,19 @@ object StreamingOps {
     val idx = s"annidx5@$dir"
     val meta = s"annmeta5@$dir"
     val feed = s"annfeed@$dir"
-    // fresh lifecycle per run: the stream restarts at epoch 0 with a new
-    // checkpoint, so the stores and their epoch watermarks reset together
-    Seq(idx, meta, feed).foreach(graft.sources.BlockStore.dropStore)
+    // fresh INDEX lifecycle per run: the stream restarts at epoch 0 with a
+    // new checkpoint, so the index/meta stores and their epoch watermarks
+    // reset together. The FEED is a pure fixture (the arrival source, not
+    // a stream product) — landed once per JVM; each run's fresh checkpoint
+    // re-reads it from offset 0 regardless.
+    Seq(idx, meta).foreach(graft.sources.BlockStore.dropStore)
     graft.operators.Similarity.streamIngestInit(spark, dir, idx, meta)
-    graft.operators.Similarity.ingestFeedIds(spark, dir)
-      .select(col("vec_id").as("doc_id"), lit("").as("text"),
-        lit("feed").as("lang"), lit("feed").as("source"), lit(0L).as("n_chars"))
-      .write.format("graft.sources.BlockStoreSource")
-      .option("store", feed).mode("overwrite").save()
+    if (graft.sources.BlockStore.blockCount(feed) == 0)
+      graft.operators.Similarity.ingestFeedIds(spark, dir)
+        .select(col("vec_id").as("doc_id"), lit("").as("text"),
+          lit("feed").as("lang"), lit("feed").as("source"), lit(0L).as("n_chars"))
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", feed).mode("overwrite").save()
     val base = java.nio.file.Files.createTempDirectory("graft-s25")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
