@@ -80,6 +80,97 @@ object Similarity {
     topk(pairs, TopK)
   }
 
+  // ---- sim23: MMR diversified top-k --------------------------------------
+
+  private[graft] val MmrC = 8   // candidate pool per probe (relevance top-C)
+  private[graft] val MmrK = 4   // diversified results per probe
+
+  /** sim23: MAXIMAL-MARGINAL-RELEVANCE re-rank — the retrieval × dedup
+    * composition RAG serving actually needs: a plain top-k returns
+    * near-duplicate passages (the corpus HAS near-dups — dd5 finds them),
+    * MMR greedily picks k of the top-C candidates maximizing
+    * `0.5·rel − 0.5·max_sim_to_already_selected` so each pick adds new
+    * information. Selection arithmetic is pure IEEE ops on the SAME
+    * ordered-fold cosines both engines compute bit-identically (the
+    * sim1/dd5 discipline), with vec_id tie-breaks, so the greedy argmax
+    * agrees step by step; the oracle replays it as a recursive CTE.
+    *
+    * SCALE SHAPE: candidate generation is any ANN arm (here the sim1
+    * bounded-probe exact pass — swap in the landed index's serve at
+    * scale); the re-rank itself touches |probes|·C candidates and
+    * |probes|·C²/2 pairwise sims — both BOUNDED by the probe budget, so
+    * the greedy loop is driver-side by design (the sim9 bounded-scoring
+    * pattern), never a corpus-sized collect. */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val probes = all.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    val pairs = all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = pairs
+      .withColumn("rel", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrC)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("rel"),
+        col("e"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pairwise candidate sims IN-ENGINE via the same codegen'd ordered
+      // fold (bounded: |probes| × C(C,2) rows)
+      val a = cand.select(col("query_id"), col("cand_id").as("a"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val b = cand.select(col("query_id"), col("cand_id").as("b"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      val sims = a.join(b, Seq("query_id")).filter(col("a") < col("b"))
+        .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .select(col("query_id"), col("a"), col("b"), col("sim"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      val rels = cand.select(col("query_id"), col("cand_id"), col("rel"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      def simOf(q: Long, x: Long, y: Long): Double =
+        if (x < y) sims((q, x, y)) else sims((q, y, x))
+      val out = rels.toSeq.sortBy(_._1).flatMap { case (q, cs) =>
+        val pool = scala.collection.mutable.Map(
+          cs.map(c => c._2 -> c._3).toSeq: _*)
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to MmrK).map { step =>
+          // greedy argmax of 0.5·rel − 0.5·max sim-to-chosen, vec_id ties
+          val (bestId, bestScore) = pool.keys.toSeq.sorted.map { c =>
+            val maxSim =
+              if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(s => simOf(q, c, s)).max
+            val score =
+              if (chosen.isEmpty) pool(c)
+              else 0.5 * pool(c) - 0.5 * maxSim
+            (c, score)
+          }.maxBy { case (c, sc) => (sc, -c) }
+          pool.remove(bestId): Unit
+          chosen += bestId
+          // HALF_UP to 6dp — the same rounding Spark's round() and
+          // DuckDB's round() apply (rint would tie-break half-to-even)
+          org.apache.spark.sql.Row(q, step.toLong, bestId,
+            java.math.BigDecimal.valueOf(bestScore)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("cand_id", LongType, nullable = false),
+        StructField("mmr_score", DoubleType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.toIndexedSeq: _*), schema)
+        .orderBy("query_id", "rank")
+    } finally cand.unpersist(): Unit
+  }
+
   /** ANN scale path: search only the probe's cell (label = IVF cell id). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
@@ -1589,6 +1680,7 @@ object Similarity {
     "sim6_kmeans_assign" -> kmeansAssign,
     "sim5_int8_topk" -> int8TopK,
     "sim1_cosine_topk" -> cosineTopK,
+    "sim23_mmr_topk" -> mmrTopK,
     "sim2_ivf_topk" -> ivfTopK,
     "sim3_lsh_topk" -> lshTopK,
     "sim4_lsh_rewrite" -> lshRewriteTopK,
@@ -1611,6 +1703,60 @@ object Similarity {
   // doubles, same rank tie-break, same rounding.
   private val DotAB =
     "list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * be[i]))"
+
+  /** sim23 mirror: the greedy MMR selection replayed as a RECURSIVE CTE —
+    * each recursion step joins the one selected-so-far row per probe
+    * against its remaining candidates, scores them with the same
+    * `0.5·rel − 0.5·max sim-to-chosen` on the same ordered-fold cosines,
+    * and takes ROW_NUMBER()=1 (score DESC, cand_id) — the argmax the
+    * driver-side loop computes. `lazy` — references ProbeCount/MmrC/MmrK
+    * (the Scala-object init-order rule). */
+  private lazy val MmrOracle: String =
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
+       |n AS (SELECT vec_id, ae,
+       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+       |      FROM v),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm FROM nz WHERE vec_id < $ProbeCount),
+       |pr AS (SELECT p.query_id, n.vec_id,
+       |         list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i]))
+       |           / (p.qnrm * n.nrm) AS rel
+       |       FROM nz n JOIN p ON n.vec_id <> p.query_id),
+       |cand AS (SELECT query_id, vec_id AS cand_id, rel FROM (
+       |    SELECT query_id, vec_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+       |    FROM pr) WHERE rk <= $MmrC),
+       |ce AS (SELECT c.query_id, c.cand_id, z.ae, z.nrm
+       |       FROM cand c JOIN nz z ON z.vec_id = c.cand_id),
+       |psim AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |           list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
+       |             / (a.nrm * b.nrm) AS sim
+       |         FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.cand_id < b.cand_id),
+       |sel AS (
+       |  SELECT query_id, CAST(1 AS BIGINT) AS rank, cand_id, rel AS score, [cand_id] AS chosen
+       |  FROM (SELECT query_id, cand_id, rel,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rr
+       |        FROM cand) WHERE rr = 1
+       |  UNION ALL
+       |  SELECT query_id, rank, cand_id, score, list_append(chosen, cand_id)
+       |  FROM (
+       |    SELECT ss.*, ROW_NUMBER() OVER (PARTITION BY query_id, rank
+       |                                    ORDER BY score DESC, cand_id) AS rr
+       |    FROM (
+       |      SELECT s.query_id, s.rank + 1 AS rank, c.cand_id,
+       |        0.5 * c.rel - 0.5 * (SELECT max(p2.sim) FROM psim p2
+       |          WHERE p2.query_id = s.query_id
+       |            AND ((p2.ca = c.cand_id AND list_contains(s.chosen, p2.cb))
+       |              OR (p2.cb = c.cand_id AND list_contains(s.chosen, p2.ca)))) AS score,
+       |        s.chosen
+       |      FROM sel s JOIN cand c
+       |        ON c.query_id = s.query_id AND NOT list_contains(s.chosen, c.cand_id)
+       |      WHERE s.rank < $MmrK) ss
+       |  ) WHERE rr = 1
+       |)
+       |SELECT query_id, rank, cand_id, round(score, 6) AS mmr_score
+       |FROM sel ORDER BY query_id, rank""".stripMargin
 
   private def oracleSql(k: Int, joinCond: String): String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae, label
@@ -2115,6 +2261,7 @@ object Similarity {
          |       CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
          |FROM best WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "sim1_cosine_topk" -> oracleSql(TopK, ""),
+    "sim23_mmr_topk" -> MmrOracle,
     "sim2_ivf_topk" -> oracleSql(IvfTopK, "n.label = p.qlabel AND "),
     "sim9_recall_at_k" -> RecallOracle,
     "sim10_pq_topk" -> PqOracle,

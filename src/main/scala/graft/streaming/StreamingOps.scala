@@ -1446,7 +1446,7 @@ object StreamingOps {
   * independent of stream length; over-quota arrivals are dropped at the
   * gate (emit-on-arrival, no timers). In-batch rows sort by doc_id before
   * admission — the determinism contract the oracle's ROW_NUMBER mirrors. */
-private class SourceQuotaProcessor(cap: Long)
+private[graft] class SourceQuotaProcessor(cap: Long)
     extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
   import org.apache.spark.sql.{Encoders => E}
 

@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim11_ivf_multiprobe" -> ("10 probes × k=3", 10L * 3),
     "sim13_ivf_pq" -> ("10 probes × k=3", 10L * 3),
     "sim14_recall_bar" -> ("10 probes", 10L),
+    "sim23_mmr_topk" -> ("10 probes × k=4 diversified picks", 10L * 4),
     "t13_bpe_pairs" ->
       ("top BpeTopPairs pairs", operators.TextAnalysis.BpeTopPairs.toLong),
     "t14_heavy_hitters" ->

@@ -95,4 +95,78 @@ class StreamingRecoverySpec extends SparkSpec {
       rm(base.toFile)
     }
   }
+
+  test("s27's transformWithState quota counts survive a checkpointed restart") {
+    // The admission gate's production contract: a redeployed ingest gate
+    // must CONTINUE each source's admitted count from the checkpoint — a
+    // fresh-state restart would re-admit up to cap again and the union
+    // would overshoot every source's quota. Generation 1 (lower doc_id
+    // half) drains in run 1; the store then grows; run 2 on the SAME
+    // checkpoint drains only the new blocks with restored ValueState. The
+    // combined sink must equal the batch ROW_NUMBER quota over the FULL
+    // corpus — impossible unless both offset and state recovery held.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-quota-recovery")
+    val store = "quota-recovery-store"
+    graft.sources.BlockStore.dropStore(store)
+    val prev = spark.conf.getOption(streaming.StreamingOps.ProviderKnob)
+    spark.conf.set(streaming.StreamingOps.ProviderKnob,
+      streaming.StreamingOps.RocksDbProvider)
+    try {
+      val docs = Catalog.table(spark, sf, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      def land(df: DataFrame): Unit =
+        df.write.format("graft.sources.BlockStoreSource")
+          .option("store", store).mode("append").save()
+
+      def runOnce(): Unit = {
+        val admitted = spark.readStream
+          .format("graft.sources.BlockStoreSource")
+          .option("store", store).option("maxBlocksPerTrigger", "8").load()
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new streaming.SourceQuotaProcessor(streaming.StreamingOps.QuotaCap),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("source", "doc_id", "admit_idx")
+        val q = admitted.writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", s"$base/data")
+          .option("checkpointLocation", s"$base/chk")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+
+      land(docs.filter(col("doc_id") <= mid))
+      runOnce() // run 1: generation 1 admitted, state checkpointed
+      land(docs.filter(col("doc_id") > mid))
+      runOnce() // run 2: NEW query, SAME checkpoint — counts must resume
+
+      val got = spark.read.parquet(s"$base/data")
+        .select(col("source"), col("doc_id"), col("admit_idx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._3)).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val want = docs
+        .withColumn("admit_idx", row_number().over(w).cast(LongType))
+        .filter(col("admit_idx") <= streaming.StreamingOps.QuotaCap)
+        .select(col("source"), col("doc_id"), col("admit_idx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._3)).toSeq
+      assert(got == want,
+        "restarted quota must continue counts — union equals the batch quota")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(streaming.StreamingOps.ProviderKnob, v)
+        case None => spark.conf.unset(streaming.StreamingOps.ProviderKnob)
+      }
+      graft.sources.BlockStore.dropStore(store)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
 }
