@@ -148,6 +148,19 @@ object Scale {
     Op("mm6_phash", operators.Multimodal.perceptualNearDup,
       (s, d) => operators.Multimodal.perceptualPieces(s, d)._2.count(),
       "banded16sat"),
+    Op("dd13_bloom_decontam", operators.Dedup.decontaminateBloom,
+      (s, d) => {
+        // candidate volume = shared (train-shingle, test-shingle) join
+        // rows after the bloom prune — Σ n_shared over flagged docs.
+        // Within-copy contamination replicates per copy (the split
+        // re-rolls per copy around the same rate: splitHash keys on the
+        // shifted doc_id); cross-copy shingle hashes are disjoint ⇒
+        // ≈ linear.
+        val (flagged, sh) = operators.Dedup.decontaminateBloomPlan(s, d)
+        try Option(flagged.agg(sum(col("n_shared"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        finally sh.unpersist(): Unit
+      }, "linearRR"),
     Op("sim11_ivf", operators.Similarity.ivfMultiProbeTopK,
       (s, d) => {
         val corpus = operators.Similarity.emb(s, d)
@@ -190,6 +203,15 @@ object Scale {
     val tol = if (model.startsWith("banded16")) 0.25 else 0.15
     if (name == "sim11_ivf") rows == base
     else if (model == "quadratic") rows == base * factor
+    else if (model == "linearRR")
+      // dd13: the train/test split RE-ROLLS per copy (the salted split
+      // hash keys on the shifted doc_id), so each copy draws a fresh
+      // partition around the same contamination rate — linear in
+      // EXPECTATION with per-draw variance against the ×1 single draw.
+      // The band is wide enough for small-count bases and still far
+      // below quadratic growth (a quadratic op would sit at N× the
+      // upper bound by ×8).
+      rows >= base * factor / 3 - 10 && rows <= base * factor * 3 + 10
     else if (model == "banded16sat")
       // mm6: a Hamming-THRESHOLD dedup over biased 64-bit signatures
       // saturates with density — pairs inside the Hamming-6 ball grow a
@@ -215,6 +237,8 @@ object Scale {
     val n = factor.toLong
     model match {
       case "linear" => cand <= base * n * 13 / 10 + 50
+      case "linearRR" =>
+        cand >= base * n / 3 - 50 && cand <= base * n * 3 + 50
       case "quadratic" =>
         cand >= base * n && cand <= base * n * n * 13 / 10 + 50
       case _ => cand <= base * n * n * 13 / 10 + 50

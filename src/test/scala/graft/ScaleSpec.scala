@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
+
 /** Growth-ratio bounds for the scale blow-up harness ([[Scale]]): at ×8
   * the five bucketed operators' found rows and candidate-pair counts must
   * track their declared banding-math models (see Scale's scaladoc —
@@ -63,6 +65,14 @@ class ScaleSpec extends SparkSpec {
     check("dd15_edit", "banded16",
       d => operators.Dedup.editDistanceNearDup(spark, d).count(),
       d => operators.Dedup.editCandidateFrame(spark, d).count())
+    check("dd13_bloom_decontam", "linearRR",
+      d => operators.Dedup.decontaminateBloom(spark, d).count(),
+      d => {
+        val (flagged, sh) = operators.Dedup.decontaminateBloomPlan(spark, d)
+        try Option(flagged.agg(sum(col("n_shared"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        finally sh.unpersist(): Unit
+      })
     check("mm6_phash", "banded16sat",
       d => operators.Multimodal.perceptualNearDup(spark, d).count(),
       d => operators.Multimodal.perceptualPieces(spark, d)._2.count())
