@@ -179,15 +179,24 @@ object Scale {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     }
-    val gc0 = gcMillis()
-    val t0 = System.nanoTime()
-    fn(spark, dir).write.mode("overwrite").format("noop").save()
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val gcSec = (gcMillis() - gc0) / 1e3
-    val rows = fn(spark, dir).count() // untimed: the deterministic invariant
-    try spark.catalog.clearCache() catch { case _: Throwable => }
-    System.gc()
-    (rows, elapsed, gcSec)
+    // ONE execution: the timed noop save materializes through a persist,
+    // and the (untimed-in-spirit) row count reads the cache — re-running
+    // fn() would double the most expensive harness cells (x32 banded DP)
+    val res = fn(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      res.write.mode("overwrite").format("noop").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      val rows = res.count()
+      (rows, elapsed, gcSec)
+    } finally {
+      try res.unpersist(blocking = false) catch { case _: Throwable => }
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      System.gc()
+    }
   }
 
   /** Do found rows track N× the base? EXACT for hash-free dd6 blocking
@@ -259,6 +268,10 @@ object Scale {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 16, 32))
+    // every growth check is relative to the ×1 base — without it the
+    // artifact would print all-green flags that no check actually ran
+    require(factors.headOption.contains(1) && factors == factors.sorted,
+      s"factors must start at 1 and ascend (got ${factors.mkString(",")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]")

@@ -172,6 +172,7 @@ object BlockStore {
           val buf = java.nio.ByteBuffer.allocateDirect(bytes.length)
           buf.put(bytes)
           offHeapBuf = buf
+          offHeapBlockCount.incrementAndGet(): Unit
         } else if (file == null) file = writeBlockFile(m)
         mem = null
       }
@@ -191,6 +192,7 @@ object BlockStore {
           file = writeBlockBytes(bytes)
         }
         offHeapBuf = null
+        offHeapBlockCount.decrementAndGet(): Unit
       }
     }
   }
@@ -224,15 +226,22 @@ object BlockStore {
   // above any concurrent-scan count); an expired pin fails LOUDLY rather
   // than falling back to the mutable array.
 
-  private val pinnedSnaps = new ConcurrentHashMap[Long, Array[Block]]()
+  // pins are tagged with their store so dropStore can release them: a
+  // dropped store's payloads must not stay strongly reachable through
+  // stale plans (the one unaccounted-retention path; pins of REWRITTEN
+  // blocks deliberately survive — in-flight scans finish on the snapshot
+  // they planned, and the LRU cap bounds the residue)
+  private val pinnedSnaps =
+    new ConcurrentHashMap[Long, (String, Array[Block])]()
   private val pinSeq = new AtomicLong(0)
   private val pinOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
   private val MaxPinnedSnaps = 256
 
-  private[sources] def pinSnapshot(blocks: Array[Block]): Long = {
+  private[sources] def pinSnapshot(store: String,
+      blocks: Array[Block]): Long = {
     val id = pinSeq.incrementAndGet()
-    pinnedSnaps.put(id, blocks): Unit
+    pinnedSnaps.put(id, (store, blocks)): Unit
     pinOrder.add(java.lang.Long.valueOf(id)): Unit
     while (pinnedSnaps.size > MaxPinnedSnaps) {
       val old = pinOrder.poll()
@@ -243,9 +252,9 @@ object BlockStore {
 
   private[sources] def pinned(id: Long): Array[Block] = {
     val a = pinnedSnaps.get(id)
-    require(a != null, s"scan snapshot $id expired (more than " +
-      s"$MaxPinnedSnaps scans planned since) — re-plan the query")
-    a
+    require(a != null, s"scan snapshot $id expired (store dropped, or " +
+      s"more than $MaxPinnedSnaps scans planned since) — re-plan the query")
+    a._2
   }
 
   // ---- live streaming readers (the DELETE/TRUNCATE fence) ----------------
@@ -256,6 +265,24 @@ object BlockStore {
   // any streaming reader is live on the store: loud refusal, never a
   // silently re-numbered replay. (Batch scans need no fence — they pin
   // their snapshot above.)
+
+  // A live-reader fence alone cannot protect a STOPPED stream whose
+  // checkpoint persists: a DELETE/OPTIMIZE between stop and restart would
+  // silently re-number the positional replay. Every layout REWRITE
+  // therefore bumps the store's generation; stream offsets embed the
+  // generation they were minted under, and a restart over a bumped store
+  // fails loudly instead of serving re-numbered blocks. Appends never
+  // bump (positions are stable under append).
+  private val layoutGens = new ConcurrentHashMap[String, AtomicLong]()
+
+  private def bumpLayoutGen(name: String): Unit =
+    layoutGens.computeIfAbsent(name, _ => new AtomicLong(0))
+      .incrementAndGet(): Unit
+
+  def layoutGeneration(name: String): Long = {
+    val g = layoutGens.get(name)
+    if (g == null) 0L else g.get()
+  }
 
   private val liveStreams =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
@@ -334,6 +361,11 @@ object BlockStore {
   def offHeapUsed: Long = distinctBlocks(_.isOffHeap).iterator
     .map(_.offHeapHeld).sum
 
+  /** Blocks currently holding an off-heap buffer — the cheap existence
+    * check that lets [[enforceBudget]] skip its stage-2 full scan when
+    * the tier is idle (the default: budget 0, nothing off-heap). */
+  private val offHeapBlockCount = new AtomicLong(0)
+
   /** Off-heap-tier reads served (the three-tier spec's metric). */
   val offHeapReads = new AtomicLong(0)
   /** Off-heap buffers spilled to the disk tier over the JVM's lifetime. */
@@ -355,7 +387,8 @@ object BlockStore {
     import scala.jdk.CollectionConverters._
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Block, java.lang.Boolean]())
-    (stores.values().asScala.iterator ++ snapshotAliases.values().asScala.iterator)
+    (stores.values().asScala.iterator ++
+        snapshotAliases.values().asScala.iterator)
       .flatMap(_.iterator)
       .filter(b => p(b) && seen.add(b))
       .toArray
@@ -391,7 +424,11 @@ object BlockStore {
         i += 1
       }
     }
-    // stage 2: the off-heap tier over ITS budget spills LRU to disk
+    // stage 2: the off-heap tier over ITS budget spills LRU to disk —
+    // skipped entirely while the tier is idle (the cheap-path guard: a
+    // full identity-dedup scan per put would tax every loader for a
+    // tier that holds nothing)
+    if (offHeapBlockCount.get == 0 && offHeapBudget == 0) return
     var ohUsed = offHeapUsed
     if (ohUsed > offHeapBudget) {
       val lru = distinctBlocks(_.isOffHeap).sortBy(_.lastAccess)
@@ -504,6 +541,7 @@ object BlockStore {
       s"cannot overwrite store '$target': ${liveStreamReaders(target)} live " +
         "streaming reader(s) hold positional offsets into it — stop the " +
         "stream(s) or append instead")
+    if (truncate) bumpLayoutGen(target)
     val s = staged.remove(stagingKey)
     val blocks: Array[Block] =
       if (s == null) Array.empty
@@ -615,6 +653,13 @@ object BlockStore {
     // stale live-stream counter (a re-run starts clean)
     history.remove(name): Unit
     liveStreams.remove(name): Unit
+    layoutGens.remove(name): Unit
+    // release this store's planning pins — a dropped store's payloads
+    // must not stay reachable through stale plans (reads fail loudly)
+    import scala.jdk.CollectionConverters._
+    pinnedSnaps.entrySet().asScala
+      .filter(_.getValue._1 == name).map(_.getKey).toSeq
+      .foreach(pinnedSnaps.remove(_): Unit)
     import scala.jdk.CollectionConverters._
     snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
       .foreach(snapshotAliases.remove(_): Unit)
@@ -660,6 +705,7 @@ object BlockStore {
       s"cannot DELETE from store '$name': ${liveStreamReaders(name)} live " +
         "streaming reader(s) hold positional offsets into it — stop the " +
         "stream(s) first")
+    bumpLayoutGen(name)
     var deleted = 0L
     val after = stores.computeIfPresent(name, (_, blocks) => {
       blocks.flatMap { b =>
@@ -706,6 +752,7 @@ object BlockStore {
     require(liveStreamReaders(name) == 0,
       s"cannot OPTIMIZE store '$name': ${liveStreamReaders(name)} live " +
         "streaming reader(s) hold positional offsets into it")
+    bumpLayoutGen(name)
     var result = (0, 0)
     val after = stores.computeIfPresent(name, (_, blocks) => {
       val sorted = blocks.sortBy(_.minId)

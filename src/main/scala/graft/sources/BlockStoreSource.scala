@@ -495,7 +495,7 @@ private[sources] class BlockScan(store: String, required: StructType,
     // serve wrong blocks. The pin is immutable (commits swap the array
     // reference, never mutate it), so [snap, idx] names one block forever.
     val arr = BlockStore.get(store)
-    val snap = BlockStore.pinSnapshot(arr)
+    val snap = BlockStore.pinSnapshot(store, arr)
     BlockStore.shardingOf(store) match {
       case Some((n, _)) =>
         // One input partition PER BLOCK, keyed by its shard (the standard
@@ -559,6 +559,21 @@ private[sources] class BlockMicroBatchStream(store: String,
 
   private def visibleNow: Int = BlockStore.blockCount(store)
 
+  // positional offsets are sound only for ONE layout generation: appends
+  // grow the tail, but a DELETE/OPTIMIZE/truncate rewrite re-numbers
+  // positions — and the live-reader fence cannot protect a STOPPED
+  // stream's persisted checkpoint. Offsets therefore embed the layout
+  // generation they were minted under; a replay over a bumped store
+  // fails loudly instead of silently serving re-numbered blocks.
+  private def gen: Long = BlockStore.layoutGeneration(store)
+
+  private def checkGen(o: BlockStreamOffset): Unit =
+    require(o.gen == gen,
+      s"store '$store' layout generation ${gen} != offset generation " +
+        s"${o.gen}: the store was rewritten (DELETE/OPTIMIZE/overwrite) " +
+        "since this checkpoint — positional offsets cannot replay it; " +
+        "restart from a fresh checkpoint")
+
   // pinned by prepareForTriggerAvailableNow; -1 = live (unbounded) tailing
   @volatile private var availableTarget: Int = -1
   private def target: Int =
@@ -567,17 +582,18 @@ private[sources] class BlockMicroBatchStream(store: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = visibleNow
 
-  override def initialOffset(): Offset = BlockStreamOffset(0)
+  override def initialOffset(): Offset = BlockStreamOffset(0, gen)
 
   override def latestOffset(): Offset =
     // the admission-control overload below is what the engine calls; this
     // plain form answers the unthrottled tail for completeness
-    BlockStreamOffset(target)
+    BlockStreamOffset(target, gen)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[BlockStreamOffset].n
-    BlockStreamOffset(math.min(target, math.min(s.toLong + maxPerTrigger,
-      Int.MaxValue.toLong).toInt))
+    val so = start.asInstanceOf[BlockStreamOffset]
+    checkGen(so)
+    BlockStreamOffset(math.min(target, math.min(so.n.toLong + maxPerTrigger,
+      Int.MaxValue.toLong).toInt), gen)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -588,10 +604,12 @@ private[sources] class BlockMicroBatchStream(store: String,
   BlockStore.registerStreamReader(store)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    checkGen(start.asInstanceOf[BlockStreamOffset])
+    checkGen(end.asInstanceOf[BlockStreamOffset])
     val s = start.asInstanceOf[BlockStreamOffset].n
     val e = end.asInstanceOf[BlockStreamOffset].n
     val blocks = BlockStore.get(store)
-    val snap = BlockStore.pinSnapshot(blocks)
+    val snap = BlockStore.pinSnapshot(store, blocks)
     (s until math.min(e, blocks.length)).collect {
       case i if blocks(i).maxId >= lo && blocks(i).minId <= hi &&
           dictSurvives(blocks(i)) =>
@@ -602,15 +620,28 @@ private[sources] class BlockMicroBatchStream(store: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockReaderFactory(required.fieldNames)
 
-  override def deserializeOffset(json: String): Offset =
-    BlockStreamOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      // fixed shape {"n":N,"gen":G} — written by BlockStreamOffset.json
+      def field(k: String): Long = {
+        val tag = "\"" + k + "\":"
+        val i = t.indexOf(tag)
+        require(i >= 0, s"bad block offset json: $t")
+        val rest = t.substring(i + tag.length)
+        rest.takeWhile(c => c == '-' || c.isDigit).toLong
+      }
+      BlockStreamOffset(field("n").toInt, field("gen"))
+    } else BlockStreamOffset(t.toInt, gen) // legacy plain-int checkpoint
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = BlockStore.unregisterStreamReader(store)
 }
 
-private[sources] case class BlockStreamOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+private[sources] case class BlockStreamOffset(n: Int, gen: Long = 0L)
+    extends Offset {
+  override def json(): String = s"""{"n":$n,"gen":$gen}"""
 }
 
 /** One block of a PINNED scan snapshot — `snap` names the immutable block

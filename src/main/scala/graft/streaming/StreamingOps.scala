@@ -597,7 +597,9 @@ object StreamingOps {
             val res = graft.operators.Similarity
               .serveForProbes(spark, dir, idxStore, metaStore, ids)
             if (schema == null) schema = res.schema
-            acc ++= res.collect(): Unit
+            // foreachBatch runs on the stream's thread; the final read is
+            // on the caller's — synchronize for visibility, not contention
+            acc.synchronized { acc ++= res.collect(): Unit }
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -606,8 +608,8 @@ object StreamingOps {
     if (schema == null) // no probes arrived: an empty, correctly-shaped frame
       schema = graft.operators.Similarity
         .serveForProbes(spark, dir, idxStore, metaStore, Nil).schema
-    spark.createDataFrame(
-      java.util.Arrays.asList(acc.toIndexedSeq: _*), schema)
+    val rows = acc.synchronized { acc.toIndexedSeq }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy("query_id", "rank")
   }
 

@@ -711,6 +711,46 @@ class BlockStoreSpec extends SparkSpec {
     BlockStore.dropStore(name)
   }
 
+  test("a checkpointed stream refuses to replay a store rewritten while stopped") {
+    // the live-reader fence cannot protect a STOPPED stream's persisted
+    // checkpoint: a rewrite between stop and restart re-numbers positions.
+    // Offsets embed the layout generation — the restart must fail loudly,
+    // never silently serve re-numbered blocks.
+    val name = "genfence-spec-store"
+    BlockStore.dropStore(name)
+    val base = java.nio.file.Files.createTempDirectory("genfence-spec")
+    val docs = Catalog.table(spark, sf, "documents")
+    docs.write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.BlockStoreSource")
+        .option("store", name).load()
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .writeStream.format("parquet").option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // run 1 drains and stops; the checkpoint persists
+    // APPEND while stopped: positions stable, the restart must succeed
+    docs.limit(5).write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("append").save()
+    run()
+    // REWRITE while stopped (no live readers — allowed, bumps generation):
+    // the next restart over the same checkpoint must fail loudly
+    BlockStore.optimize(name, targetRows = 10000L): Unit
+    val ex = intercept[Exception] { run() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("layout generation")),
+      s"restart over a rewritten store must name the generation fence: $ex")
+    BlockStore.dropStore(name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(base.toFile)
+  }
+
   test("time-travel aliases stay out of storeNames and memory accounting") {
     val name = "alias-spec-store"
     BlockStore.dropStore(name)

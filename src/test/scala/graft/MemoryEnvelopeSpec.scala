@@ -22,6 +22,11 @@ import graft.sources.BlockStore
 class MemoryEnvelopeSpec extends SparkSpec {
 
   test("overfill demotes LRU payloads to disk; reads correct in both tiers") {
+    // re-land the store so its payloads START in the memory tier: another
+    // suite's budget experiment may already have demoted every resident
+    // payload JVM-wide (reads never re-promote by design), and this test's
+    // premise is a memory-resident fixture — order independence over luck
+    BlockStore.dropStore(s"documents:$sf")
     val name = BlockStore.ensureLoaded(spark, sf)
     val blocks = BlockStore.blocks(name)
     assert(blocks.length > 4, "fixture must span multiple blocks")
