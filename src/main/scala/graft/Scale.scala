@@ -179,24 +179,20 @@ object Scale {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     }
-    // ONE execution: the timed noop save materializes through a persist,
-    // and the (untimed-in-spirit) row count reads the cache — re-running
-    // fn() would double the most expensive harness cells (x32 banded DP)
-    val res = fn(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      res.write.mode("overwrite").format("noop").save()
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      val gcSec = (gcMillis() - gc0) / 1e3
-      val rows = res.count()
-      (rows, elapsed, gcSec)
-    } finally {
-      try res.unpersist(blocking = false) catch { case _: Throwable => }
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      System.gc()
-    }
+    // timing protocol = the bench's bare noop save (a persist inside the
+    // window would bill cache materialization/spill to the query and
+    // distort cross-round comparisons); the row count is a SECOND,
+    // untimed execution — operator-level memos make it cheaper than the
+    // timed run, and timing fidelity beats harness wall-clock here
+    val gc0 = gcMillis()
+    val t0 = System.nanoTime()
+    fn(spark, dir).write.mode("overwrite").format("noop").save()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val gcSec = (gcMillis() - gc0) / 1e3
+    val rows = fn(spark, dir).count()
+    try spark.catalog.clearCache() catch { case _: Throwable => }
+    System.gc()
+    (rows, elapsed, gcSec)
   }
 
   /** Do found rows track N× the base? EXACT for hash-free dd6 blocking

@@ -192,7 +192,6 @@ object BlockStore {
           file = writeBlockBytes(bytes)
         }
         offHeapBuf = null
-        offHeapBlockCount.decrementAndGet(): Unit
       }
     }
   }
@@ -429,18 +428,26 @@ object BlockStore {
     // full identity-dedup scan per put would tax every loader for a
     // tier that holds nothing)
     if (offHeapBlockCount.get == 0 && offHeapBudget == 0) return
-    var ohUsed = offHeapUsed
+    val ohArr = distinctBlocks(_.isOffHeap)
+    var ohUsed = ohArr.iterator.map(_.offHeapHeld).sum
+    var visible = ohArr.length
     if (ohUsed > offHeapBudget) {
-      val lru = distinctBlocks(_.isOffHeap).sortBy(_.lastAccess)
+      val lru = ohArr.sortBy(_.lastAccess)
       var i = 0
       while (ohUsed > offHeapBudget && i < lru.length) {
         val held = lru(i).offHeapHeld
         lru(i).spillOffHeap()
         offHeapSpills.incrementAndGet()
         ohUsed -= held
+        visible -= 1
         i += 1
       }
     }
+    // SELF-HEAL the idle guard: blocks discarded by DELETE/OPTIMIZE/drop
+    // leave the visible sets without spilling, which would otherwise pin
+    // the counter high and disable the cheap path forever — re-sync to
+    // what this scan actually saw
+    offHeapBlockCount.set(visible.toLong)
   }
 
   // disk tier: one temp dir per JVM, length-prefixed binary block files
@@ -653,14 +660,20 @@ object BlockStore {
     // stale live-stream counter (a re-run starts clean)
     history.remove(name): Unit
     liveStreams.remove(name): Unit
-    layoutGens.remove(name): Unit
+    // a drop is itself a layout rewrite: BUMP the generation (never reset
+    // it — a drop-and-recreate would otherwise hand a stopped stream's
+    // checkpoint a matching generation over entirely different data)
+    bumpLayoutGen(name)
     // release this store's planning pins — a dropped store's payloads
-    // must not stay reachable through stale plans (reads fail loudly)
+    // must not stay reachable through stale plans (reads fail loudly);
+    // versioned scans pin under the alias key, so match those too
     import scala.jdk.CollectionConverters._
     pinnedSnaps.entrySet().asScala
-      .filter(_.getValue._1 == name).map(_.getKey).toSeq
+      .filter { e =>
+        val n = e.getValue._1
+        n == name || n.startsWith(s"$name@@v")
+      }.map(_.getKey).toSeq
       .foreach(pinnedSnaps.remove(_): Unit)
-    import scala.jdk.CollectionConverters._
     snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
       .foreach(snapshotAliases.remove(_): Unit)
   }

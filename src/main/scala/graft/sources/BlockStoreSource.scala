@@ -632,7 +632,9 @@ private[sources] class BlockMicroBatchStream(store: String,
         rest.takeWhile(c => c == '-' || c.isDigit).toLong
       }
       BlockStreamOffset(field("n").toInt, field("gen"))
-    } else BlockStreamOffset(t.toInt, gen) // legacy plain-int checkpoint
+      // legacy plain-int checkpoints predate every generation bump (gens
+      // start at 0): stamp 0 so a post-upgrade rewrite still fails loudly
+    } else BlockStreamOffset(t.toInt, 0L)
   }
 
   override def commit(end: Offset): Unit = ()
