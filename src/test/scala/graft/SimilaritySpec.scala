@@ -315,4 +315,46 @@ class SimilaritySpec extends SparkSpec {
     val meanAbs = ps.zip(ts).map { case (x, y) => math.abs(x - y) }.sum / ps.length
     assert(meanAbs < 0.6, f"corpus-wide mean distortion $meanAbs%.3f beyond k=16 noise")
   }
+
+  test("sim23 MMR: step 1 is the relevance argmax; picks are strictly more diverse than plain top-k") {
+    val mmr = Similarity.mmrTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topk = Similarity.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    // step 1 = pure relevance argmax = brute-force rank-1 neighbor
+    val mmrFirst = mmr.filter(_._2 == 1L).map(m => m._1 -> m._3).toMap
+    val exactFirst = topk.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(mmrFirst == exactFirst,
+      "MMR's first pick must be the plain relevance argmax")
+    // k distinct picks per probe
+    mmr.groupBy(_._1).foreach { case (q, ps) =>
+      assert(ps.map(_._3).distinct.length == Similarity.MmrK,
+        s"probe $q: MMR picks must be $ps distinct candidates")
+    }
+    // DIVERSITY: averaged over probes, the max pairwise cosine among
+    // MMR's k picks is below that of the top-k-by-relevance picks — the
+    // property the re-rank exists for (the corpus HAS near-dup vectors,
+    // so plain top-k returns redundant neighbors; deterministic data, so
+    // this is a fixed comparison, not a flaky statistic)
+    def avgMaxPairSim(picks: Map[Long, Seq[Long]]): Double = {
+      val vals = picks.toSeq.map { case (_, ids) =>
+        val pairs = for {
+          i <- ids.indices; j <- (i + 1) until ids.length
+        } yield cosine(emb(ids(i)).map(_.toFloat), emb(ids(j)).map(_.toFloat))
+        pairs.max
+      }
+      vals.sum / vals.size
+    }
+    val mmrPicks = mmr.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.sortBy(_._2).map(_._3).toSeq }
+    val relPicks = topk.filter(_._2 <= Similarity.MmrK)
+      .groupBy(_._1).map { case (q, ps) => q -> ps.sortBy(_._2).map(_._3).toSeq }
+    val (dMmr, dRel) = (avgMaxPairSim(mmrPicks), avgMaxPairSim(relPicks))
+    assert(dMmr < dRel,
+      s"MMR picks must be more diverse than relevance top-k " +
+        s"(avg max pairwise cos: MMR $dMmr vs top-k $dRel)")
+  }
 }
