@@ -43,17 +43,23 @@ import org.apache.spark.sql.functions._
   *   - dd15/mm6: 16-bit simhash/dHash bands — candidates = N·true +
   *     ~C(n,2)/2^16-scaled incidental collisions (quadratic with a tiny
   *     constant: the fixed-band-width trade, visible in the table);
-  *   - dd6: (lang, length-bucket) FEATURE blocking — block sizes grow
-  *     with the corpus, candidates ≈ N² × base (QUADRATIC — measured
-  *     honestly here; the production fix at 100 TB is content-hash
-  *     banding, i.e. dd3's shape, or a finer blocking key);
+  *   - dd6: PPJoin prefix filtering under the corpus rarity order —
+  *     candidates ≈ N × base with a per-copy re-roll (prefix CONTENTS
+  *     depend on hash tie-breaks, which differ per copy; cross-copy
+  *     hashes are disjoint so prefix joins never cross copies), while
+  *     found rows replicate EXACTLY N× (recall at 0.6 is exact — the
+  *     lemma, not a band rate). r12 measured the previous (lang,
+  *     len_bucket) all-pairs blocking QUADRATIC (524k → 134.7M
+  *     candidates at ×16); this model pins the fix;
   *   - sim11: probed cells hold a fixed FRACTION of the corpus —
   *     candidates ≈ N × base (linear), measured through the registered
   *     arm's own cell-selection plans (ivfMultiRecallFraction).
   *
-  * Usage: `runMain graft.Scale [baseSfDir] [factors-csv]` (defaults
-  * sf0.1 and 1,8,16,32). Writes scale.json (and the blown-up corpora
-  * under /tmp/graft-scale-<sf>/xN/, reused across runs).
+  * Usage: `runMain graft.Scale [baseSfDir] [factors-csv] [ops-csv]`
+  * (defaults sf0.1, 1,8,16,32, all ops; the ops filter is for A/B
+  * iteration — committed scale.json comes from a full run). Writes
+  * scale.json (and the blown-up corpora under /tmp/graft-scale-<sf>/xN/,
+  * reused across runs).
   */
 object Scale {
 
@@ -67,22 +73,33 @@ object Scale {
   // fix); alternating base cycles push the letter-map period to 52.
   private val LettersA = "qwertyuiopasdfghjklzxcvbnm"
   private val LettersB = "mzaqxswcdevfrbgtnhyjukilop"
-  private val DigitsA = "7301942865"
-  private val DigitsB = "5826491073"
+  // SIX scrambled digit 10-cycles: two cycles' rotations give at most
+  // 2×9 = 18 distinct non-identity maps, so any 2-cycle scheme REPEATS a
+  // digit map within 51 copies (r12 shipped exactly that: copies 0/20/40
+  // shared DigitsA rot 0 — digit-only shingles were identical across
+  // them, weakening cross-copy content disjointness for digit-heavy
+  // text). 6 cycles × 9 never-zero shifts = 54 ≥ 50 distinct maps.
+  private val DigitCycles = Seq(
+    "7301942865", "5826491073", "2957048316",
+    "8164730529", "4693817250", "0478265193")
 
   /** translate() source/target for copy k: a scrambled cycle rotated by a
     * NEVER-ZERO-past-k=0 shift — k = 0 is the identity, k = 1..25 rotates
-    * cycle A by k, k = 26..50 rotates cycle B by k−25 (1..25: a zero
-    * shift on ANY cycle is the identity again — the second cause of the
-    * ×32 duplicate-copy cliff). [[ScaleSpec]] pins all 51 letter maps
-    * pairwise distinct AS FUNCTIONS. */
+    * letter cycle A by k, k = 26..50 rotates cycle B by k−25 (1..25: a
+    * zero shift on ANY cycle is the identity again — the second cause of
+    * the ×32 duplicate-copy cliff). Digits walk [[DigitCycles]] with
+    * shift (k−1)%9+1 — never zero past k = 0, no repeats through ×51.
+    * [[ScaleSpec]] pins all 51 letter maps AND digit maps pairwise
+    * distinct AS FUNCTIONS. */
   private[graft] def copyMapping(k: Int): (String, String) = {
     require(k <= 50, s"copy fixture supports factors up to 51, got copy $k")
     def rot(c: String, s: Int): String =
       c.indices.map(i => c((i + s) % c.length)).mkString
     val (lc, ls) = if (k < 26) (LettersA, k) else (LettersB, k - 25)
-    val dc = if ((k / 10) % 2 == 0) DigitsA else DigitsB
-    (lc + dc, rot(lc, ls) + rot(dc, k % 10))
+    val (dc, ds) =
+      if (k == 0) (DigitCycles.head, 0)
+      else (DigitCycles(((k - 1) / 9) % 6), (k - 1) % 9 + 1)
+    (lc + dc, rot(lc, ls) + rot(dc, ds))
   }
 
   /** Synthesize (once) the factor-`n` corpus under `outRoot/x$n` and
@@ -94,7 +111,7 @@ object Scale {
     val dir = s"$outRoot/x$n"
     // marker versioned with the fixture recipe: a recipe change must
     // regenerate corpora an earlier run cached under /tmp
-    val done = java.nio.file.Paths.get(s"$dir/_READY_v3")
+    val done = java.nio.file.Paths.get(s"$dir/_READY_v4")
     if (!java.nio.file.Files.exists(done)) {
       val docs = Catalog.table(spark, baseDir, "documents")
       val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
@@ -129,20 +146,26 @@ object Scale {
   }
 
   /** One measured operator: the registered query fn, its candidate-stage
-    * counter, the candidate growth model ("linear" | "quadratic" |
-    * "banded16" = linear true pairs + 1/2^16 incidental term), and the
-    * factor cap (dd6's quadratic candidates get unaffordable past ~16×). */
+    * counter, the candidate growth model ("linear" | "prefix" |
+    * "banded16" = linear true pairs + 1/2^16 incidental term), a factor
+    * cap, an UNTIMED setup (index/artifact lands the bench also performs
+    * untimed), optional extra metrics gathered after the timed run, and a
+    * per-op bound over those extras vs their ×1 base. */
   private case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
       candidates: (SparkSession, String) => Long,
-      model: String, maxFactor: Int = Int.MaxValue)
+      model: String, maxFactor: Int = Int.MaxValue,
+      setup: (SparkSession, String) => Unit = (_, _) => (),
+      extra: (SparkSession, String) => Map[String, Long] = (_, _) => Map.empty,
+      extraTrack: (Int, Map[String, Long], Map[String, Long]) => Boolean =
+        (_, _, _) => true)
 
   private def ops: Seq[Op] = Seq(
     Op("dd3_minhash", operators.Dedup.minhashNearDup,
       (s, d) => operators.Dedup.minhashPieces(s, d)._2.count(), "linear"),
     Op("dd6_ngram", operators.Dedup.ngramJaccard,
       (s, d) => operators.Dedup.ngramCandidateFrame(s, d).count(),
-      "quadratic", maxFactor = 16),
+      "prefix"),
     Op("dd15_edit", operators.Dedup.editDistanceNearDup,
       (s, d) => operators.Dedup.editCandidateFrame(s, d).count(), "banded16"),
     Op("mm6_phash", operators.Multimodal.perceptualNearDup,
@@ -168,7 +191,57 @@ object Scale {
         val (_, frac) = operators.Similarity
           .ivfMultiRecallFraction(s, corpus, operators.Similarity.NProbe)
         math.round(frac * 10 * n) // scanned rows = fraction × |probes| × n
-      }, "linear"))
+      }, "linear"),
+    // dd8: iterative CC over dd6's (now prefix-banded) verified pairs —
+    // the r12 unknown: rounds-to-convergence × per-round shuffle under
+    // blow-up. Edges replicate exactly N× (hash-free verify); ROUNDS must
+    // stay FLAT (component diameter is a per-copy property — copies
+    // replicate clusters, never chain them), so total shuffle is
+    // rounds × |labels| ≈ linear.
+    Op("dd8_cc", operators.Dedup.dedupClusters,
+      (s, d) => operators.Dedup.verifiedNgramPairs(s, d).count() * 2,
+      "prefix",
+      extra = (_, _) =>
+        Map("cc_rounds" -> operators.Dedup.lastCcRounds.toLong),
+      extraTrack = (_, base, e) =>
+        e("cc_rounds") <= base("cc_rounds") + 1),
+    // sim15: top-k SERVED from the landed IVF-PQ index (index build is
+    // untimed setup, as the bench lands it). The claim: serve cost tracks
+    // |probes| × the probed-cell FRACTION — blocks opened grow ~linearly
+    // with the corpus but stay a cell-pruned fraction of the store, and
+    // the output is |probes|×k at every factor.
+    Op("sim15_serve", operators.Similarity.landedAnnTopK,
+      (s, d) => {
+        val before = graft.sources.BlockStore.readersOpened.get
+        operators.Similarity.landedAnnTopK(s, d)
+          .write.mode("overwrite").format("noop").save()
+        graft.sources.BlockStore.readersOpened.get - before
+      }, "linear",
+      setup = (s, d) => { operators.Similarity.ensureLandedIndex(s, d): Unit },
+      extra = (s, d) => {
+        val before = graft.sources.BlockStore.readersOpened.get
+        operators.Similarity.landedAnnTopK(s, d)
+          .write.mode("overwrite").format("noop").save()
+        Map(
+          "index_blocks" ->
+            graft.sources.BlockStore.blockCount(s"annidx@$d").toLong,
+          "blocks_opened" ->
+            (graft.sources.BlockStore.readersOpened.get - before))
+      },
+      // dictionary pruning must HOLD under blow-up: the store lands
+      // ~|cells| blocks at every factor (cell-clustered write), so the
+      // serve's OPENED block count must stay FLAT — more corpus means
+      // bigger probed blocks, never more of them (scan volume is the
+      // probed fraction of 4-byte codes; block count is the open/seek
+      // cost a 1000-executor serve actually pays per query)
+      extraTrack = (_, base, e) =>
+        e("blocks_opened") <= base("blocks_opened") * 2 + 4),
+    // s25: streaming ANN ingest — per-batch PQ-encode against the landed
+    // codebook; ingested rows grow N×, runtime must track the FEED (the
+    // O(batch) contract summed over batches), never the landed corpus.
+    Op("s25_ingest", streaming.StreamingOps.streamAnnIngest,
+      (s, d) => operators.Similarity.ingestFeedIds(s, d).count(),
+      "linear"))
 
   /** (rows, elapsedSec, gcSec) of one registered-query run through the
     * bench's own noop-sink protocol. */
@@ -206,8 +279,12 @@ object Scale {
     // 4×60-bit bands (bit bias concentrates true pairs in few buckets;
     // a copy's rehash redistributes them) — measured ±18% at sf0.1 ×8
     val tol = if (model.startsWith("banded16")) 0.25 else 0.15
-    if (name == "sim11_ivf") rows == base
-    else if (model == "quadratic") rows == base * factor
+    // factor-independent outputs: |probes|×k serves (sim11/sim15/s25)
+    if (Set("sim11_ivf", "sim15_serve", "s25_ingest")(name)) rows == base
+    // dd6's prefix generator has EXACT recall (hash-free semantics: the
+    // feature-block + 0.6 verify replicates per copy verbatim), so found
+    // rows — unlike the hash-banded ops — must track N× exactly
+    else if (model == "quadratic" || model == "prefix") rows == base * factor
     else if (model == "linearRR")
       // dd13: the train/test split RE-ROLLS per copy (the salted split
       // hash keys on the shifted doc_id), so each copy draws a fresh
@@ -242,7 +319,10 @@ object Scale {
     val n = factor.toLong
     model match {
       case "linear" => cand <= base * n * 13 / 10 + 50
-      case "linearRR" =>
+      // prefix: candidate COUNTS re-roll per copy (prefix membership
+      // tie-breaks on the copy's hashes) around a linear mean; far below
+      // the old quadratic blocking, which sat at N²× by ×8
+      case "prefix" | "linearRR" =>
         cand >= base * n / 3 - 50 && cand <= base * n * 3 + 50
       case "quadratic" =>
         cand >= base * n && cand <= base * n * n * 13 / 10 + 50
@@ -287,27 +367,38 @@ object Scale {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
 
+    val opFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    ops.foreach { op =>
-      var base: Option[(Long, Long, Double)] = None // rows, cand, sec @ ×1
+    ops.filter(op => opFilter.forall(_.contains(op.name))).foreach { op =>
+      // rows, cand, sec, extras @ ×1
+      var base: Option[(Long, Long, Double, Map[String, Long])] = None
       factors.filter(_ <= op.maxFactor).foreach { n =>
         val dir = dirs(n)
+        op.setup(spark, dir) // untimed artifact land (the bench discipline)
         val (rows, sec, gcSec) = timed(spark, op.query, dir)
         val cand = op.candidates(spark, dir)
+        val extras = op.extra(spark, dir)
         try spark.catalog.clearCache() catch { case _: Throwable => }
-        if (n == 1) base = Some((rows, cand, sec))
-        val (rowsTrack, candTrack, withinBound) = base match {
-          case Some((r1, c1, s1)) =>
+        if (n == 1) base = Some((rows, cand, sec, extras))
+        val (rowsTrack, candTrack, withinBound, extraOk) = base match {
+          case Some((r1, c1, s1, e1)) =>
             (Scale.rowsTrack(op.name, op.model, n, r1, rows),
               Scale.candTrack(op.model, n, c1, cand),
-              sec <= runtimeBound(op.model, n, s1))
-          case None => (true, true, true)
+              sec <= runtimeBound(op.model, n, s1),
+              op.extraTrack(n, e1, extras))
+          case None => (true, true, true, true)
         }
+        val extraJson =
+          if (extras.isEmpty) ""
+          else extras.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",", ",", "")
+            .stripSuffix(",")
         lines += s"""{"op":"${op.name}","factor":$n,"rows":$rows,""" +
-          s""""candidates":$cand,"sec":$sec,"gc_sec":$gcSec,""" +
-          s""""model":"${op.model}","rows_track_xN":$rowsTrack,""" +
+          s""""candidates":$cand,"sec":$sec,"gc_sec":$gcSec""" +
+          extraJson +
+          s""","model":"${op.model}","rows_track_xN":$rowsTrack,""" +
           s""""cand_track_model":$candTrack,""" +
-          s""""runtime_within_bound":$withinBound}"""
+          s""""runtime_within_bound":$withinBound,"extra_within_bound":$extraOk}"""
         System.err.println(s"[scale] ${lines.last}")
       }
     }

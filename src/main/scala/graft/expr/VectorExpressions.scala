@@ -338,6 +338,101 @@ object VectorExpressions {
     f(exprs(0), exprs(1))
   }
 
+  /** Codegen'd bucketed character-histogram L1 distance for the dd15
+    * counting filter (Gravano et al.'s count bound).
+    *
+    * Contract: both args are equal-length `array<int>` whose LANE 0 is the
+    * string's TOTAL length and lanes 1..n−1 are per-tracked-character
+    * counts. Returns `Σ_{i≥1} |a_i − b_i| + |rem_a − rem_b|` where
+    * `rem = a_0 − Σ_{i≥1} a_i` (the untracked-character remainder
+    * bucket). One unit edit changes the full character histogram by
+    * L1 ≤ 2, and collapsing untracked chars into the remainder only
+    * shrinks the L1, so `levenshtein(a, b) ≥ ⌈hist_l1 / 2⌉` EXACTLY —
+    * a prune at `hist_l1 > 2·k` never drops a pair within edit
+    * distance k.
+    *
+    * Why an expression and not 38 column-level abs terms: the inline
+    * form generates ~600 lines of ANSI checked arithmetic inside the
+    * bucket join's generated method, blowing HotSpot's 8 KB
+    * DontCompileHugeMethods limit — the whole join stage then runs
+    * INTERPRETED (measured 2.3 µs per evaluation vs this loop's tens of
+    * ns; the stage cost tripled instead of dropping). A tight primitive
+    * loop keeps the generated method small and JIT-compiled. */
+  case class IntHistL1(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hist_l1 requires two array<int> args, got " +
+          s"${left.dataType} / ${right.dataType}")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "hist_l1"
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements() || n == 0) null
+      else {
+        var i = 1; var acc = 0; var sa = 0; var sb = 0
+        var isNull = false
+        while (!isNull && i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) isNull = true
+          else {
+            val av = x.getInt(i); val bv = y.getInt(i)
+            acc += math.abs(av - bv); sa += av; sb += bv
+          }
+          i += 1
+        }
+        if (isNull || x.isNullAt(0) || y.isNullAt(0)) null
+        else {
+          val ra = x.getInt(0) - sa; val rb = y.getInt(0) - sb
+          acc + math.abs(ra - rb)
+        }
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+        val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+        val ra = ctx.freshName("ra"); val rb = ctx.freshName("rb")
+        s"""
+           |int $n = $a.numElements();
+           |int $acc = 0; int $sa = 0; int $sb = 0;
+           |if ($n != $b.numElements() || $n == 0) { ${ev.isNull} = true; }
+           |else {
+           |  for (int $i = 1; $i < $n && !${ev.isNull}; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |    else {
+           |      int $av = $a.getInt($i); int $bv = $b.getInt($i);
+           |      $acc += ($av > $bv) ? ($av - $bv) : ($bv - $av);
+           |      $sa += $av; $sb += $bv;
+           |    }
+           |  }
+           |  if (!${ev.isNull} && ($a.isNullAt(0) || $b.isNullAt(0))) { ${ev.isNull} = true; }
+           |  if (!${ev.isNull}) {
+           |    int $ra = $a.getInt(0) - $sa; int $rb = $b.getInt(0) - $sb;
+           |    $acc += ($ra > $rb) ? ($ra - $rb) : ($rb - $ra);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def unaryBuilder(name: String, f: Expression => Expression)
       : Seq[Expression] => Expression = { exprs =>
     if (exprs.length != 1) throw new org.apache.spark.sql.AnalysisException(
@@ -362,6 +457,8 @@ object VectorExpressions {
       "pq_nearest_code", binaryBuilder("pq_nearest_code", PqNearestCode), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_candidates", binaryBuilder("lsh_candidates", LshCandidates), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hist_l1", binaryBuilder("hist_l1", IntHistL1), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_interleave",
       binaryBuilder("zorder_interleave", ZOrderInterleave), "built-in")

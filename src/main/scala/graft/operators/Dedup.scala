@@ -226,30 +226,88 @@ object Dedup {
     * carries an incidental-collision term ~C(n,2)/2^16 per length-bucket
     * — quadratic with a tiny constant, the standard fixed-width-banding
     * trade the harness measures against dd3's 60-bit bands. */
+  /** Tracked characters for the COUNTING FILTER (Gravano et al.'s count
+    * bound, bucketed): one edit operation changes the full character
+    * histogram by L1 ≤ 2, and collapsing untracked chars into a remainder
+    * bucket only shrinks the L1, so `edit_dist ≥ ⌈L1_bucketed / 2⌉`
+    * EXACTLY — pruning pairs with L1 > 2·EditMax before the DP removes
+    * only pairs the threshold would reject anyway (oracle unmoved). The
+    * tracked set is the full letter+digit+space alphabet: 37 codegen'd
+    * replace+length scans computed once per DOC (persisted — left lazy
+    * the optimizer re-evaluates the chain per candidate pair), and the
+    * per-PAIR L1 is ONE `hist_l1` codegen loop (lane 0 = total length,
+    * see [[graft.expr.VectorExpressions.IntHistL1]]) vs a ~15k-cell DP.
+    * At blow-up scale it kills the 16-bit-band incidental collisions —
+    * unrelated docs rarely agree on a whole character histogram within
+    * 50 total moves, while true near-dups (≤ 25 edits) always pass
+    * (measured: DP input 50,586 → 804 pairs at sf0.1, ×32 runtime
+    * 18.4 s → 4.4 s, flat across factors). */
+  private val HistChars = ("abcdefghijklmnopqrstuvwxyz0123456789 ").toSeq
+
+  // memoized (session, dir)-keyed persisted (doc_id, simhash, text, lt,
+  // lb0, hist) frame: the histogram chain (37 replace+length scans per
+  // doc) MUST materialize behind an InMemoryRelation barrier — left lazy,
+  // the optimizer inlines the whole chain into the bucket join's L1
+  // filter, re-evaluating 37 string scans per CANDIDATE PAIR instead of
+  // per doc (measured: ×1 6.9 s vs 3.4 s, ×32 23 s — worse than the DP
+  // it was pruning)
+  private var lastHistCache: Option[DataFrame] = None
+  private var lastHistKey: Option[(SparkSession, String)] = None
+
+  private def editHistFrame(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val reusable = lastHistKey.contains((spark, dir)) &&
+        lastHistCache.exists(
+          _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (reusable) lastHistCache.get
+      else {
+        lastHistCache.foreach { prev =>
+          try prev.unpersist(blocking = false) catch { case _: Exception => }
+        }
+        // hist lane 0 = total length, lanes 1.. = tracked-char counts —
+        // the [[graft.expr.VectorExpressions.IntHistL1]] layout
+        val df = simhashOf(spark, dir)
+          .join(Catalog.table(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), Seq("doc_id"))
+          .withColumn("lt", length(col("text")))
+          .withColumn("lb0", (col("lt") / lit(EditMax + 1)).cast(LongType))
+          .withColumn("hist", array(col("lt") +: HistChars.map(c =>
+            length(col("text")) -
+              length(replace(col("text"), lit(c.toString), lit("")))): _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastHistCache = Some(df)
+        lastHistKey = Some((spark, dir))
+        df
+      }
+    }
+
   private[graft] def editCandidateFrame(spark: SparkSession,
       dir: String): DataFrame = {
-    val withText = simhashOf(spark, dir)
-      .join(Catalog.table(spark, dir, "documents")
-        .select(col("doc_id"), col("text")), Seq("doc_id"))
-      .withColumn("lt", length(col("text")))
-      // length bucket of width EditMax+1: |len(a)-len(b)| <= EditMax
-      // implies adjacent buckets, so joining a's {k-1,k,k+1} against b's
-      // own bucket loses nothing (each qualifying pair matches in exactly
-      // one bucket — b's). The bucket is part of the JOIN KEY for two
-      // reasons: it prunes non-candidates before they materialize, and it
-      // SPLITS the hot simhash buckets (one 469-doc bucket at sf0.1 put
-      // 78% of all pairs — and their Levenshtein DP — into a single task;
-      // work per join key scales with c², so the blocker must bound c)
-      .withColumn("lb0", (col("lt") / lit(EditMax + 1)).cast(LongType))
+    // length bucket lb0 of width EditMax+1: |len(a)-len(b)| <= EditMax
+    // implies adjacent buckets, so joining a's {k-1,k,k+1} against b's
+    // own bucket loses nothing (each qualifying pair matches in exactly
+    // one bucket — b's). The bucket is part of the JOIN KEY for two
+    // reasons: it prunes non-candidates before they materialize, and it
+    // SPLITS the hot simhash buckets (one 469-doc bucket at sf0.1 put
+    // 78% of all pairs — and their Levenshtein DP — into a single task;
+    // work per join key scales with c², so the blocker must bound c)
+    val withText = editHistFrame(spark, dir)
     val a = withText.select(col("simhash"), col("doc_id").as("doc_a"),
-      col("text").as("ta"), col("lt").as("la"),
+      col("text").as("ta"), col("lt").as("la"), col("hist").as("hca"),
       explode(array(col("lb0") - 1, col("lb0"), col("lb0") + 1)).as("jb"))
     val b = withText.select(col("simhash"), col("doc_id").as("doc_b"),
-      col("text").as("tb"), col("lt").as("lb"), col("lb0").as("jb"))
-    // exact LENGTH prefilter before any DP: edit distance >= |Δlen|
+      col("text").as("tb"), col("lt").as("lb"), col("hist").as("hcb"),
+      col("lb0").as("jb"))
+    // bucketed-histogram L1 via the codegen'd hist_l1 loop (NOT inline
+    // column arithmetic: 38 ANSI-checked abs terms blow the generated
+    // join method past HotSpot's 8 KB JIT limit and the whole stage runs
+    // interpreted — see IntHistL1's scaladoc for the measurement)
+    graft.expr.VectorExpressions.register(spark)
+    // exact prefilters before any DP: edit ≥ |Δlen| and edit ≥ ⌈L1/2⌉
     a.join(b, Seq("simhash", "jb"))
       .filter(col("doc_a") < col("doc_b") &&
-        abs(col("la") - col("lb")) <= EditMax)
+        abs(col("la") - col("lb")) <= EditMax &&
+        call_function("hist_l1", col("hca"), col("hcb")) <= 2 * EditMax)
       .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
   }
 
@@ -285,18 +343,21 @@ object Dedup {
 
   private var lastEditCache: Option[DataFrame] = None
 
-  /** n-gram (word-bigram) Jaccard near-dup pairs with cheap-feature
-    * BLOCKING: candidate pairs are generated only within a (lang,
-    * token-length-bucket) block, then verified with exact bigram Jaccard.
+  /** n-gram (word-bigram) Jaccard near-dup pairs: candidates via PPJoin
+    * PREFIX FILTERING (see [[prefixRows]]) restricted to the semantic
+    * (lang, token-length-bucket) block, then verified with exact bigram
+    * Jaccard.
     *
-    * This is the classic blocking-based dedup shape, complementary to dd3's
-    * LSH banding: instead of hashing content into bands, pairs are bounded
-    * by observable features that near-dups must share (language; length
-    * within a bucket). At 100 TB the block key is the shuffle key, block
-    * sizes are data-bounded (lang x length slices the corpus thin), and the
-    * per-block self-join is an equi-join AQE can split on skew. The
-    * bigram-set intersection runs on the native (non-lambda, codegen'd)
-    * array_intersect/array_union kernels. */
+    * The SEMANTICS are the classic feature-blocked shape, complementary to
+    * dd3's LSH banding: a pair counts only when it shares language and a
+    * length bucket. The candidate GENERATOR, though, is no longer the
+    * within-block all-pairs join — r12's scale harness measured that
+    * honestly quadratic (block sizes grow with the corpus: 524k → 134.7M
+    * candidates at ×16). Prefix filtering keeps the equi-join shape (the
+    * join key is the rare-bigram hash + the block features) with EXACT
+    * recall at the 0.6 threshold, so the verified output — and the DuckDB
+    * oracle, which still spells the all-pairs block join — is unchanged
+    * while candidates scale ~linearly with the corpus. */
   // previous dd6 invocation's persisted bigram frame (same lifecycle rules
   // as lastShingleCache above), keyed by (session, dir): dd6/dd8/dd9/p1
   // all consume this frame inside one session, and rebuilding it per
@@ -350,28 +411,81 @@ object Dedup {
       }
     }
 
-  /** dd6's BLOCKED candidate stage — pairs within a (lang, length-bucket)
-    * block surviving the PPJoin length prune, with both bigram arrays
-    * attached for the verify. Shared by [[ngramJaccard]] and the scale
-    * harness: feature blocking (unlike content-hash banding) grows block
-    * sizes with the corpus, so candidates scale ~QUADRATICALLY in the
-    * blow-up factor — the measured contrast the harness documents. */
+  /** PPJoin PREFIX rows over the shared bigram frame: one row per
+    * (doc, prefix bigram-hash), where each doc's prefix is its
+    * `n − ⌈0.6·n⌉ + 1` RAREST bigrams under the global (document
+    * frequency ASC, hash ASC) token order.
+    *
+    * The prefix-filter lemma (Chaudhuri et al. SSJoin '06 / Xiao et al.
+    * PPJoin '08) makes this an EXACT candidate generator at J ≥ 0.6:
+    * J(a,b) ≥ t ⟹ |a∩b| ≥ ⌈t·max(|a|,|b|)⌉ = α, and two sets sharing
+    * ≥ α elements under ANY global total order must intersect within
+    * their (n−α+1)-prefixes — our per-record prefixes use the smaller
+    * α_x = ⌈t·|x|⌉ so they are supersets of the lemma's. Zero false
+    * negatives ⟹ the verified output (and the DuckDB oracle) is
+    * bit-identical to all-pairs blocking.
+    *
+    * Rarest-FIRST ordering is what bounds candidate volume: a token in k
+    * prefixes contributes ≤ C(k,2) pairs, and df-ascending order keeps
+    * boilerplate bigrams ("of the") out of prefixes unless a doc consists
+    * of nothing rarer. Measured in `SCALE.md`: candidates track ~N× the
+    * base (cross-copy hashes are disjoint, so prefix joins never cross
+    * copies) — the fix for the r12-measured quadratic (lang, len_bucket)
+    * block join this replaces. */
+  private def prefixRows(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = base.select(col("doc_id"), col("lang"), col("len_bucket"),
+      col("n_bg"), explode(col("bg")).as("h"))
+    // document frequency per bigram hash: one groupBy over 8-byte keys
+    // with map-side partials — the global rarity order both sides share
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    // prefix length L = n − ⌈3n/5⌉ + 1 (⌈3n/5⌉ = ⌊(3n+4)/5⌋); the window
+    // shuffles (doc_id) once and ranks each doc's tokens rarest-first
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dfc"), col("h"))
+    ex.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n_bg") - floor((col("n_bg") * 3 + lit(4)) / lit(5)) + 1)
+      .select(col("h"), col("doc_id"), col("lang"), col("len_bucket"),
+        col("n_bg"))
+  }
+
+  /** dd6's candidate stage — PPJoin prefix-filtered pairs (see
+    * [[prefixRows]]) within a (lang, length-bucket) block surviving the
+    * length prune, with both bigram arrays attached for the verify.
+    * Shared by [[ngramJaccard]] and the scale harness.
+    *
+    * SCALE SHAPE: the join key is (prefix-hash, lang, len_bucket) — hot
+    * feature blocks no longer enumerate all pairs; only docs sharing a
+    * RARE bigram meet. r12's SCALE.md measured the previous pure feature
+    * blocking quadratic (524k → 134.7M candidates at ×16); the prefix
+    * join is ~linear in the blow-up factor with the same verified output
+    * (the harness's `prefix` model pins both). */
   private[graft] def ngramCandidateFrame(spark: SparkSession,
       dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     val base = ngramBase(spark, dir)
-    val a = base.select(col("doc_id").as("doc_a"), col("lang"),
-      col("len_bucket"), col("bg").as("bg_a"), col("n_bg").as("na"))
-    val b = base.select(col("doc_id").as("doc_b"), col("lang"),
-      col("len_bucket"), col("bg").as("bg_b"), col("n_bg").as("nb"))
+    val pr = prefixRows(base)
+    val a = pr.select(col("h"), col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("n_bg").as("na"))
+    val b = pr.select(col("h"), col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("n_bg").as("nb"))
     // Length filter (PPJoin-style): J = |∩|/|∪| <= min/max, so any pair with
     // 5*min(n) < 3*max(n) cannot reach 0.6 — pruned by an integer compare in
     // the join condition, BEFORE the intersection count runs. Exact: never
     // removes a qualifying pair.
     // (Written explicitly here; graft.plans.JaccardLengthPrune injects the
     // same prune automatically for user queries that omit it.)
-    a.join(b, Seq("lang", "len_bucket")).filter(col("doc_a") < col("doc_b") &&
-      col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+    val candIds = a.join(b, Seq("h", "lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // a pair may share several prefix tokens — verify once
+    candIds
+      .join(base.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
+        col("n_bg").as("na")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
+        col("n_bg").as("nb")), Seq("doc_b"))
   }
 
   // dd6's VERIFIED pairs, memoized per (session, dir): the pair list is a
@@ -477,6 +591,13 @@ object Dedup {
   private var lastLabelsCache: Option[DataFrame] = None
   private var lastLabelsKey: Option[(SparkSession, String)] = None
 
+  /** CC rounds of the most recent [[dedupClusters]] fixpoint — scale-
+    * harness telemetry: per-round cost is one groupBy over (doc_id,
+    * label) longs, so rounds × edge-count is the whole shuffle story;
+    * the harness pins rounds FLAT under blow-up (component diameter is a
+    * per-copy property — copies replicate clusters, never deepen them). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     synchronized {
@@ -496,7 +617,9 @@ object Dedup {
     var labels = docs.withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       // each doc keeps min(own label, neighbors' labels)
       val fromNbrs = labels.join(edges, labels("doc_id") === edges("doc_a"))
         .select(col("doc_b").as("doc_id"), col("label"))
@@ -510,6 +633,7 @@ object Dedup {
       labels = next
       converged = improved == 0
     }
+    lastCcRounds = rounds
     synchronized {
       lastLabelsCache = Some(labels)
       // the converged labels are a pure function of the (immutable) input
@@ -585,10 +709,16 @@ object Dedup {
     *                   (lang, len_bucket) block (dd6's verify machinery);
     *   - `new`:        neither.
     *
-    * Scale shape: both stages are incoming-⋈-index equi-joins (digest;
-    * block key) — never an index self-join — so per-batch cost is
-    * |incoming| × per-block fan-in, independent of corpus history size.
-    * The priority order (exact before near) is part of the contract. */
+    * Scale shape: both stages are incoming-⋈-index equi-joins — never an
+    * index self-join. The digest probe keys on the md5; the near-dup
+    * probe keys on PPJoin prefix tokens ([[prefixRows]], shared with dd6,
+    * under the corpus-wide rarity order), so an incoming doc meets only
+    * index docs sharing a RARE bigram rather than its whole (lang,
+    * len_bucket) block — per-batch cost is |incoming| × rare-token
+    * fan-in, independent of corpus history size even within hot feature
+    * blocks. Recall at 0.6 is exact (the prefix-filter lemma), so the
+    * classification is unchanged. The priority order (exact before near)
+    * is part of the contract. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     val isIncoming = col("doc_id") % 5 === 0
@@ -600,13 +730,22 @@ object Dedup {
         Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1))
     val base = ngramBase(spark, dir)
-    val inc = base.filter(isIncoming).select(col("doc_id"), col("lang"),
-      col("len_bucket"), col("bg").as("bg_i"), col("n_bg").as("ni"))
-    val idx = base.filter(!isIncoming).select(col("lang"),
-      col("len_bucket"), col("bg").as("bg_x"), col("n_bg").as("nx"))
-    val nInt = call_function("sorted_intersect_count", col("bg_i"), col("bg_x"))
-    val nearIds = inc.join(idx, Seq("lang", "len_bucket"))
+    val pr = prefixRows(base)
+    val candP = pr.filter(isIncoming)
+      .select(col("h"), col("lang"), col("len_bucket"), col("doc_id"),
+        col("n_bg").as("ni"))
+      .join(pr.filter(!isIncoming)
+          .select(col("h"), col("lang"), col("len_bucket"),
+            col("doc_id").as("idx_id"), col("n_bg").as("nx")),
+        Seq("h", "lang", "len_bucket"))
       .filter(col("ni") * 5 >= col("nx") * 3 && col("nx") * 5 >= col("ni") * 3)
+      .select(col("doc_id"), col("idx_id")).distinct()
+    val nInt = call_function("sorted_intersect_count", col("bg_i"), col("bg_x"))
+    val nearIds = candP
+      .join(base.select(col("doc_id"), col("bg").as("bg_i"),
+        col("n_bg").as("ni")), Seq("doc_id"))
+      .join(base.select(col("doc_id").as("idx_id"), col("bg").as("bg_x"),
+        col("n_bg").as("nx")), Seq("idx_id"))
       .filter(nInt.cast(DoubleType) /
         (col("ni") + col("nx") - nInt).cast(DoubleType) >= 0.6)
       .select(col("doc_id")).distinct().withColumn("is_near", lit(1))

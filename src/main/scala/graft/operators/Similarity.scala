@@ -95,13 +95,37 @@ object Similarity {
     * sim1/dd5 discipline), with vec_id tie-breaks, so the greedy argmax
     * agrees step by step; the oracle replays it as a recursive CTE.
     *
-    * SCALE SHAPE: candidate generation is any ANN arm (here the sim1
-    * bounded-probe exact pass — swap in the landed index's serve at
-    * scale); the re-rank itself touches |probes|·C candidates and
-    * |probes|·C²/2 pairwise sims — both BOUNDED by the probe budget, so
-    * the greedy loop is driver-side by design (the sim9 bounded-scoring
-    * pattern), never a corpus-sized collect. */
-  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    * SCALE SHAPE (r12 verdict ask #3): candidate generation is the LANDED
+    * index's serve path — probed-cell candidates off the dictionary-pruned
+    * code store, refined to EXACT cosines ([[landedRefined]], the sim19
+    * architecture) and cut to relevance top-C. The registered plan scans
+    * only the probed cells' blocks; nothing corpus-sized is ranked. The
+    * exact corpus×probes crossJoin survives as [[mmrCandidatesExact]], the
+    * audited baseline arm the spec compares against. The re-rank itself
+    * touches |probes|·C candidates and |probes|·C²/2 pairwise sims — both
+    * BOUNDED by the probe budget, so the greedy loop is driver-side by
+    * design (the sim9 bounded-scoring pattern), never a corpus-sized
+    * collect. */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrOver(spark, landedMmrCandidates(spark, dir))
+
+  /** sim23's serving candidate stage: landed-index probed cells, exact
+    * refine, relevance top-C per probe — (query_id, cand_id, rel, e, nrm). */
+  private[graft] def landedMmrCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    landedRefined(spark, dir, identity)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrC)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("cos").as("rel"), col("e"), col("nrm"))
+  }
+
+  /** The exact corpus×probes baseline arm (pre-r13 registered shape) —
+    * kept for the spec's serve-vs-exact comparison; the declared-cross
+    * contract (bounded probe broadcast) still applies. */
+  private[graft] def mmrCandidatesExact(spark: SparkSession,
+      dir: String): DataFrame = {
     val all = emb(spark, dir)
     val probes = all.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -110,12 +134,18 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("vec_id"))
-    val cand = pairs
+    pairs
       .withColumn("rel", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= MmrC)
       .select(col("query_id"), col("vec_id").as("cand_id"), col("rel"),
         col("e"), col("nrm"))
+  }
+
+  /** Greedy MMR selection over a bounded candidate frame (any arm). */
+  private[graft] def mmrOver(spark: SparkSession,
+      candFrame: DataFrame): DataFrame = {
+    val cand = candFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // pairwise candidate sims IN-ENGINE via the same codegen'd ordered
@@ -1711,22 +1741,17 @@ object Similarity {
     * and takes ROW_NUMBER()=1 (score DESC, cand_id) — the argmax the
     * driver-side loop computes. `lazy` — references ProbeCount/MmrC/MmrK
     * (the Scala-object init-order rule). */
+  // Candidate generation mirrors the SERVING path (r13): the sim11 CTE
+  // prefix — probed-cell selection on exact BIGINT cell stats, candidates
+  // only from probed cells, exact refine dot `d` — then relevance top-C.
+  // The MMR selection tail below is byte-identical to the pre-r13 oracle.
   private lazy val MmrOracle: String =
-    s"""WITH RECURSIVE
-       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
-       |n AS (SELECT vec_id, ae,
-       |        sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
-       |      FROM v),
-       |nz AS (SELECT * FROM n WHERE nrm > 0),
-       |p AS (SELECT vec_id AS query_id, ae AS qe, nrm AS qnrm FROM nz WHERE vec_id < $ProbeCount),
-       |pr AS (SELECT p.query_id, n.vec_id,
-       |         list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ae[i]))
-       |           / (p.qnrm * n.nrm) AS rel
-       |       FROM nz n JOIN p ON n.vec_id <> p.query_id),
+    s"""${sim11PairsSql(NProbe).replaceFirst("WITH ", "WITH RECURSIVE\n")},
        |cand AS (SELECT query_id, vec_id AS cand_id, rel FROM (
-       |    SELECT query_id, vec_id, rel,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
-       |    FROM pr) WHERE rk <= $MmrC),
+       |    SELECT query_id, vec_id, d / (qnrm * nrm) AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY d / (qnrm * nrm) DESC, vec_id) AS rk
+       |    FROM pairs) WHERE rk <= $MmrC),
        |ce AS (SELECT c.query_id, c.cand_id, z.ae, z.nrm
        |       FROM cand c JOIN nz z ON z.vec_id = c.cand_id),
        |psim AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,

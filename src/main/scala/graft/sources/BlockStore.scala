@@ -167,13 +167,25 @@ object BlockStore {
     private[sources] def demote(toOffHeap: Boolean): Unit = {
       val m = mem
       if (m != null) {
+        var landed = false
         if (toOffHeap) {
           val bytes = encodeRows(m)
-          val buf = java.nio.ByteBuffer.allocateDirect(bytes.length)
-          buf.put(bytes)
-          offHeapBuf = buf
-          offHeapBlockCount.incrementAndGet(): Unit
-        } else if (file == null) file = writeBlockFile(m)
+          // HEADROOM check before allocateDirect (under the eviction
+          // lock): a full tier must not transiently overshoot its budget
+          // — the overshoot is real native allocation and can hit
+          // -XX:MaxDirectMemorySize and OOM inside the eviction lock.
+          // A block the tier cannot hold goes straight to disk (the
+          // bytes are already the disk encoding — no re-serialization).
+          if (offHeapBytesUsed.get + bytes.length <= offHeapBudget) {
+            val buf = java.nio.ByteBuffer.allocateDirect(bytes.length)
+            buf.put(bytes)
+            offHeapBuf = buf
+            offHeapBytesUsed.addAndGet(bytes.length.toLong): Unit
+            offHeapBlockCount.incrementAndGet(): Unit
+            landed = true
+          } else if (file == null) file = writeBlockBytes(bytes)
+        }
+        if (!landed && file == null) file = writeBlockFile(m)
         mem = null
       }
     }
@@ -192,6 +204,7 @@ object BlockStore {
           file = writeBlockBytes(bytes)
         }
         offHeapBuf = null
+        offHeapBytesUsed.addAndGet(-oh.capacity.toLong): Unit
       }
     }
   }
@@ -256,6 +269,30 @@ object BlockStore {
     a._2
   }
 
+  /** [[pinned]] with a SAFE expiry fallback: a persisted DataFrame's
+    * partitions embed their snap id, and a cache-evicted partition
+    * recomputed after `MaxPinnedSnaps` later scans finds its pin expired
+    * even though the store is intact. Under an UNCHANGED layout
+    * generation the visible array is append-only, so positional indices
+    * still name the exact blocks planning indexed — re-resolve against
+    * the current array. A bumped generation means a rewrite
+    * (DELETE/OPTIMIZE/truncate) shifted positions: fail loudly, as
+    * before. `gen` must be captured BEFORE planning read the array (the
+    * caller's contract) so any rewrite racing the plan shows up as a
+    * mismatch here rather than a silent mis-resolution. */
+  private[sources] def pinnedOrCurrent(id: Long, store: String,
+      gen: Long): Array[Block] = {
+    val a = pinnedSnaps.get(id)
+    if (a != null) a._2
+    else {
+      val now = layoutGeneration(store)
+      require(now == gen, s"scan snapshot $id expired AND store '$store' " +
+        s"was rewritten since planning (layout generation $now != $gen) — " +
+        "positional re-resolution is unsafe; re-plan the query")
+      get(store)
+    }
+  }
+
   // ---- live streaming readers (the DELETE/TRUNCATE fence) ----------------
   //
   // Streaming offsets are POSITIONAL block counts, sound because the
@@ -286,10 +323,24 @@ object BlockStore {
   private val liveStreams =
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
+  /** Serializes stream-reader REGISTRATION against layout rewrites: the
+    * fence in promoteInto/deleteWhere/optimize is check-then-act (require
+    * no live readers, bump the generation, swap the array) — without a
+    * shared lock a stream registering between the require and the swap
+    * would mint offsets under the new generation over the OLD array and
+    * replay re-numbered positions silently. All three rewrite sections and
+    * registerStreamReader hold this lock; it is driver-side-only and never
+    * held while a Spark job runs (lock order: fenceLock → evictionLock;
+    * eviction paths never take fenceLock). The generation check at offset
+    * resolution remains the backstop for STOPPED streams' checkpoints. */
+  private val fenceLock = new Object
+
   private[sources] def registerStreamReader(store: String): Unit =
-    liveStreams.computeIfAbsent(store,
-      _ => new java.util.concurrent.atomic.AtomicInteger(0))
-      .incrementAndGet(): Unit
+    fenceLock.synchronized {
+      liveStreams.computeIfAbsent(store,
+        _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .incrementAndGet(): Unit
+    }
 
   private[sources] def unregisterStreamReader(store: String): Unit = {
     val c = liveStreams.get(store)
@@ -364,6 +415,13 @@ object BlockStore {
     * check that lets [[enforceBudget]] skip its stage-2 full scan when
     * the tier is idle (the default: budget 0, nothing off-heap). */
   private val offHeapBlockCount = new AtomicLong(0)
+  /** Native bytes the off-heap tier currently holds — maintained
+    * incrementally (demote adds, spill subtracts, both under the eviction
+    * lock) so the HEADROOM check in demote is O(1), and re-synced to the
+    * identity-dedup scan at the end of [[enforceBudget]] (blocks discarded
+    * by DELETE/OPTIMIZE/drop leave the tier without spilling — the same
+    * self-heal as the block counter). */
+  private val offHeapBytesUsed = new AtomicLong(0)
 
   /** Off-heap-tier reads served (the three-tier spec's metric). */
   val offHeapReads = new AtomicLong(0)
@@ -445,9 +503,10 @@ object BlockStore {
     }
     // SELF-HEAL the idle guard: blocks discarded by DELETE/OPTIMIZE/drop
     // leave the visible sets without spilling, which would otherwise pin
-    // the counter high and disable the cheap path forever — re-sync to
-    // what this scan actually saw
+    // the counters high (disabling the cheap path; shrinking demote
+    // headroom) forever — re-sync both to what this scan actually saw
     offHeapBlockCount.set(visible.toLong)
+    offHeapBytesUsed.set(math.max(0L, ohUsed))
   }
 
   // disk tier: one temp dir per JVM, length-prefixed binary block files
@@ -541,9 +600,11 @@ object BlockStore {
     * STREAMING write path stages each epoch under its own key (two epochs'
     * partition 0 must not collide) and promotes into the one target. */
   private[sources] def promoteInto(stagingKey: String, target: String,
-      partitionIds: Seq[Int], truncate: Boolean): Unit = {
+      partitionIds: Seq[Int], truncate: Boolean): Unit = fenceLock.synchronized {
     // appends keep positional stream offsets sound; a truncating replace
     // does not — fence it while any streaming reader tails the store
+    // (atomic with registration via fenceLock: no stream can register
+    // between this check and the array swap below)
     require(!truncate || liveStreamReaders(target) == 0,
       s"cannot overwrite store '$target': ${liveStreamReaders(target)} live " +
         "streaming reader(s) hold positional offsets into it — stop the " +
@@ -713,7 +774,9 @@ object BlockStore {
   private[graft] def deleteWhere(name: String, mayMatch: Block => Boolean,
       rowPred: DocRow => Boolean): Long = {
     // a copy-on-write rewrite shifts block positions; positional stream
-    // offsets would silently re-number a checkpointed replay — refuse loudly
+    // offsets would silently re-number a checkpointed replay — refuse
+    // loudly (atomic with registration via fenceLock)
+    fenceLock.synchronized {
     require(liveStreamReaders(name) == 0,
       s"cannot DELETE from store '$name': ${liveStreamReaders(name)} live " +
         "streaming reader(s) hold positional offsets into it — stop the " +
@@ -739,6 +802,7 @@ object BlockStore {
     if (after != null) recordVersion(name, after)
     enforceBudget()
     deleted
+    }
   }
 
   // ---- OPTIMIZE (bin-packing compaction) ---------------------------------
@@ -762,6 +826,7 @@ object BlockStore {
     require(shardingOf(name).isEmpty,
       s"cannot OPTIMIZE sharded store '$name': coalescing across shards " +
         "would break the co-registered SPJ layout")
+    fenceLock.synchronized {
     require(liveStreamReaders(name) == 0,
       s"cannot OPTIMIZE store '$name': ${liveStreamReaders(name)} live " +
         "streaming reader(s) hold positional offsets into it")
@@ -789,6 +854,7 @@ object BlockStore {
     })
     if (after != null) { recordVersion(name, after); enforceBudget() }
     result
+    }
   }
 
   private[sources] def get(name: String): Array[Block] = {

@@ -494,6 +494,10 @@ private[sources] class BlockScan(store: String, required: StructType,
     // reader resolving indices against the mutable array would silently
     // serve wrong blocks. The pin is immutable (commits swap the array
     // reference, never mutate it), so [snap, idx] names one block forever.
+    // gen BEFORE the array read: the pin-expiry fallback may only trust
+    // positional re-resolution when no rewrite happened since BEFORE we
+    // indexed the array (pinnedOrCurrent's contract)
+    val gen = BlockStore.layoutGeneration(store)
     val arr = BlockStore.get(store)
     val snap = BlockStore.pinSnapshot(store, arr)
     BlockStore.shardingOf(store) match {
@@ -512,12 +516,14 @@ private[sources] class BlockScan(store: String, required: StructType,
           val mine = blocks.collect {
             case (b, i) if b.shard == s && survives(b) => i
           }
-          if (mine.isEmpty) Seq(ShardBlockPartition(snap, s, Array.empty))
-          else mine.map(i => ShardBlockPartition(snap, s, Array(i)))
+          if (mine.isEmpty)
+            Seq(ShardBlockPartition(snap, s, Array.empty, store, gen))
+          else mine.map(i => ShardBlockPartition(snap, s, Array(i), store, gen))
         }.toArray[InputPartition]
       case None =>
         arr.zipWithIndex.collect {
-          case (b, i) if survives(b) => BlockPartition(snap, i): InputPartition
+          case (b, i) if survives(b) =>
+            BlockPartition(snap, i, store, gen): InputPartition
         }
     }
   }
@@ -579,17 +585,25 @@ private[sources] class BlockMicroBatchStream(store: String,
   private def target: Int =
     if (availableTarget >= 0) availableTarget else visibleNow
 
-  override def prepareForTriggerAvailableNow(): Unit =
+  override def prepareForTriggerAvailableNow(): Unit = {
+    ensureFence()
     availableTarget = visibleNow
+  }
 
-  override def initialOffset(): Offset = BlockStreamOffset(0, gen)
+  override def initialOffset(): Offset = {
+    ensureFence()
+    BlockStreamOffset(0, gen)
+  }
 
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = {
     // the admission-control overload below is what the engine calls; this
     // plain form answers the unthrottled tail for completeness
+    ensureFence()
     BlockStreamOffset(target, gen)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureFence()
     val so = start.asInstanceOf[BlockStreamOffset]
     checkGen(so)
     BlockStreamOffset(math.min(target, math.min(so.n.toLong + maxPerTrigger,
@@ -600,20 +614,30 @@ private[sources] class BlockMicroBatchStream(store: String,
 
   // fence registration: while this stream is live, DELETE / truncating
   // overwrite on the store are refused (positional offsets stay sound
-  // because only appends can commit)
-  BlockStore.registerStreamReader(store)
+  // because only appends can commit). LAZY — registered on the first
+  // offset/plan call, not in the constructor: toMicroBatchStream runs
+  // during ANALYSIS, and a query failing between analysis and source
+  // tracking would leak the fence for the JVM's lifetime (r12 ADVICE);
+  // stop() is idempotent and unregisters only what was registered.
+  private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureFence(): Unit =
+    if (fenced.compareAndSet(false, true)) BlockStore.registerStreamReader(store)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    ensureFence()
     checkGen(start.asInstanceOf[BlockStreamOffset])
     checkGen(end.asInstanceOf[BlockStreamOffset])
     val s = start.asInstanceOf[BlockStreamOffset].n
     val e = end.asInstanceOf[BlockStreamOffset].n
+    // gen before the array read — the pinnedOrCurrent fallback contract
+    // (checkGen above already proved it equals the offsets' generation)
+    val pgen = gen
     val blocks = BlockStore.get(store)
     val snap = BlockStore.pinSnapshot(store, blocks)
     (s until math.min(e, blocks.length)).collect {
       case i if blocks(i).maxId >= lo && blocks(i).minId <= hi &&
           dictSurvives(blocks(i)) =>
-        BlockPartition(snap, i): InputPartition
+        BlockPartition(snap, i, store, pgen): InputPartition
     }.toArray
   }
 
@@ -638,7 +662,11 @@ private[sources] class BlockMicroBatchStream(store: String,
   }
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = BlockStore.unregisterStreamReader(store)
+  // idempotent: unregister exactly what ensureFence registered, once —
+  // a double stop (or a stop on a never-driven stream) must not
+  // decrement another live stream's fence
+  override def stop(): Unit =
+    if (fenced.compareAndSet(true, false)) BlockStore.unregisterStreamReader(store)
 }
 
 private[sources] case class BlockStreamOffset(n: Int, gen: Long = 0L)
@@ -648,14 +676,19 @@ private[sources] case class BlockStreamOffset(n: Int, gen: Long = 0L)
 
 /** One block of a PINNED scan snapshot — `snap` names the immutable block
   * array planning indexed ([[BlockStore.pinSnapshot]]), so a concurrent
-  * DELETE/overwrite can never re-number what the reader resolves. */
-private[sources] case class BlockPartition(snap: Long, idx: Int)
-  extends InputPartition
+  * DELETE/overwrite can never re-number what the reader resolves.
+  * `store`/`gen` ride along for the pin-expiry fallback
+  * ([[BlockStore.pinnedOrCurrent]]): gen is captured BEFORE planning read
+  * the array, so an expired pin re-resolves positionally iff no rewrite
+  * happened since. */
+private[sources] case class BlockPartition(snap: Long, idx: Int,
+    store: String, gen: Long) extends InputPartition
 
 /** One SHARD of a sharded store: all surviving blocks tagged with this
   * shard id, keyed for the planner's partition grouping (SPJ). */
 private[sources] case class ShardBlockPartition(snap: Long, shard: Int,
-    idxs: Array[Int]) extends InputPartition with HasPartitionKey {
+    idxs: Array[Int], store: String, gen: Long)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](shard))
 }
@@ -809,9 +842,11 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     * Resolution goes through the PINNED snapshot the planner indexed,
     * never the store's mutable current array. */
   private def blocksOf(p: InputPartition): Array[BlockStore.Block] = p match {
-    case BlockPartition(snap, idx) => Array(BlockStore.pinned(snap)(idx))
-    case ShardBlockPartition(snap, _, idxs) =>
-      val blocks = BlockStore.pinned(snap); idxs.map(blocks(_))
+    case BlockPartition(snap, idx, store, gen) =>
+      Array(BlockStore.pinnedOrCurrent(snap, store, gen)(idx))
+    case ShardBlockPartition(snap, _, idxs, store, gen) =>
+      val blocks = BlockStore.pinnedOrCurrent(snap, store, gen)
+      idxs.map(blocks(_))
   }
 
   /** Segments of a partition with the reader-count bookkeeping (the
@@ -842,12 +877,13 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     // Spark refuses mixed row/columnar partitions, and a pruned-empty
     // shard partition must answer exactly like its populated siblings —
     // all of a scan's partitions share one snapshot, so this is uniform
-    val snap = p match {
-      case BlockPartition(s, _) => s
-      case ShardBlockPartition(s, _, _) => s
+    val blocks = p match {
+      case BlockPartition(s, _, store, gen) =>
+        BlockStore.pinnedOrCurrent(s, store, gen)
+      case ShardBlockPartition(s, _, _, store, gen) =>
+        BlockStore.pinnedOrCurrent(s, store, gen)
       case _ => return false
     }
-    val blocks = BlockStore.pinned(snap)
     blocks.nonEmpty &&
       blocks.forall(_.numRows >= BlockReaderFactory.ColumnarMinRows)
   }
@@ -923,11 +959,11 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     // Rows stay grouped in per-block SEGMENTS so the metadata columns
     // (block-constant values) need no per-row storage.
     val segs: Array[BlockStore.Block] = p match {
-      case BlockPartition(snap, idx) =>
+      case BlockPartition(snap, idx, store, gen) =>
         BlockStore.readersOpened.incrementAndGet(): Unit
-        Array(BlockStore.pinned(snap)(idx))
-      case ShardBlockPartition(snap, _, idxs) =>
-        val blocks = BlockStore.pinned(snap)
+        Array(BlockStore.pinnedOrCurrent(snap, store, gen)(idx))
+      case ShardBlockPartition(snap, _, idxs, store, gen) =>
+        val blocks = BlockStore.pinnedOrCurrent(snap, store, gen)
         BlockStore.readersOpened.addAndGet(idxs.length.toLong): Unit
         idxs.map(blocks(_))
     }

@@ -1,0 +1,191 @@
+package graft
+
+import graft.sources.BlockStore
+import org.apache.spark.sql.functions.col
+
+/** CONCURRENT store semantics (r12 verdict ask #5): the pin and
+  * generation-fence machinery was only ever exercised sequentially —
+  * these properties race live threads over ONE store and assert the
+  * invariants the sequential specs take for granted:
+  *
+  *   1. LINEARIZED commits, no torn reads: every concurrent reader
+  *      observes exactly some committed version's row set (mutators are
+  *      serialized by the fence lock; the visible array swaps atomically;
+  *      planning pins the array it indexed).
+  *   2. The DELETE/OPTIMIZE fence vs a LIVE stream is loud under racing
+  *      attempts — after the stream's first processed batch every rewrite
+  *      attempt throws the fence refusal; after stop() they succeed.
+  *   3. Pin EXPIRY (the 256-pin LRU) falls back safely: an expired pin
+  *      under an UNCHANGED layout generation re-resolves positionally
+  *      (append-only array ⇒ same blocks), while an expired pin over a
+  *      REWRITTEN store fails loudly instead of serving shifted blocks
+  *      (the r12 ADVICE recompute-after-eviction scenario).
+  *
+  * Schedules are seeded and re-shuffled per trial; failures print the
+  * seed via the assertion context. */
+class ConcurrentStoreSpec extends SparkSpec {
+
+  private def mkRows(lo: Long, n: Int): Array[BlockStore.DocRow] =
+    Array.tabulate(n)(i => (lo + i, s"t${lo + i}",
+      s"l${(lo + i) % 3}", s"s${(lo + i) % 4}", (lo + i) % 11))
+
+  private def stageCommit(name: String, epoch: Long,
+      rows: Array[BlockStore.DocRow]): Unit = {
+    BlockStore.stage(BlockStore.epochKey(name, epoch), 0,
+      BlockStore.Block(rows.map(_._1).min, rows.map(_._1).max, rows))
+    BlockStore.commitEpoch(name, epoch, Seq(0))
+  }
+
+  private def readIds(name: String, version: Option[Int] = None): Vector[Long] = {
+    val r = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name)
+    version.foreach(v => r.option("versionAsOf", v.toString): Unit)
+    r.load().select(col("doc_id")).collect().map(_.getLong(0))
+      .sorted.toVector
+  }
+
+  test("racing appends/DELETE/OPTIMIZE vs readers: every observed read " +
+    "IS a committed version (no torn, no shifted reads)") {
+    val name = "conc-race"
+    BlockStore.dropStore(name)
+    stageCommit(name, 0L, mkRows(0L, 50))
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Vector[Long]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(seed: Long)(body: scala.util.Random => Unit): Thread = {
+      val t = new Thread(() => {
+        val rnd = new scala.util.Random(seed)
+        try body(rnd) catch { case e: Throwable => errors.add(e): Unit }
+      })
+      t.start(); t
+    }
+    val threads = Seq(
+      // two appenders on disjoint id ranges / epoch namespaces
+      thread(1L) { rnd =>
+        (1 to 6).foreach { e =>
+          stageCommit(name, 100L + e, mkRows(1000L + e * 100, 10 + rnd.nextInt(20)))
+          Thread.sleep(rnd.nextInt(30).toLong)
+        }
+      },
+      thread(2L) { rnd =>
+        (1 to 6).foreach { e =>
+          stageCommit(name, 200L + e, mkRows(5000L + e * 100, 10 + rnd.nextInt(20)))
+          Thread.sleep(rnd.nextInt(30).toLong)
+        }
+      },
+      thread(3L) { rnd =>
+        (1 to 4).foreach { i =>
+          Thread.sleep(rnd.nextInt(60).toLong)
+          BlockStore.deleteWhere(name, _ => true, _._1 % (3 + i) == 0): Unit
+        }
+      },
+      thread(4L) { rnd =>
+        (1 to 3).foreach { _ =>
+          Thread.sleep(rnd.nextInt(80).toLong)
+          BlockStore.optimize(name, 64L): Unit
+        }
+      }) ++ (5 to 7).map(s => thread(s.toLong) { rnd =>
+        (1 to 8).foreach { _ =>
+          observed.add(readIds(name)): Unit
+          Thread.sleep(rnd.nextInt(25).toLong)
+        }
+      })
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"concurrent op failed: ${errors.peek()}")
+    // legal states = every transactionally committed version's row set
+    val legal = (1 to BlockStore.currentVersion(name))
+      .map(v => readIds(name, Some(v))).toSet
+    import scala.jdk.CollectionConverters._
+    observed.asScala.foreach { o =>
+      assert(legal.contains(o),
+        s"reader observed a row set that matches NO committed version " +
+          s"(${o.take(8)}... size=${o.size}; ${legal.size} versions)")
+    }
+    BlockStore.dropStore(name)
+  }
+
+  test("stream fence under racing rewrites: refusals are loud while the " +
+    "stream is live; rewrites succeed after stop; gen bumps exactly then") {
+    val name = "conc-fence"
+    BlockStore.dropStore(name)
+    stageCommit(name, 0L, mkRows(0L, 40))
+    val gen0 = BlockStore.layoutGeneration(name)
+    val q = spark.readStream.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .writeStream.format("memory").queryName("conc_fence_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable() // first batch processed ⇒ fence registered
+      assert(BlockStore.liveStreamReaders(name) == 1,
+        "fence must be registered once the stream has been driven")
+      val rnd = new scala.util.Random(99L)
+      (1 to 10).foreach { i =>
+        Thread.sleep(rnd.nextInt(20).toLong)
+        val e = intercept[IllegalArgumentException] {
+          if (i % 2 == 0) BlockStore.deleteWhere(name, _ => true, _._1 % 2 == 0)
+          else BlockStore.optimize(name, 64L)
+        }
+        assert(e.getMessage.contains("streaming reader"),
+          s"rewrite attempt $i did not hit the fence: ${e.getMessage}")
+      }
+      // appends stay allowed under the fence and flow into the stream
+      stageCommit(name, 1L, mkRows(500L, 10))
+      q.processAllAvailable()
+      val streamed = spark.table("conc_fence_sink")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toVector
+      assert(streamed.distinct.size == streamed.size,
+        "streamed rows duplicated — positional offsets re-numbered?")
+      assert(streamed.toSet == (0L until 40L).toSet ++ (500L until 510L).toSet,
+        "streamed rows diverged from the committed appends")
+      assert(BlockStore.layoutGeneration(name) == gen0,
+        "no rewrite committed ⇒ the layout generation must not move")
+    } finally q.stop()
+    // fence released exactly once (idempotent stop)
+    q.stop()
+    assert(BlockStore.liveStreamReaders(name) == 0,
+      "stop must release the fence (once, even if called twice)")
+    val del = BlockStore.deleteWhere(name, _ => true, _._1 % 2 == 0)
+    assert(del > 0, "post-stop DELETE must succeed")
+    assert(BlockStore.layoutGeneration(name) == gen0 + 1,
+      "the DELETE rewrite must bump the layout generation")
+    BlockStore.dropStore(name)
+  }
+
+  test("pin expiry: unchanged generation re-resolves positionally; a " +
+    "rewritten store fails loudly (never silently shifted blocks)") {
+    val name = "conc-pin"
+    BlockStore.dropStore(name)
+    stageCommit(name, 0L, mkRows(0L, 30))
+    def planRdd() = {
+      val rdd = spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", name).load().select(col("doc_id")).rdd
+      rdd.getNumPartitions // force partition planning: pins NOW
+      rdd
+    }
+    def churnPins(n: Int): Unit = (0 until n).foreach { _ =>
+      // each planning call takes one pin slot; 300 > the 256-pin LRU
+      spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", name).load().rdd.getNumPartitions: Unit
+    }
+    // 1) expired pin, UNCHANGED layout (appends only) → safe fallback
+    val rdd1 = planRdd()
+    stageCommit(name, 1L, mkRows(100L, 10)) // append: positions stable
+    churnPins(300)
+    assert(rdd1.map(_.getLong(0)).collect().sorted.toVector ==
+      (0L until 30L).toVector,
+      "expired pin under an unchanged generation must re-resolve to the " +
+        "exact planned blocks (append-only prefix)")
+    // 2) expired pin + REWRITE (delete bumps the generation) → loud
+    val rdd2 = planRdd()
+    churnPins(300)
+    BlockStore.deleteWhere(name, _ => true, _._1 < 10L): Unit
+    val e = intercept[org.apache.spark.SparkException] {
+      rdd2.map(_.getLong(0)).collect(): Unit
+    }
+    assert(e.getMessage.contains("re-plan") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-plan")),
+      s"expired pin over a rewritten store must fail loudly, got: " +
+        s"${e.getMessage.take(300)}")
+    BlockStore.dropStore(name)
+  }
+}

@@ -37,6 +37,50 @@ class ExprEquivalenceSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches vectors quantized differently")
   }
 
+  test("hist_l1 ≡ inline Σ|a_i−b_i| + remainder-bucket term, and bounds levenshtein") {
+    graft.expr.VectorExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefghij"
+    def randStr(n: Int): String =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    // pairs: random, near-identical (few edits), identical, disjoint-ish
+    val base = Seq.fill(200)(randStr(30 + rnd.nextInt(120)))
+    val pairs = base.map { s =>
+      val t = rnd.nextInt(4) match {
+        case 0 => randStr(s.length)
+        case 1 => s.updated(rnd.nextInt(s.length), 'z').toString
+        case 2 => s
+        case _ => s.drop(3) + "kk"
+      }
+      (s, t)
+    }
+    val tracked = "abcde".toSeq // deliberately PARTIAL: remainder is live
+    def hist(c: org.apache.spark.sql.Column) =
+      array(length(c) +: tracked.map(ch =>
+        length(c) - length(replace(c, lit(ch.toString), lit("")))): _*)
+    val df = pairs.toDF("s", "t")
+      .select(col("s"), col("t"), hist(col("s")).as("ha"), hist(col("t")).as("hb"))
+    // 1) expression ≡ the inline formulation it compresses
+    val inline = (tracked.indices.map(i =>
+      abs(element_at(col("ha"), i + 2) - element_at(col("hb"), i + 2))) :+
+      abs((element_at(col("ha"), 1) - tracked.indices.map(i =>
+          element_at(col("ha"), i + 2)).reduce(_ + _)) -
+        (element_at(col("hb"), 1) - tracked.indices.map(i =>
+          element_at(col("hb"), i + 2)).reduce(_ + _))))
+      .reduce(_ + _)
+    val l1 = call_function("hist_l1", col("ha"), col("hb"))
+    assert(df.select(inline.as("a"), l1.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() == 0,
+      "hist_l1 disagrees with the inline L1 formulation")
+    // 2) the counting bound itself: levenshtein ≥ ceil(hist_l1 / 2) — the
+    // exactness the dd15 prune rests on
+    val violations = df
+      .select(l1.as("l1"), levenshtein(col("s"), col("t")).as("ed"))
+      .filter(col("ed") * 2 < col("l1")).count()
+    assert(violations == 0, s"$violations pairs violate 2·edit ≥ hist_l1")
+  }
+
   test("pq_nearest_code ≡ interpreted array_sort struct argmin (ties to low k)") {
     graft.expr.VectorExpressions.register(spark)
     import spark.implicits._

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions.{col, sum}
   * the five bucketed operators' found rows and candidate-pair counts must
   * track their declared banding-math models (see Scale's scaladoc —
   * linear for dd3's 60-bit bands and sim11's probed-cell fraction,
-  * quadratic for dd6's feature blocking, bounded-between for the 16-bit
-  * band spaces), and dd3's runtime must stay inside the linear bound.
+  * linear-with-reroll for dd6's PPJoin prefix join plus EXACT N× found
+  * rows, bounded-between for the 16-bit band spaces), and dd3's runtime
+  * must stay inside the linear bound.
   * Counting invariants are deterministic (no timing flake); the single
   * runtime assertion carries the harness's generous slack + absolute
   * floor, so it catches a linear claim going quadratic, not host noise. */
@@ -30,6 +31,17 @@ class ScaleSpec extends SparkSpec {
     val maps = (0 until 51).map(canonical)
     assert(maps.distinct.size == maps.size,
       "two copies share a letter bijection — cross-copy exact duplicates")
+    // digit maps too: r12's 2-cycle scheme repeated digit maps at k/k+20
+    // (digit-only shingles identical across those copies); 6 cycles × 9
+    // never-zero shifts keep all 51 distinct as functions
+    def canonicalDigits(k: Int): String = {
+      val (src, dst) = Scale.copyMapping(k)
+      val m = src.zip(dst).toMap
+      "0123456789".map(m)
+    }
+    val dmaps = (0 until 51).map(canonicalDigits)
+    assert(dmaps.distinct.size == dmaps.size,
+      "two copies share a digit bijection — digit-heavy cross-copy dups")
     // each mapping is a true bijection over its source alphabet
     (0 until 51).foreach { k =>
       val (src, dst) = Scale.copyMapping(k)
@@ -59,7 +71,7 @@ class ScaleSpec extends SparkSpec {
     check("dd3_minhash", "linear",
       d => operators.Dedup.minhashNearDup(spark, d).count(),
       d => operators.Dedup.minhashPieces(spark, d)._2.count())
-    check("dd6_ngram", "quadratic",
+    check("dd6_ngram", "prefix",
       d => operators.Dedup.ngramJaccard(spark, d).count(),
       d => operators.Dedup.ngramCandidateFrame(spark, d).count())
     check("dd15_edit", "banded16",
@@ -90,20 +102,66 @@ class ScaleSpec extends SparkSpec {
     }
     assert(Scale.candTrack("linear", 8, simCand(d1), simCand(d8)),
       "sim11 probed-cell candidates must grow ~linearly")
+
+    // dd8: CC over the prefix-banded dd6 pairs — edges exactly N×, labels
+    // one per doc (exactly N×), and ROUNDS FLAT (copies replicate
+    // clusters, never deepen them) so per-round shuffle × rounds ≈ linear
+    val (l1, l8) = (operators.Dedup.dedupClusters(spark, d1).count(),
+      { val c = operators.Dedup.dedupClusters(spark, d8).count(); c })
+    val rounds8 = operators.Dedup.lastCcRounds
+    operators.Dedup.dedupClusters(spark, d1).count(): Unit
+    val rounds1 = operators.Dedup.lastCcRounds
+    assert(l8 == l1 * 8, s"dd8 labels must be exactly ×8 ($l1 -> $l8)")
+    assert(rounds8 <= rounds1 + 1,
+      s"dd8 CC rounds must stay flat under blow-up ($rounds1 -> $rounds8)")
+    val (e1, e8) = (operators.Dedup.verifiedNgramPairs(spark, d1).count(),
+      operators.Dedup.verifiedNgramPairs(spark, d8).count())
+    assert(e8 == e1 * 8, s"dd8 edge list must be exactly ×8 ($e1 -> $e8)")
+
+    // sim15: landed serve — output |probes|×k at any factor; the serve
+    // OPENS a flat number of cell-pruned blocks (bigger blocks, not more)
+    def servedBlocks(d: String): (Long, Long) = {
+      operators.Similarity.ensureLandedIndex(spark, d): Unit
+      val before = sources.BlockStore.readersOpened.get
+      val rows = operators.Similarity.landedAnnTopK(spark, d).count()
+      (rows, sources.BlockStore.readersOpened.get - before)
+    }
+    val ((sr1, sb1), (sr8, sb8)) = (servedBlocks(d1), servedBlocks(d8))
+    assert(sr1 == sr8, s"sim15 output must be factor-independent ($sr1 vs $sr8)")
+    assert(sb8 <= sb1 * 2 + 4,
+      s"sim15 opened blocks must stay flat under blow-up ($sb1 -> $sb8)")
+
+    // s25: streaming ingest — the feed grows N×, the served output stays
+    // |probes|×k (ingest cost is per-batch; the drained index serves
+    // identically at any batch partitioning)
+    val (i1, i8) = (streaming.StreamingOps.streamAnnIngest(spark, d1).count(),
+      streaming.StreamingOps.streamAnnIngest(spark, d8).count())
+    assert(i1 == i8, s"s25 served output must be factor-independent ($i1 vs $i8)")
+    val (f1, f8) = (operators.Similarity.ingestFeedIds(spark, d1).count(),
+      operators.Similarity.ingestFeedIds(spark, d8).count())
+    assert(Scale.candTrack("linear", 8, f1, f8),
+      s"s25 ingested feed must grow ~linearly ($f1 -> $f8)")
   }
 
-  test("×8 blow-up: dd3 runtime stays inside the linear bound") {
+  test("×8 blow-up: dd3 and dd15 runtimes stay inside the linear bound") {
     val d1 = Scale.ensureBlowup(spark, baseDir, outRoot, 1)
     val d8 = Scale.ensureBlowup(spark, baseDir, outRoot, 8)
-    def sec(d: String): Double = {
+    def sec(name: String, d: String): Double = {
       val t0 = System.nanoTime()
-      operators.Dedup.minhashNearDup(spark, d)
+      operators.Dedup.queries(name)(spark, d)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    sec(d1) // warm the shared tokenizer/codegen path untimed
-    val (t1, t8) = (sec(d1), sec(d8))
+    sec("dd3_minhash_neardup", d1) // warm the shared tokenizer/codegen path
+    val (t1, t8) = (sec("dd3_minhash_neardup", d1), sec("dd3_minhash_neardup", d8))
     assert(t8 <= Scale.runtimeBound("linear", 8, t1),
       s"dd3 ×8 runtime $t8 s exceeds the linear bound from ×1 = $t1 s")
+    // dd15: the r12 ×32 tail (18.4 s for 2× the ×16 data) came from the
+    // DP volume + a JIT-blown join filter; the counting-filter prune +
+    // hist_l1 codegen loop hold it linear-with-slack (measured FLAT
+    // 3.2–4.8 s at sf0.1 ×1/×16/×32)
+    val (e1, e8) = (sec("dd15_edit_distance", d1), sec("dd15_edit_distance", d8))
+    assert(e8 <= Scale.runtimeBound("linear", 8, e1),
+      s"dd15 ×8 runtime $e8 s exceeds the linear bound from ×1 = $e1 s")
   }
 }

@@ -316,29 +316,51 @@ class SimilaritySpec extends SparkSpec {
     assert(meanAbs < 0.6, f"corpus-wide mean distortion $meanAbs%.3f beyond k=16 noise")
   }
 
-  test("sim23 MMR: step 1 is the relevance argmax; picks are strictly more diverse than plain top-k") {
+  test("sim23 MMR: serve arm argmaxes its landed candidates, exact arm " +
+    "matches brute force, picks are strictly more diverse than relevance picks") {
+    // registered arm (r13): candidates from the LANDED index's probed
+    // cells, exact refine, top-C — the serving shape
     val mmr = Similarity.mmrTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val topk = Similarity.cosineTopK(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val cand = Similarity.landedMmrCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Float](1).toArray).toMap
-    // step 1 = pure relevance argmax = brute-force rank-1 neighbor
+    // step 1 = pure relevance argmax OVER THE SERVED CANDIDATE POOL
+    // (cell-pruned: the global brute-force argmax need not be probed)
     val mmrFirst = mmr.filter(_._2 == 1L).map(m => m._1 -> m._3).toMap
-    val exactFirst = topk.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
-    assert(mmrFirst == exactFirst,
-      "MMR's first pick must be the plain relevance argmax")
+    val candBest = cand.groupBy(_._1).map { case (q, cs) =>
+      q -> cs.maxBy(c => (c._3, -c._2))._2 }
+    assert(mmrFirst == candBest,
+      "serve arm's first pick must be the served-candidate relevance argmax")
+    // every pick must come from the served pool
+    val candSet = cand.map(c => (c._1, c._2)).toSet
+    assert(mmr.forall(m => candSet((m._1, m._3))),
+      "every MMR pick must be a served candidate")
+    // the audited EXACT baseline arm (corpus×probes cross, the pre-r13
+    // registered shape) keeps the global contract: its first pick is the
+    // brute-force rank-1 neighbor
+    val exactArm = Similarity
+      .mmrOver(spark, Similarity.mmrCandidatesExact(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topk = Similarity.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val exactFirst = exactArm.filter(_._2 == 1L).map(m => m._1 -> m._3).toMap
+    val bruteFirst = topk.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(exactFirst == bruteFirst,
+      "exact arm's first pick must be the brute-force relevance argmax")
     // k distinct picks per probe
     mmr.groupBy(_._1).foreach { case (q, ps) =>
       assert(ps.map(_._3).distinct.length == Similarity.MmrK,
         s"probe $q: MMR picks must be $ps distinct candidates")
     }
     // DIVERSITY: averaged over probes, the max pairwise cosine among
-    // MMR's k picks is below that of the top-k-by-relevance picks — the
-    // property the re-rank exists for (the corpus HAS near-dup vectors,
-    // so plain top-k returns redundant neighbors; deterministic data, so
-    // this is a fixed comparison, not a flaky statistic)
+    // MMR's k picks is below that of the top-k-by-relevance picks FROM
+    // THE SAME SERVED POOL — the property the re-rank exists for (the
+    // corpus HAS near-dup vectors, so plain relevance picks return
+    // redundant neighbors; deterministic data, so this is a fixed
+    // comparison, not a flaky statistic)
     def avgMaxPairSim(picks: Map[Long, Seq[Long]]): Double = {
       val vals = picks.toSeq.map { case (_, ids) =>
         val pairs = for {
@@ -350,8 +372,8 @@ class SimilaritySpec extends SparkSpec {
     }
     val mmrPicks = mmr.groupBy(_._1).map { case (q, ps) =>
       q -> ps.sortBy(_._2).map(_._3).toSeq }
-    val relPicks = topk.filter(_._2 <= Similarity.MmrK)
-      .groupBy(_._1).map { case (q, ps) => q -> ps.sortBy(_._2).map(_._3).toSeq }
+    val relPicks = cand.groupBy(_._1).map { case (q, cs) =>
+      q -> cs.sortBy(c => (-c._3, c._2)).take(Similarity.MmrK).map(_._2).toSeq }
     val (dMmr, dRel) = (avgMaxPairSim(mmrPicks), avgMaxPairSim(relPicks))
     assert(dMmr < dRel,
       s"MMR picks must be more diverse than relevance top-k " +
