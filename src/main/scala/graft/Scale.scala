@@ -151,6 +151,11 @@ object Scale {
     * cap, an UNTIMED setup (index/artifact lands the bench also performs
     * untimed), optional extra metrics gathered after the timed run, and a
     * per-op bound over those extras vs their ×1 base. */
+  /** sim15's per-factor serve measurement, written by its candidates fn
+    * (which runs before extra in the harness loop) and read by its extra
+    * map — ops run sequentially, so a plain var suffices. */
+  private var sim15BlocksOpened: Long = -1L
+
   private case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
       candidates: (SparkSession, String) => Long,
@@ -212,22 +217,20 @@ object Scale {
     // the output is |probes|×k at every factor.
     Op("sim15_serve", operators.Similarity.landedAnnTopK,
       (s, d) => {
+        // candidates and extra both want the readersOpened delta over an
+        // identical serve run — measure ONCE here and stash for extra
+        // (r13 ADVICE: the third execution bought nothing)
         val before = graft.sources.BlockStore.readersOpened.get
         operators.Similarity.landedAnnTopK(s, d)
           .write.mode("overwrite").format("noop").save()
-        graft.sources.BlockStore.readersOpened.get - before
+        sim15BlocksOpened = graft.sources.BlockStore.readersOpened.get - before
+        sim15BlocksOpened
       }, "linear",
       setup = (s, d) => { operators.Similarity.ensureLandedIndex(s, d): Unit },
-      extra = (s, d) => {
-        val before = graft.sources.BlockStore.readersOpened.get
-        operators.Similarity.landedAnnTopK(s, d)
-          .write.mode("overwrite").format("noop").save()
-        Map(
-          "index_blocks" ->
-            graft.sources.BlockStore.blockCount(s"annidx@$d").toLong,
-          "blocks_opened" ->
-            (graft.sources.BlockStore.readersOpened.get - before))
-      },
+      extra = (s, d) => Map(
+        "index_blocks" ->
+          graft.sources.BlockStore.blockCount(s"annidx@$d").toLong,
+        "blocks_opened" -> sim15BlocksOpened),
       // dictionary pruning must HOLD under blow-up: the store lands
       // ~|cells| blocks at every factor (cell-clustered write), so the
       // serve's OPENED block count must stay FLAT — more corpus means

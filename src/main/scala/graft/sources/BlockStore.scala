@@ -279,17 +279,28 @@ object BlockStore {
     * (DELETE/OPTIMIZE/truncate) shifted positions: fail loudly, as
     * before. `gen` must be captured BEFORE planning read the array (the
     * caller's contract) so any rewrite racing the plan shows up as a
-    * mismatch here rather than a silent mis-resolution. */
+    * mismatch here rather than a silent mis-resolution.
+    *
+    * Seqlock read order (readers hold no lock): capture the ARRAY first,
+    * THEN validate the generation. Every rewrite path bumps the
+    * generation BEFORE swapping the visible array (promoteInto/delete/
+    * optimize/drop, all under fenceLock), so a generation that still
+    * equals the planned one AFTER the array read proves the captured
+    * array predates any rewrite. The previous check-then-act order
+    * (validate, then get) let a rewrite land between the two and hand
+    * back a silently re-numbered array — the exact failure this
+    * fallback exists to refuse loudly. */
   private[sources] def pinnedOrCurrent(id: Long, store: String,
       gen: Long): Array[Block] = {
     val a = pinnedSnaps.get(id)
     if (a != null) a._2
     else {
+      val arr = get(store)
       val now = layoutGeneration(store)
       require(now == gen, s"scan snapshot $id expired AND store '$store' " +
         s"was rewritten since planning (layout generation $now != $gen) — " +
         "positional re-resolution is unsafe; re-plan the query")
-      get(store)
+      arr
     }
   }
 
@@ -311,9 +322,16 @@ object BlockStore {
   // bump (positions are stable under append).
   private val layoutGens = new ConcurrentHashMap[String, AtomicLong]()
 
-  private def bumpLayoutGen(name: String): Unit =
+  private def bumpLayoutGen(name: String): Unit = {
     layoutGens.computeIfAbsent(name, _ => new AtomicLong(0))
       .incrementAndGet(): Unit
+    // every layout rewrite can discard off-heap blocks without spilling
+    // them, leaving offHeapBytesUsed stale-HIGH until the next
+    // enforceBudget stage-2 resync — flag it so stage 1's demote
+    // headroom check resyncs FIRST instead of misrouting post-rewrite
+    // evictions to disk while the tier has room
+    rewroteSinceOffHeapSync.set(true)
+  }
 
   def layoutGeneration(name: String): Long = {
     val g = layoutGens.get(name)
@@ -422,6 +440,12 @@ object BlockStore {
     * by DELETE/OPTIMIZE/drop leave the tier without spilling — the same
     * self-heal as the block counter). */
   private val offHeapBytesUsed = new AtomicLong(0)
+  /** Set by [[bumpLayoutGen]] (all rewrite paths); consumed by
+    * [[enforceBudget]] to resync the off-heap counters BEFORE stage 1's
+    * demote loop reads them (r13 ADVICE: stale-high counters after a
+    * rewrite misrouted evictions to disk until the stage-2 resync). */
+  private val rewroteSinceOffHeapSync =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Off-heap-tier reads served (the three-tier spec's metric). */
   val offHeapReads = new AtomicLong(0)
@@ -468,6 +492,17 @@ object BlockStore {
     * a just-put block carries the freshest stamp, so it is evicted last,
     * matching the reference's "don't evict what you're writing"). */
   private def enforceBudget(): Unit = evictionLock.synchronized {
+    // a rewrite since the last sync may have discarded off-heap blocks
+    // without spilling (counters stale-HIGH): resync before stage 1's
+    // demote loop reads the headroom, or post-rewrite evictions would be
+    // misrouted to disk even though the tier has room. Cheap when the
+    // tier is idle (counter already 0 → scan skipped).
+    if (rewroteSinceOffHeapSync.getAndSet(false) &&
+        offHeapBlockCount.get > 0) {
+      val oh = distinctBlocks(_.isOffHeap)
+      offHeapBlockCount.set(oh.length.toLong)
+      offHeapBytesUsed.set(oh.iterator.map(_.offHeapHeld).sum)
+    }
     var used = memoryUsed
     if (used > budget) {
       val lru = distinctBlocks(_.isInMemory).sortBy(_.lastAccess)

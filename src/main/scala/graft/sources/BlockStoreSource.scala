@@ -619,9 +619,27 @@ private[sources] class BlockMicroBatchStream(store: String,
   // during ANALYSIS, and a query failing between analysis and source
   // tracking would leak the fence for the JVM's lifetime (r12 ADVICE);
   // stop() is idempotent and unregisters only what was registered.
-  private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def ensureFence(): Unit =
-    if (fenced.compareAndSet(false, true)) BlockStore.registerStreamReader(store)
+  //
+  // Three-state lifecycle (r13 ADVICE): a plain boolean let an
+  // offset/plan call racing (or arriving after) stop() — engine teardown
+  // drains calls concurrently — re-CAS false→true and re-register with
+  // nothing left to unregister, permanently fencing the store. STOPPED
+  // is terminal: ensureFence is a no-op once stop() ran, and stop()
+  // unregisters only if the state it replaced was FENCED.
+  // Transitions happen at most twice per stream, so a monitor (not CAS)
+  // keeps the register/unregister side effect atomic with the state flip
+  // — a CAS-then-register would let stop() unregister BEFORE the racing
+  // register landed.
+  private final val Unstarted = 0; private final val Fenced = 1
+  private final val Stopped = 2
+  private var fenceState = Unstarted
+  private val fenceStateLock = new Object
+  private def ensureFence(): Unit = fenceStateLock.synchronized {
+    if (fenceState == Unstarted) {
+      fenceState = Fenced
+      BlockStore.registerStreamReader(store)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     ensureFence()
@@ -664,9 +682,13 @@ private[sources] class BlockMicroBatchStream(store: String,
   override def commit(end: Offset): Unit = ()
   // idempotent: unregister exactly what ensureFence registered, once —
   // a double stop (or a stop on a never-driven stream) must not
-  // decrement another live stream's fence
-  override def stop(): Unit =
-    if (fenced.compareAndSet(true, false)) BlockStore.unregisterStreamReader(store)
+  // decrement another live stream's fence; STOPPED is terminal so a
+  // straggler ensureFence after teardown cannot re-register
+  override def stop(): Unit = fenceStateLock.synchronized {
+    val was = fenceState
+    fenceState = Stopped
+    if (was == Fenced) BlockStore.unregisterStreamReader(store)
+  }
 }
 
 private[sources] case class BlockStreamOffset(n: Int, gen: Long = 0L)
