@@ -155,6 +155,8 @@ object Scale {
     * (which runs before extra in the harness loop) and read by its extra
     * map — ops run sequentially, so a plain var suffices. */
   private var sim15BlocksOpened: Long = -1L
+  /** dd9's per-factor candidate count — same stash pattern. */
+  private var dd9Candidates: Long = -1L
 
   private case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
@@ -210,6 +212,29 @@ object Scale {
         Map("cc_rounds" -> operators.Dedup.lastCcRounds.toLong),
       extraTrack = (_, base, e) =>
         e("cc_rounds") <= base("cc_rounds") + 1),
+    // dd9: the incremental probe through the SHARED prefix rows — the
+    // claim: per-batch cost = |incoming| × rare-token fan-in, never an
+    // index self-join. The harness blows BOTH sides up N× (incoming is
+    // the doc_id % 5 slice of the blown corpus, whose membership
+    // re-rolls per copy under the id shift), so candidates and output
+    // rows track ~N× with a per-copy re-roll; the INDEX-INDEPENDENCE
+    // claim is pinned by the extra: candidates per 1k incoming docs must
+    // stay ~flat while the index behind the probe grows 32×.
+    Op("dd9_incremental", operators.Dedup.incrementalDedup,
+      (s, d) => {
+        dd9Candidates = operators.Dedup.incrementalCandidateIds(s, d).count()
+        dd9Candidates
+      }, "linearRR",
+      extra = (s, d) => {
+        val incoming = Catalog.table(s, d, "documents")
+          .filter(col("doc_id") % 5 === 0).count()
+        Map("incoming_docs" -> incoming,
+          "cand_per_1k_incoming" ->
+            (if (incoming == 0) 0L else dd9Candidates * 1000 / incoming))
+      },
+      extraTrack = (_, base, e) =>
+        e("cand_per_1k_incoming") <=
+          base("cand_per_1k_incoming") * 3 + 50),
     // sim15: top-k SERVED from the landed IVF-PQ index (index build is
     // untimed setup, as the bench lands it). The claim: serve cost tracks
     // |probes| × the probed-cell FRACTION — blocks opened grow ~linearly

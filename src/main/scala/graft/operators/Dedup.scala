@@ -731,6 +731,26 @@ object Dedup {
     * blocks. Recall at 0.6 is exact (the prefix-filter lemma), so the
     * classification is unchanged. The priority order (exact before near)
     * is part of the contract. */
+  /** dd9's candidate stage, exposed for the scale harness: incoming-probe
+    * (doc_id, idx_id) pairs through the SHARED PPJoin prefix rows
+    * ([[prefixRows]]) with the PPJoin length prune applied in the join —
+    * the frame whose count IS the "per-batch cost = |incoming| ×
+    * rare-token fan-in" claim. */
+  private[graft] def incrementalCandidateIds(spark: SparkSession,
+      dir: String): DataFrame = {
+    val isIncoming = col("doc_id") % 5 === 0
+    val pr = prefixRows(ngramBase(spark, dir))
+    pr.filter(isIncoming)
+      .select(col("h"), col("lang"), col("len_bucket"), col("doc_id"),
+        col("n_bg").as("ni"))
+      .join(pr.filter(!isIncoming)
+          .select(col("h"), col("lang"), col("len_bucket"),
+            col("doc_id").as("idx_id"), col("n_bg").as("nx")),
+        Seq("h", "lang", "len_bucket"))
+      .filter(col("ni") * 5 >= col("nx") * 3 && col("nx") * 5 >= col("ni") * 3)
+      .select(col("doc_id"), col("idx_id")).distinct()
+  }
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.VectorExpressions.register(spark)
     val isIncoming = col("doc_id") % 5 === 0
@@ -742,16 +762,7 @@ object Dedup {
         Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1))
     val base = ngramBase(spark, dir)
-    val pr = prefixRows(base)
-    val candP = pr.filter(isIncoming)
-      .select(col("h"), col("lang"), col("len_bucket"), col("doc_id"),
-        col("n_bg").as("ni"))
-      .join(pr.filter(!isIncoming)
-          .select(col("h"), col("lang"), col("len_bucket"),
-            col("doc_id").as("idx_id"), col("n_bg").as("nx")),
-        Seq("h", "lang", "len_bucket"))
-      .filter(col("ni") * 5 >= col("nx") * 3 && col("nx") * 5 >= col("ni") * 3)
-      .select(col("doc_id"), col("idx_id")).distinct()
+    val candP = incrementalCandidateIds(spark, dir)
     val nInt = call_function("sorted_intersect_count", col("bg_i"), col("bg_x"))
     val nearIds = candP
       .join(base.select(col("doc_id"), col("bg").as("bg_i"),

@@ -151,6 +151,134 @@ class ConcurrentStoreSpec extends SparkSpec {
     BlockStore.dropStore(name)
   }
 
+  test("OPTIMIZE vs a COLUMNAR scan: planned partitions resolve their " +
+    "pinned snapshot; expired pins over the rewrite fail loudly") {
+    val name = "conc-columnar"
+    BlockStore.dropStore(name)
+    // production-sized blocks (≥ ColumnarMinRows) so the scan answers
+    // columnar — the race must exercise createColumnarReader's
+    // pinnedOrCurrent resolution, not the row path's
+    (0 until 4).foreach(k => stageCommit(name, k.toLong, mkRows(k * 1000L, 600)))
+    def scan() = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load().select(col("doc_id"))
+    val probe = scan()
+    val expected = probe.collect().map(_.getLong(0)).sorted.toVector
+    // assert on the FINAL plan after execution (AQE wraps the initial one)
+    assert(probe.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "store must plan columnar — otherwise this race exercises the row path")
+    // 1) plan → OPTIMIZE lands → execute: the pinned pre-rewrite snapshot
+    //    serves the exact planned rows (no error, no shifted positions)
+    val rdd1 = scan().rdd
+    rdd1.getNumPartitions // force partition planning: pins NOW
+    BlockStore.optimize(name, 5000L): Unit // merges all four blocks
+    assert(rdd1.map(_.getLong(0)).collect().sorted.toVector == expected,
+      "a planned columnar scan must serve its pinned snapshot across OPTIMIZE")
+    // 2) racing OPTIMIZEs vs fresh columnar readers: OPTIMIZE never
+    //    changes the row set, so every read must observe exactly it
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(seed: Long)(body: scala.util.Random => Unit): Thread = {
+      val t = new Thread(() => {
+        val rnd = new scala.util.Random(seed)
+        try body(rnd) catch { case e: Throwable => errors.add(e): Unit }
+      })
+      t.start(); t
+    }
+    val threads = Seq(
+      thread(11L) { rnd =>
+        Seq(1200L, 2400L, 900L).foreach { target =>
+          Thread.sleep(rnd.nextInt(40).toLong)
+          BlockStore.optimize(name, target): Unit // bumps gen every time
+        }
+      }) ++ (12 to 13).map(s => thread(s.toLong) { rnd =>
+        (1 to 6).foreach { _ =>
+          val got = scan().collect().map(_.getLong(0)).sorted.toVector
+          assert(got == expected,
+            s"columnar reader observed a torn/shifted row set under OPTIMIZE " +
+              s"(size=${got.size}, expected ${expected.size})")
+          Thread.sleep(rnd.nextInt(20).toLong)
+        }
+      })
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"racing columnar read failed: ${errors.peek()}")
+    // 3) expired pin + a rewrite since planning → loud re-plan refusal
+    val rdd2 = scan().rdd
+    rdd2.getNumPartitions
+    (0 until 300).foreach { _ =>
+      spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", name).load().rdd.getNumPartitions: Unit
+    }
+    BlockStore.optimize(name, 700L): Unit // bumps gen (even merging nothing)
+    val e = intercept[org.apache.spark.SparkException] {
+      rdd2.map(_.getLong(0)).collect(): Unit
+    }
+    assert(e.getMessage.contains("re-plan") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-plan")),
+      s"expired columnar pin over a rewritten store must fail loudly: " +
+        s"${e.getMessage.take(300)}")
+    BlockStore.dropStore(name)
+  }
+
+  test("DELETE racing the SPJ join: planned ShardBlockPartitions resolve " +
+    "their pinned snapshot; expired pins over the rewrite fail loudly") {
+    val dir = "/root/testdata/sf0.001"
+    val (cur, prev) = BlockStore.ensureShardedSnapshots(spark, dir)
+    try {
+      def ids(rows: Array[org.apache.spark.sql.Row]): Vector[Long] =
+        rows.map(_.getLong(0)).sorted.toVector
+      // the registered x37 query ends in a global orderBy — a RANGE
+      // exchange, so under AQE the join stage (the store reads) executes
+      // EAGERLY when the final plan is forced, leaving no plan→read race
+      // window. Race the exchange-FREE core instead: the co-located SMJ
+      // over the two sharded scans, whose single stage plans partitions
+      // (pins) at getNumPartitions and reads the store only at collect.
+      def spjCore() = spark.table(s"graftblocks.`$cur`")
+        .hint("merge")
+        .join(spark.table(s"graftblocks.`$prev`")
+          .select(col("doc_id"), col("n_chars").as("prev_chars")),
+          Seq("doc_id"))
+        .filter(col("n_chars") > 300)
+        .select(col("doc_id"))
+      val expected = ids(spjCore().collect())
+      assert(expected.nonEmpty, "SPJ fixture must produce rows")
+      assert(expected.exists(_ % 7 == 3),
+        "fixture drift: the racing DELETE below would not change the join")
+      // 1) plan the join (pins BOTH sharded scans), DELETE from the
+      //    current snapshot mid-flight, execute: the ShardBlockPartitions
+      //    must resolve the pinned pre-delete arrays — exact planned rows
+      val rdd1 = spjCore().rdd
+      rdd1.getNumPartitions // force planning: pins NOW
+      val del = BlockStore.deleteWhere(cur, _ => true, _._1 % 7 == 3)
+      assert(del > 0, "the racing DELETE must remove rows")
+      assert(ids(rdd1.collect()) == expected,
+        "a planned SPJ join must serve its pinned snapshots across DELETE")
+      // 2) a FRESH plan sees exactly the post-delete store
+      val fresh = ids(spjCore().collect())
+      assert(fresh == expected.filterNot(_ % 7 == 3),
+        "a fresh SPJ plan must observe exactly the post-delete row set")
+      // 3) expired pins + another rewrite → loud re-plan refusal through
+      //    the ShardBlockPartition path
+      val rdd2 = spjCore().rdd
+      rdd2.getNumPartitions
+      (0 until 300).foreach { _ =>
+        spark.read.format("graft.sources.BlockStoreSource")
+          .option("store", cur).load().rdd.getNumPartitions: Unit
+      }
+      BlockStore.deleteWhere(cur, _ => true, _._1 % 11 == 5): Unit
+      val e = intercept[org.apache.spark.SparkException] {
+        rdd2.collect(): Unit
+      }
+      assert(e.getMessage.contains("re-plan") ||
+        Option(e.getCause).exists(_.getMessage.contains("re-plan")),
+        s"expired SPJ pin over a rewritten store must fail loudly: " +
+          s"${e.getMessage.take(300)}")
+    } finally {
+      // the snapshots are now rewritten — drop both so any later consumer
+      // (x37 via ensureShardedSnapshots) re-lands clean fixtures
+      BlockStore.dropStore(cur)
+      BlockStore.dropStore(prev)
+    }
+  }
+
   test("pin expiry: unchanged generation re-resolves positionally; a " +
     "rewritten store fails loudly (never silently shifted blocks)") {
     val name = "conc-pin"

@@ -131,6 +131,27 @@ class ScaleSpec extends SparkSpec {
     assert(sb8 <= sb1 * 2 + 4,
       s"sim15 opened blocks must stay flat under blow-up ($sb1 -> $sb8)")
 
+    // dd9: the incremental probe through the SHARED prefix rows —
+    // output rows = |incoming| (the doc_id % 5 slice, membership
+    // re-rolls per copy under the id shift) and candidates both track
+    // ~N×; the INDEX-INDEPENDENCE claim is the fan-in ratio: candidates
+    // per 1k incoming docs must stay ~flat as the index grows 8×
+    def dd9(d: String): (Long, Long, Long) = {
+      val rows = operators.Dedup.incrementalDedup(spark, d).count()
+      val cand = operators.Dedup.incrementalCandidateIds(spark, d).count()
+      val incoming = Catalog.table(spark, d, "documents")
+        .filter(col("doc_id") % 5 === 0).count()
+      (rows, cand, incoming)
+    }
+    val ((dr1, dc1, di1), (dr8, dc8, di8)) = (dd9(d1), dd9(d8))
+    assert(Scale.rowsTrack("dd9_incremental", "linearRR", 8, dr1, dr8),
+      s"dd9 rows off-model: ×1=$dr1, ×8=$dr8 (linearRR)")
+    assert(Scale.candTrack("linearRR", 8, dc1, dc8),
+      s"dd9 candidates off-model: ×1=$dc1, ×8=$dc8 (linearRR)")
+    val (fan1, fan8) = (dc1 * 1000 / di1, dc8 * 1000 / di8)
+    assert(fan8 <= fan1 * 3 + 50,
+      s"dd9 per-incoming fan-in must stay ~flat ($fan1 -> $fan8 per 1k)")
+
     // s25: streaming ingest — the feed grows N×, the served output stays
     // |probes|×k (ingest cost is per-batch; the drained index serves
     // identically at any batch partitioning)
