@@ -158,6 +158,13 @@ object Scale {
   /** dd9's per-factor candidate count — same stash pattern. */
   private var dd9Candidates: Long = -1L
 
+  /** dd9's index-independence bound, shared by the harness's extraTrack
+    * and ScaleSpec so the two cannot silently diverge: candidates per 1k
+    * incoming docs must stay ~flat (re-roll tolerance) as the index
+    * grows. */
+  private[graft] def dd9FanInOk(base: Long, cur: Long): Boolean =
+    cur <= base * 3 + 50
+
   private case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
       candidates: (SparkSession, String) => Long,
@@ -233,8 +240,7 @@ object Scale {
             (if (incoming == 0) 0L else dd9Candidates * 1000 / incoming))
       },
       extraTrack = (_, base, e) =>
-        e("cand_per_1k_incoming") <=
-          base("cand_per_1k_incoming") * 3 + 50),
+        dd9FanInOk(base("cand_per_1k_incoming"), e("cand_per_1k_incoming"))),
     // sim15: top-k SERVED from the landed IVF-PQ index (index build is
     // untimed setup, as the bench lands it). The claim: serve cost tracks
     // |probes| × the probed-cell FRACTION — blocks opened grow ~linearly

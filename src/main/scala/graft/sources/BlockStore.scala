@@ -282,14 +282,16 @@ object BlockStore {
     * mismatch here rather than a silent mis-resolution.
     *
     * Seqlock read order (readers hold no lock): capture the ARRAY first,
-    * THEN validate the generation. Every rewrite path bumps the
-    * generation BEFORE swapping the visible array (promoteInto/delete/
-    * optimize/drop, all under fenceLock), so a generation that still
-    * equals the planned one AFTER the array read proves the captured
-    * array predates any rewrite. The previous check-then-act order
+    * THEN validate the generation. Every rewrite path (promoteInto/
+    * delete/optimize/drop, all under fenceLock) bumps the generation
+    * BEFORE and AFTER the swap (the parity seqlock at [[bumpLayoutGen]]),
+    * and planners capture [[stableLayoutGeneration]] (always even), so a
+    * post-array generation read that still equals the planned one proves
+    * NO rewrite overlapped plan→read: an overlapping rewrite leaves the
+    * final generation odd (in flight) or ≥ planned+2 (completed), both
+    * failing the equality loudly. The previous check-then-act order
     * (validate, then get) let a rewrite land between the two and hand
-    * back a silently re-numbered array — the exact failure this
-    * fallback exists to refuse loudly. */
+    * back a silently re-numbered array. */
   private[sources] def pinnedOrCurrent(id: Long, store: String,
       gen: Long): Array[Block] = {
     val a = pinnedSnaps.get(id)
@@ -322,15 +324,44 @@ object BlockStore {
   // bump (positions are stable under append).
   private val layoutGens = new ConcurrentHashMap[String, AtomicLong]()
 
-  private def bumpLayoutGen(name: String): Unit = {
+  // PARITY SEQLOCK: every rewrite bumps the generation TWICE — once
+  // BEFORE the array swap (entering the odd in-flight window) and once
+  // AFTER it ([[completeLayoutRewrite]], restoring even parity). Readers
+  // hold no lock; the pairing is what makes the pin-expiry fallback and
+  // plan-time generation capture sound:
+  //   - planners read [[stableLayoutGeneration]] (spins past odd), so a
+  //     captured generation always names a stable layout;
+  //   - a rewrite overlapping ANY part of plan→read leaves the final
+  //     generation different from the captured one (bump1 if the capture
+  //     preceded it, bump2 if it raced the swap), so the fallback's
+  //     equality check fails LOUDLY — a single pre-swap bump let a scan
+  //     planned between bump and swap embed the post-rewrite generation
+  //     with the pre-rewrite array and silently mis-resolve after pin
+  //     expiry (r14 review finding).
+  private def bumpLayoutGen(name: String): Unit =
     layoutGens.computeIfAbsent(name, _ => new AtomicLong(0))
       .incrementAndGet(): Unit
-    // every layout rewrite can discard off-heap blocks without spilling
-    // them, leaving offHeapBytesUsed stale-HIGH until the next
-    // enforceBudget stage-2 resync — flag it so stage 1's demote
-    // headroom check resyncs FIRST instead of misrouting post-rewrite
-    // evictions to disk while the tier has room
+
+  /** The rewrite's closing bump (call in a finally — an exception mid-swap
+    * must not strand the odd parity) + the off-heap resync flag, set
+    * AFTER the swap so a concurrent enforceBudget cannot consume it
+    * against the pre-rewrite arrays (r14 review finding). */
+  private def completeLayoutRewrite(name: String): Unit = {
+    bumpLayoutGen(name)
+    // the rewrite can discard off-heap blocks without spilling them,
+    // leaving offHeapBytesUsed stale-HIGH until the next enforceBudget
+    // stage-2 resync — flag it so stage 1's demote headroom check
+    // resyncs FIRST instead of misrouting evictions to disk
     rewroteSinceOffHeapSync.set(true)
+  }
+
+  /** Planner-side generation read: spins past a rewrite's odd (in-flight)
+    * parity window so captured generations always name a STABLE layout
+    * (bounded by the rewrite's in-memory swap — microseconds). */
+  private[sources] def stableLayoutGeneration(name: String): Long = {
+    var g = layoutGeneration(name)
+    while ((g & 1L) == 1L) { Thread.onSpinWait(); g = layoutGeneration(name) }
+    g
   }
 
   def layoutGeneration(name: String): Long = {
@@ -649,9 +680,11 @@ object BlockStore {
     val blocks: Array[Block] =
       if (s == null) Array.empty
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
-    val after = stores.compute(target, (_, v) =>
-      if (truncate || v == null) blocks else v ++ blocks)
-    recordVersion(target, after)
+    try {
+      val after = stores.compute(target, (_, v) =>
+        if (truncate || v == null) blocks else v ++ blocks)
+      recordVersion(target, after)
+    } finally if (truncate) completeLayoutRewrite(target)
     enforceBudget()
   }
 
@@ -749,29 +782,35 @@ object BlockStore {
   /** Drop a store and its streaming epoch watermark (a re-run of a
     * streaming-sink query starts from a fresh checkpoint at epoch 0, so
     * the stale watermark would silently swallow its first commits). */
-  def dropStore(name: String): Unit = {
-    stores.remove(name): Unit
-    streamEpochs.remove(name): Unit
-    // drop the version history, materialized snapshot aliases, and any
-    // stale live-stream counter (a re-run starts clean)
-    history.remove(name): Unit
-    liveStreams.remove(name): Unit
-    // a drop is itself a layout rewrite: BUMP the generation (never reset
-    // it — a drop-and-recreate would otherwise hand a stopped stream's
-    // checkpoint a matching generation over entirely different data)
+  def dropStore(name: String): Unit = fenceLock.synchronized {
+    // a drop IS a layout rewrite (never reset the generation — a
+    // drop-and-recreate would otherwise hand a stopped stream's
+    // checkpoint a matching generation over entirely different data),
+    // and it follows the same parity discipline: bump BEFORE the
+    // removal, close after — the previous swap-then-bump order let an
+    // expired-pin reader racing the drop pass the generation check
+    // against the already-emptied array (r14 review finding)
     bumpLayoutGen(name)
-    // release this store's planning pins — a dropped store's payloads
-    // must not stay reachable through stale plans (reads fail loudly);
-    // versioned scans pin under the alias key, so match those too
-    import scala.jdk.CollectionConverters._
-    pinnedSnaps.entrySet().asScala
-      .filter { e =>
-        val n = e.getValue._1
-        n == name || n.startsWith(s"$name@@v")
-      }.map(_.getKey).toSeq
-      .foreach(pinnedSnaps.remove(_): Unit)
-    snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
-      .foreach(snapshotAliases.remove(_): Unit)
+    try {
+      stores.remove(name): Unit
+      streamEpochs.remove(name): Unit
+      // drop the version history, materialized snapshot aliases, and any
+      // stale live-stream counter (a re-run starts clean)
+      history.remove(name): Unit
+      liveStreams.remove(name): Unit
+      // release this store's planning pins — a dropped store's payloads
+      // must not stay reachable through stale plans (reads fail loudly);
+      // versioned scans pin under the alias key, so match those too
+      import scala.jdk.CollectionConverters._
+      pinnedSnaps.entrySet().asScala
+        .filter { e =>
+          val n = e.getValue._1
+          n == name || n.startsWith(s"$name@@v")
+        }.map(_.getKey).toSeq
+        .foreach(pinnedSnaps.remove(_): Unit)
+      snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
+        .foreach(snapshotAliases.remove(_): Unit)
+    } finally completeLayoutRewrite(name)
   }
 
   private[sources] def discardStaged(name: String): Unit = {
@@ -818,23 +857,25 @@ object BlockStore {
         "stream(s) first")
     bumpLayoutGen(name)
     var deleted = 0L
-    val after = stores.computeIfPresent(name, (_, blocks) => {
-      blocks.flatMap { b =>
-        if (!mayMatch(b)) { deletePruned.incrementAndGet(); Some(b) }
-        else {
-          deleteScanned.incrementAndGet()
-          val kept = b.rows.filterNot(rowPred)
-          if (kept.length == b.numRows) Some(b)
+    try {
+      val after = stores.computeIfPresent(name, (_, blocks) => {
+        blocks.flatMap { b =>
+          if (!mayMatch(b)) { deletePruned.incrementAndGet(); Some(b) }
           else {
-            deleted += b.numRows - kept.length
-            if (kept.isEmpty) None
-            else Some(new Block(kept.iterator.map(_._1).min,
-              kept.iterator.map(_._1).max, kept, b.shard))
+            deleteScanned.incrementAndGet()
+            val kept = b.rows.filterNot(rowPred)
+            if (kept.length == b.numRows) Some(b)
+            else {
+              deleted += b.numRows - kept.length
+              if (kept.isEmpty) None
+              else Some(new Block(kept.iterator.map(_._1).min,
+                kept.iterator.map(_._1).max, kept, b.shard))
+            }
           }
         }
-      }
-    })
-    if (after != null) recordVersion(name, after)
+      })
+      if (after != null) recordVersion(name, after)
+    } finally completeLayoutRewrite(name)
     enforceBudget()
     deleted
     }
@@ -867,27 +908,30 @@ object BlockStore {
         "streaming reader(s) hold positional offsets into it")
     bumpLayoutGen(name)
     var result = (0, 0)
-    val after = stores.computeIfPresent(name, (_, blocks) => {
-      val sorted = blocks.sortBy(_.minId)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Block]
-      val buf = scala.collection.mutable.ArrayBuffer.empty[DocRow]
-      def flush(): Unit = if (buf.nonEmpty) {
-        out += Block(buf.iterator.map(_._1).min, buf.iterator.map(_._1).max,
-          buf.toArray)
-        buf.clear()
-      }
-      sorted.foreach { b =>
-        if (b.numRows >= targetRows) { flush(); out += b }
-        else {
-          buf ++= b.rows
-          if (buf.length >= targetRows) flush()
+    try {
+      val after = stores.computeIfPresent(name, (_, blocks) => {
+        val sorted = blocks.sortBy(_.minId)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[DocRow]
+        def flush(): Unit = if (buf.nonEmpty) {
+          out += Block(buf.iterator.map(_._1).min, buf.iterator.map(_._1).max,
+            buf.toArray)
+          buf.clear()
         }
-      }
-      flush()
-      result = (blocks.length, out.length)
-      out.toArray
-    })
-    if (after != null) { recordVersion(name, after); enforceBudget() }
+        sorted.foreach { b =>
+          if (b.numRows >= targetRows) { flush(); out += b }
+          else {
+            buf ++= b.rows
+            if (buf.length >= targetRows) flush()
+          }
+        }
+        flush()
+        result = (blocks.length, out.length)
+        out.toArray
+      })
+      if (after != null) recordVersion(name, after)
+    } finally completeLayoutRewrite(name)
+    enforceBudget()
     result
     }
   }

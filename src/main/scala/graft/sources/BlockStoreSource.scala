@@ -496,8 +496,10 @@ private[sources] class BlockScan(store: String, required: StructType,
     // reference, never mutate it), so [snap, idx] names one block forever.
     // gen BEFORE the array read: the pin-expiry fallback may only trust
     // positional re-resolution when no rewrite happened since BEFORE we
-    // indexed the array (pinnedOrCurrent's contract)
-    val gen = BlockStore.layoutGeneration(store)
+    // indexed the array (pinnedOrCurrent's contract). STABLE read: a
+    // mid-rewrite (odd-parity) generation would pass the fallback's
+    // equality check against the post-rewrite array.
+    val gen = BlockStore.stableLayoutGeneration(store)
     val arr = BlockStore.get(store)
     val snap = BlockStore.pinSnapshot(store, arr)
     BlockStore.shardingOf(store) match {
@@ -571,7 +573,7 @@ private[sources] class BlockMicroBatchStream(store: String,
   // stream's persisted checkpoint. Offsets therefore embed the layout
   // generation they were minted under; a replay over a bumped store
   // fails loudly instead of silently serving re-numbered blocks.
-  private def gen: Long = BlockStore.layoutGeneration(store)
+  private def gen: Long = BlockStore.stableLayoutGeneration(store)
 
   private def checkGen(o: BlockStreamOffset): Unit =
     require(o.gen == gen,

@@ -90,6 +90,9 @@ class ConcurrentStoreSpec extends SparkSpec {
         }
       })
     threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive),
+      "a racing thread is still alive after the join timeout — the " +
+        "assertions below would race it (host stall, not a store bug)")
     assert(errors.isEmpty, s"concurrent op failed: ${errors.peek()}")
     // legal states = every transactionally committed version's row set
     val legal = (1 to BlockStore.currentVersion(name))
@@ -146,8 +149,9 @@ class ConcurrentStoreSpec extends SparkSpec {
       "stop must release the fence (once, even if called twice)")
     val del = BlockStore.deleteWhere(name, _ => true, _._1 % 2 == 0)
     assert(del > 0, "post-stop DELETE must succeed")
-    assert(BlockStore.layoutGeneration(name) == gen0 + 1,
-      "the DELETE rewrite must bump the layout generation")
+    assert(BlockStore.layoutGeneration(name) == gen0 + 2,
+      "the DELETE rewrite must bump the layout generation by exactly one " +
+        "parity pair (pre-swap + post-swap)")
     BlockStore.dropStore(name)
   }
 
@@ -199,6 +203,9 @@ class ConcurrentStoreSpec extends SparkSpec {
         }
       })
     threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive),
+      "a racing thread is still alive after the join timeout — the " +
+        "assertions below would race it (host stall, not a store bug)")
     assert(errors.isEmpty, s"racing columnar read failed: ${errors.peek()}")
     // 3) expired pin + a rewrite since planning → loud re-plan refusal
     val rdd2 = scan().rdd

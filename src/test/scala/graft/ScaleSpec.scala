@@ -149,7 +149,7 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.candTrack("linearRR", 8, dc1, dc8),
       s"dd9 candidates off-model: ×1=$dc1, ×8=$dc8 (linearRR)")
     val (fan1, fan8) = (dc1 * 1000 / di1, dc8 * 1000 / di8)
-    assert(fan8 <= fan1 * 3 + 50,
+    assert(Scale.dd9FanInOk(fan1, fan8),
       s"dd9 per-incoming fan-in must stay ~flat ($fan1 -> $fan8 per 1k)")
 
     // s25: streaming ingest — the feed grows N×, the served output stays
