@@ -31,10 +31,14 @@ import org.apache.spark.sql.functions._
   *     bijections also de-correlate byte ORDER, so dHash signatures are
   *     independent) — no cross-copy true pairs for the set/edit metrics,
   *     which is what makes candidate growth attributable to the banding
-  *     math instead of the fixture. The one honest exception is mm6
-  *     ("banded16sat"): a Hamming-THRESHOLD accept over biased 64-bit
-  *     text-byte signatures saturates with density, so its found rows
-  *     grow a genuine quadratic tail (bounded in [[rowsTrack]]).
+  *     math instead of the fixture. (Two historical fixture defects are
+  *     worth recording: rotations of one cycle repeated copy 0 exactly
+  *     at ×32, and rotations from two DIFFERENT base cycles coincided
+  *     on most of the alphabet — copies 1/28 were byte-level near-dups
+  *     and mm6's r12-r13 "banded16sat" quadratic tail was exactly that
+  *     artifact. The min-disagree shuffle maps + mm6's luminance-style
+  *     byte dispersal fixed both; mm6 now pins the same banded16 model
+  *     as dd15.)
   *
   * What the candidate counts should do — the BANDING MATH the spec bounds:
   *
@@ -63,43 +67,55 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  // scrambled cycles (NOT the natural alphabet order: rotations of a
-  // scrambled cycle de-correlate byte order, which Caesar shifts do not —
-  // dHash compares byte magnitudes, so order correlation would create
-  // cross-copy perceptual near-dups). TWO distinct base cycles per class:
-  // a single 26-cycle's rotations have period 26, so at ×32 copy 26 would
-  // repeat copy 0's bijection EXACTLY and every doc would gain a perfect
-  // cross-copy duplicate (measured: a 10× row cliff at ×32 before this
-  // fix); alternating base cycles push the letter-map period to 52.
-  private val LettersA = "qwertyuiopasdfghjklzxcvbnm"
-  private val LettersB = "mzaqxswcdevfrbgtnhyjukilop"
-  // SIX scrambled digit 10-cycles: two cycles' rotations give at most
-  // 2×9 = 18 distinct non-identity maps, so any 2-cycle scheme REPEATS a
-  // digit map within 51 copies (r12 shipped exactly that: copies 0/20/40
-  // shared DigitsA rot 0 — digit-only shingles were identical across
-  // them, weakening cross-copy content disjointness for digit-heavy
-  // text). 6 cycles × 9 never-zero shifts = 54 ≥ 50 distinct maps.
-  private val DigitCycles = Seq(
-    "7301942865", "5826491073", "2957048316",
-    "8164730529", "4693817250", "0478265193")
+  // The copy bijections must be pairwise FAR, not merely distinct. The
+  // r12-r13 scheme (rotations of two scrambled base cycles) guaranteed
+  // all 51 maps distinct as functions, but two rotations drawn from
+  // DIFFERENT base cycles can coincide on most of the alphabet —
+  // measured at r14: copies 1 and 28 agreed on ~2/3 of the letters, so
+  // those copies' texts were near-identical BYTE-wise and mm6's
+  // (dispersed) dHash correctly flagged them as cross-copy perceptual
+  // near-dups — a fixture artifact masquerading as operator saturation
+  // (the old `banded16sat` tail). Seeded shuffles with a MIN-DISAGREE
+  // rejection loop give what the fixture's "cross-copy disjoint"
+  // contract actually needs: every pair of maps disagrees on
+  // ≥ [[MinLetterDisagree]] of 26 letters (≥ [[MinDigitDisagree]] of 10
+  // digits), so no two copies share enough letter assignments for
+  // byte-level (mm6) or token-level (dd3/dd6) cross-copy similarity.
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+  private val DigitsSrc = "0123456789"
+  private[graft] val MinLetterDisagree = 20
+  private[graft] val MinDigitDisagree = 7
 
-  /** translate() source/target for copy k: a scrambled cycle rotated by a
-    * NEVER-ZERO-past-k=0 shift — k = 0 is the identity, k = 1..25 rotates
-    * letter cycle A by k, k = 26..50 rotates cycle B by k−25 (1..25: a
-    * zero shift on ANY cycle is the identity again — the second cause of
-    * the ×32 duplicate-copy cliff). Digits walk [[DigitCycles]] with
-    * shift (k−1)%9+1 — never zero past k = 0, no repeats through ×51.
-    * [[ScaleSpec]] pins all 51 letter maps AND digit maps pairwise
-    * distinct AS FUNCTIONS. */
+  /** `count` permutations of `src`: index 0 is the IDENTITY (copy 0 runs
+    * the registered query on the original corpus), the rest are
+    * deterministic seeded Fisher-Yates shuffles accepted only when they
+    * disagree with every previously accepted map (identity included) on
+    * at least `minDiff` positions. Random permutations agree on ~1
+    * position in expectation, so the rejection loop terminates fast. */
+  private def distantShuffles(src: String, count: Int, minDiff: Int,
+      seed: Long): IndexedSeq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val out = scala.collection.mutable.ArrayBuffer(src)
+    while (out.length < count) {
+      val cand = rnd.shuffle(src.toList).mkString
+      val far = out.forall(prev =>
+        prev.indices.count(i => prev(i) == cand(i)) <= src.length - minDiff)
+      if (far) out += cand
+    }
+    out.toIndexedSeq
+  }
+
+  private lazy val letterMaps =
+    distantShuffles(Alphabet, 51, MinLetterDisagree, seed = 0xA11CEL)
+  private lazy val digitMaps =
+    distantShuffles(DigitsSrc, 51, MinDigitDisagree, seed = 0xD161L)
+
+  /** translate() source/target for copy k — k = 0 is the identity;
+    * [[ScaleSpec]] pins all 51 letter AND digit maps pairwise distant
+    * (min-disagree), bijective, with copy 0 the identity. */
   private[graft] def copyMapping(k: Int): (String, String) = {
     require(k <= 50, s"copy fixture supports factors up to 51, got copy $k")
-    def rot(c: String, s: Int): String =
-      c.indices.map(i => c((i + s) % c.length)).mkString
-    val (lc, ls) = if (k < 26) (LettersA, k) else (LettersB, k - 25)
-    val (dc, ds) =
-      if (k == 0) (DigitCycles.head, 0)
-      else (DigitCycles(((k - 1) / 9) % 6), (k - 1) % 9 + 1)
-    (lc + dc, rot(lc, ls) + rot(dc, ds))
+    (Alphabet + DigitsSrc, letterMaps(k) + digitMaps(k))
   }
 
   /** Synthesize (once) the factor-`n` corpus under `outRoot/x$n` and
@@ -111,7 +127,7 @@ object Scale {
     val dir = s"$outRoot/x$n"
     // marker versioned with the fixture recipe: a recipe change must
     // regenerate corpora an earlier run cached under /tmp
-    val done = java.nio.file.Paths.get(s"$dir/_READY_v4")
+    val done = java.nio.file.Paths.get(s"$dir/_READY_v5")
     if (!java.nio.file.Files.exists(done)) {
       val docs = Catalog.table(spark, baseDir, "documents")
       val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
@@ -184,7 +200,7 @@ object Scale {
       (s, d) => operators.Dedup.editCandidateFrame(s, d).count(), "banded16"),
     Op("mm6_phash", operators.Multimodal.perceptualNearDup,
       (s, d) => operators.Multimodal.perceptualPieces(s, d)._2.count(),
-      "banded16sat"),
+      "banded16"),
     Op("dd13_bloom_decontam", operators.Dedup.decontaminateBloom,
       (s, d) => {
         // candidate volume = shared (train-shingle, test-shingle) join
@@ -328,15 +344,6 @@ object Scale {
       // below quadratic growth (a quadratic op would sit at N× the
       // upper bound by ×8).
       rows >= base * factor / 3 - 10 && rows <= base * factor * 3 + 10
-    else if (model == "banded16sat")
-      // mm6: a Hamming-THRESHOLD dedup over biased 64-bit signatures
-      // saturates with density — pairs inside the Hamming-6 ball grow a
-      // quadratic tail of GENUINE accepts (the hash is a stub over text
-      // bytes; real luminance dHashes are far more dispersed). Bounded
-      // between ~linear from below and quadratic from above. (dd15 stays
-      // strictly linear: char-scrambled copies provably exceed EditMax.)
-      rows >= base * factor * 3 / 4 &&
-        rows <= base * factor.toLong * factor * 13 / 10 + 50
     else math.abs(rows - base * factor) <=
       math.max(math.round(tol * base * factor), 10L)
   }

@@ -160,6 +160,24 @@ object Multimodal {
   val DHashH = 8
   val DHashPoints: Int = DHashW * DHashH // 72
   val DHashBands = 4
+  /** Byte DISPERSAL for the decode stub: a fixed affine bijection
+    * `b ↦ (b·167 + 13) mod 256` applied to every sampled byte before the
+    * adjacent-pair comparison. Real luminance grids are ~uniform over
+    * [0,255]; raw ASCII text concentrates in [32,122], which BIASES the
+    * `<` comparisons, concentrates signatures, and made the Hamming-6
+    * accept SATURATE with corpus density (the r12-r13 `banded16sat`
+    * scale model — a measured quadratic found-rows tail at ×32).
+    * Dispersal restores the luminance-like distribution the production
+    * decoder would feed this stage, while preserving the perceptual
+    * LOCALITY the operator is about: the map is per-byte, so perturbing
+    * one sampled byte still flips at most its two adjacent comparisons
+    * (the injected-copy recall proof is untouched). 167 is odd ⇒
+    * bijective mod 256; consecutive byte values land 167 apart, so the
+    * narrow text range spreads across the full space. Mirrored exactly
+    * in the mm6/mm7 DuckDB oracles. */
+  val DispMul = 167
+  val DispAdd = 13
+  @inline private[graft] def disp(b: Int): Int = (b * DispMul + DispAdd) & 0xff
   /** Near-dup acceptance: ≤ [[HammingMax]] of 64 bits differ. */
   val HammingMax = 6
   /** Copies injected as the demonstration fixture get `doc_id + this`. */
@@ -240,7 +258,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val n = p.length
-        def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
+        def pt(i: Int): Int = disp(p(i * n / DHashPoints) & 0xff)
         val bands = new Array[Long](DHashBands)
         var bit = 0
         var r = 0
@@ -410,8 +428,8 @@ object Multimodal {
          |d AS (SELECT doc_id, text, length(text) AS n FROM aug
          |      WHERE length(text) >= $DHashPoints),
          |bits AS (SELECT doc_id, r * ${DHashW - 1} + c AS bit,
-         |           CASE WHEN ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1))
-         |                   < ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1))
+         |           CASE WHEN (ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1)) * $DispMul + $DispAdd) % 256
+         |                   < (ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1)) * $DispMul + $DispAdd) % 256
          |                THEN 1 ELSE 0 END AS v
          |         FROM d, generate_series(0, ${DHashH - 1}) t1(r),
          |                 generate_series(0, ${DHashW - 2}) t2(c)),
@@ -455,8 +473,8 @@ object Multimodal {
          |d AS (SELECT doc_id, text, length(text) AS n FROM aug
          |      WHERE length(text) >= $DHashPoints),
          |bits AS (SELECT doc_id, r * ${DHashW - 1} + c AS bit,
-         |           CASE WHEN ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1))
-         |                   < ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1))
+         |           CASE WHEN (ascii(substr(text, 1 + ((r * $DHashW + c) * n) // $DHashPoints, 1)) * $DispMul + $DispAdd) % 256
+         |                   < (ascii(substr(text, 1 + ((r * $DHashW + c + 1) * n) // $DHashPoints, 1)) * $DispMul + $DispAdd) % 256
          |                THEN 1 ELSE 0 END AS v
          |         FROM d, generate_series(0, ${DHashH - 1}) t1(r),
          |                 generate_series(0, ${DHashW - 2}) t2(c)),

@@ -68,7 +68,8 @@ class TextMultimodalSpec extends SparkSpec {
     }
     def sig(t: String): Array[Long] = {
       val p = t.getBytes("UTF-8"); val n = p.length
-      def pt(i: Int): Int = p(i * n / DHashPoints) & 0xff
+      def pt(i: Int): Int =
+        operators.Multimodal.disp(p(i * n / DHashPoints) & 0xff)
       val bands = new Array[Long](4)
       var bit = 0
       for (r <- 0 until 8; c <- 0 until 8) {
