@@ -384,16 +384,27 @@ object BlockStore {
     * resolution remains the backstop for STOPPED streams' checkpoints. */
   private val fenceLock = new Object
 
-  private[sources] def registerStreamReader(store: String): Unit =
+  /** Registers a live stream reader and returns a TOKEN (the counter
+    * instance) the caller must pass back to [[unregisterStreamReader]]:
+    * dropStore removes a store's counter even while streams are
+    * registered (deliberately — a re-run starts clean), and without the
+    * token a STALE stream's stop() would decrement a successor stream's
+    * fresh counter and let DELETE/OPTIMIZE through while that successor
+    * is live (fence theft — r14 review finding). */
+  private[graft] def registerStreamReader(store: String): AnyRef =
     fenceLock.synchronized {
-      liveStreams.computeIfAbsent(store,
+      val c = liveStreams.computeIfAbsent(store,
         _ => new java.util.concurrent.atomic.AtomicInteger(0))
-        .incrementAndGet(): Unit
+      c.incrementAndGet(): Unit
+      c
     }
 
-  private[sources] def unregisterStreamReader(store: String): Unit = {
+  private[graft] def unregisterStreamReader(store: String,
+      token: AnyRef): Unit = {
     val c = liveStreams.get(store)
-    if (c != null) c.updateAndGet(n => math.max(0, n - 1)): Unit
+    // decrement only the counter this stream registered on — after a
+    // dropStore the map holds a different (or no) instance
+    if (c != null && (c eq token)) c.updateAndGet(n => math.max(0, n - 1)): Unit
   }
 
   def liveStreamReaders(store: String): Int = {
@@ -500,7 +511,14 @@ object BlockStore {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Block, java.lang.Boolean]())
     (stores.values().asScala.iterator ++
-        snapshotAliases.values().asScala.iterator)
+        snapshotAliases.values().asScala.iterator ++
+        // HISTORY arrays too: a rewritten-away block retained only by a
+        // time-travel version still holds its heap payload — leaving it
+        // out under-reported memoryUsed and made such blocks permanently
+        // un-demotable, so heap grew with commit count until vacuum
+        // (r14 review finding); identity-dedup collapses the sharing
+        history.values().asScala.iterator.flatMap(_.iterator)
+          .filter(_ != null))
       .flatMap(_.iterator)
       .filter(b => p(b) && seen.add(b))
       .toArray
@@ -551,7 +569,12 @@ object BlockStore {
     // skipped entirely while the tier is idle (the cheap-path guard: a
     // full identity-dedup scan per put would tax every loader for a
     // tier that holds nothing)
-    if (offHeapBlockCount.get == 0 && offHeapBudget == 0) return
+    // count == 0 alone suffices: the counter is never stale-LOW (demote
+    // increments it before a block becomes off-heap-visible; rewrites
+    // only leave it stale-HIGH, which keeps the scan running until the
+    // tail resync below) — requiring budget == 0 as well made an
+    // enabled-but-empty tier pay this full identity-dedup scan per put
+    if (offHeapBlockCount.get == 0) return
     val ohArr = distinctBlocks(_.isOffHeap)
     var ohUsed = ohArr.iterator.map(_.offHeapHeld).sum
     var visible = ohArr.length
@@ -675,11 +698,21 @@ object BlockStore {
       s"cannot overwrite store '$target': ${liveStreamReaders(target)} live " +
         "streaming reader(s) hold positional offsets into it — stop the " +
         "stream(s) or append instead")
-    if (truncate) bumpLayoutGen(target)
+    // V2-written blocks carry no shard assignment (shard = -1); the
+    // sharded scan plans only blocks with shard ∈ [0, n), so a write into
+    // an SPJ-sharded store would land rows every scan silently skips —
+    // refuse loudly (sharded stores are built only by loadSharded)
+    require(shardingOf(target).isEmpty,
+      s"cannot write into SPJ-sharded store '$target': written blocks " +
+        "carry no shard assignment and would be invisible to its " +
+        "key-grouped scans")
+    // assemble BEFORE the opening bump: any throw between the bumps would
+    // strand the generation at odd parity and spin every future planner
     val s = staged.remove(stagingKey)
     val blocks: Array[Block] =
       if (s == null) Array.empty
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
+    if (truncate) bumpLayoutGen(target)
     try {
       val after = stores.compute(target, (_, v) =>
         if (truncate || v == null) blocks else v ++ blocks)
@@ -730,7 +763,14 @@ object BlockStore {
       h.zipWithIndex.map { case (blocks, i) =>
         if (i < cut) {
           if (blocks != null) {
-            retired += 1; snapshotAliases.remove(s"$name@@v${i + 1}"): Unit
+            retired += 1
+            val alias = s"$name@@v${i + 1}"
+            // parity-bump the alias key around its removal so an
+            // expired-pin versioned reader fails loudly instead of
+            // resolving the empty alias (see dropStore)
+            bumpLayoutGen(alias)
+            snapshotAliases.remove(alias): Unit
+            completeLayoutRewrite(alias)
           }
           null
         } else blocks
@@ -794,10 +834,14 @@ object BlockStore {
     try {
       stores.remove(name): Unit
       streamEpochs.remove(name): Unit
-      // drop the version history, materialized snapshot aliases, and any
-      // stale live-stream counter (a re-run starts clean)
+      // drop the version history, materialized snapshot aliases, the
+      // SPJ sharding metadata, and any stale live-stream counter (a
+      // re-run starts clean; a leaked shardedMeta entry would make a
+      // recreated unsharded store's blocks invisible to every scan —
+      // the sharded planner only collects shard ∈ [0, n) blocks)
       history.remove(name): Unit
       liveStreams.remove(name): Unit
+      shardedMeta.remove(name): Unit
       // release this store's planning pins — a dropped store's payloads
       // must not stay reachable through stale plans (reads fail loudly);
       // versioned scans pin under the alias key, so match those too
@@ -809,7 +853,15 @@ object BlockStore {
         }.map(_.getKey).toSeq
         .foreach(pinnedSnaps.remove(_): Unit)
       snapshotAliases.keySet.asScala.filter(_.startsWith(s"$name@@v"))
-        .foreach(snapshotAliases.remove(_): Unit)
+        .foreach { alias =>
+          // an alias removal IS a layout rewrite of that alias key: its
+          // generation otherwise never moves, so an expired-pin reader
+          // would pass the fallback's equality check against the now
+          // EMPTY alias array instead of failing loudly
+          bumpLayoutGen(alias)
+          snapshotAliases.remove(alias): Unit
+          completeLayoutRewrite(alias)
+        }
     } finally completeLayoutRewrite(name)
   }
 
@@ -1039,7 +1091,14 @@ object BlockStore {
     synchronized {
       val a = s"spj_cur@$dir"
       val b = s"spj_prev@$dir"
-      if (!stores.containsKey(a)) {
+      // the pair is one fixture: if EITHER half is missing, rebuild BOTH
+      // from clean state — guarding on `a` alone let a partial drop
+      // either re-load into a surviving `b` (loadSharded put()s APPEND:
+      // every row doubled, the join silently returns duplicate matches)
+      // or leave a dropped `b` empty forever (r14 review finding)
+      if (!stores.containsKey(a) || !stores.containsKey(b)) {
+        dropStore(a)
+        dropStore(b)
         val docs = Catalog.table(spark, dir, "documents")
         val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
           .head.getLong(0)

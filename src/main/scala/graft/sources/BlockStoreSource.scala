@@ -269,7 +269,16 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
   override def pushAggregation(agg: Aggregation): Boolean =
     if (!statsExact) false
     else translate(agg) match {
-      case some @ Some(_) => aggSpec = some; true
+      case some @ Some(specs) =>
+        // MIN/MAX over a store with no stat-bearing rows has no exact
+        // stats answer (SQL wants one NULL row; the pushed schema is
+        // non-nullable, and empty-shard placeholder blocks carry
+        // Long.MaxValue/MinValue sentinels that would serve as REAL
+        // values) — decline and let the ordinary scan + aggregate
+        // produce the correct NULL (r14 review finding)
+        val needsRows = specs.exists(s => s == "min" || s == "max")
+        if (needsRows && !BlockStore.get(store).exists(_.numRows > 0)) false
+        else { aggSpec = some; true }
       case None =>
         translateGrouped(agg) match {
           case some @ Some(_) => groupedCol = some; true
@@ -344,12 +353,21 @@ private[sources] class MetadataAggScan(store: String, specs: Seq[String])
 
   override def planInputPartitions(): Array[InputPartition] = {
     // resolved on the DRIVER from stats; the single partition carries the
-    // final values, so the task ships literals and touches nothing
+    // final values, so the task ships literals and touches nothing.
+    // MIN/MAX consult only stat-BEARING blocks: empty-shard placeholders
+    // carry Long.MaxValue/MinValue sentinels. pushAggregation declined
+    // the pushdown if no such block existed; a store emptied between
+    // planning and execution fails loudly rather than serving sentinels.
     val blocks = BlockStore.get(store)
+    val statBlocks = blocks.filter(_.numRows > 0)
+    require(statBlocks.nonEmpty ||
+        specs.forall(_ == "count"),
+      s"store '$store' lost all rows between aggregate pushdown and " +
+        "execution — re-plan the query")
     val values = specs.map {
       case "count" => blocks.map(_.numRows).sum
-      case "min"   => blocks.map(_.minId).min
-      case "max"   => blocks.map(_.maxId).max
+      case "min"   => statBlocks.map(_.minId).min
+      case "max"   => statBlocks.map(_.maxId).max
     }.toArray
     Array(MetadataAggPartition(values))
   }
@@ -635,11 +653,15 @@ private[sources] class BlockMicroBatchStream(store: String,
   private final val Unstarted = 0; private final val Fenced = 1
   private final val Stopped = 2
   private var fenceState = Unstarted
+  // the counter instance this stream registered on — stop() must
+  // decrement exactly it (a dropStore swaps the store's counter, and a
+  // stale stop() must not steal a successor stream's fence)
+  private var fenceToken: AnyRef = null
   private val fenceStateLock = new Object
   private def ensureFence(): Unit = fenceStateLock.synchronized {
     if (fenceState == Unstarted) {
       fenceState = Fenced
-      BlockStore.registerStreamReader(store)
+      fenceToken = BlockStore.registerStreamReader(store)
     }
   }
 
@@ -689,7 +711,7 @@ private[sources] class BlockMicroBatchStream(store: String,
   override def stop(): Unit = fenceStateLock.synchronized {
     val was = fenceState
     fenceState = Stopped
-    if (was == Fenced) BlockStore.unregisterStreamReader(store)
+    if (was == Fenced) BlockStore.unregisterStreamReader(store, fenceToken)
   }
 }
 
@@ -807,29 +829,37 @@ private[sources] case class BlockWriteCommit(partitionId: Int, nRows: Int)
 private[sources] class BlockBatchWrite(store: String, schema: StructType,
     doTruncate: Boolean) extends BatchWrite {
 
+  // Staging key unique to THIS write job: two concurrent batch writes to
+  // one store must not interleave their staged blocks (streaming epochs
+  // already stage per-epoch for exactly this reason — batch previously
+  // collided on the bare store name: whichever commit ran first promoted
+  // an arbitrary mix of both jobs' blocks, and one job's abort discarded
+  // the other's staging).
+  private val jobKey = store + "##job-" + java.util.UUID.randomUUID()
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new BlockWriterFactory(store,
+    new BlockWriterFactory(jobKey,
       Catalog.documents.fieldNames.map(schema.fieldIndex))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    BlockStore.promote(store,
+    BlockStore.promoteInto(jobKey, store,
       messages.collect { case BlockWriteCommit(pid, _) => pid }.toSeq,
       doTruncate)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    BlockStore.discardStaged(store)
+    BlockStore.discardStaged(jobKey)
 }
 
-private[sources] class BlockWriterFactory(store: String, srcIdx: Array[Int])
+private[sources] class BlockWriterFactory(stagingKey: String, srcIdx: Array[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BlockDataWriter(store, partitionId, srcIdx)
+    new BlockDataWriter(stagingKey, partitionId, srcIdx)
 }
 
 /** Buffers the task's rows and stages them as ONE block at task commit —
   * nothing is visible until the job-level promote. `srcIdx` maps the
   * incoming row layout to [[BlockStore.DocRow]] field order by name. */
-private[sources] class BlockDataWriter(store: String, partitionId: Int,
+private[sources] class BlockDataWriter(stagingKey: String, partitionId: Int,
     srcIdx: Array[Int]) extends DataWriter[InternalRow] {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[BlockStore.DocRow]
@@ -842,7 +872,7 @@ private[sources] class BlockDataWriter(store: String, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     if (buf.nonEmpty)
-      BlockStore.stage(store, partitionId,
+      BlockStore.stage(stagingKey, partitionId,
         BlockStore.Block(buf.iterator.map(_._1).min,
           buf.iterator.map(_._1).max, buf.toArray))
     BlockWriteCommit(partitionId, buf.length)
@@ -978,19 +1008,12 @@ private[sources] class BlockReaderFactory(fields: Array[String])
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    // readersOpened counts BLOCKS touched (the pruning spec's metric), so a
-    // shard partition increments once per surviving block it concatenates.
     // Rows stay grouped in per-block SEGMENTS so the metadata columns
-    // (block-constant values) need no per-row storage.
-    val segs: Array[BlockStore.Block] = p match {
-      case BlockPartition(snap, idx, store, gen) =>
-        BlockStore.readersOpened.incrementAndGet(): Unit
-        Array(BlockStore.pinnedOrCurrent(snap, store, gen)(idx))
-      case ShardBlockPartition(snap, _, idxs, store, gen) =>
-        val blocks = BlockStore.pinnedOrCurrent(snap, store, gen)
-        BlockStore.readersOpened.addAndGet(idxs.length.toLong): Unit
-        idxs.map(blocks(_))
-    }
+    // (block-constant values) need no per-row storage; segsOf carries the
+    // shared pin resolution + readersOpened bookkeeping (one tick per
+    // block touched — the pruning spec's metric), same as the columnar
+    // reader.
+    val segs: Array[BlockStore.Block] = segsOf(p)
     // per-field extractor: data fields read the row tuple; metadata fields
     // ([[BlockStoreTable.metadataColumns]]) read the enclosing block
     val extract: Array[(BlockStore.DocRow, BlockStore.Block) => Any] =

@@ -771,4 +771,120 @@ class BlockStoreSpec extends SparkSpec {
       "alias blocks are SHARED references — usage must not double-count them")
     BlockStore.dropStore(name)
   }
+
+  test("concurrent batch writes stage under distinct job keys: both land " +
+    "exactly once (no interleaved or lost commits)") {
+    val name = "spec-conc-write"
+    BlockStore.dropStore(name)
+    def part(lo: Long) = spark.range(lo, lo + 500).selectExpr(
+      "id as doc_id", "concat('t', id) as text", "'en' as lang",
+      "'s0' as source", "id % 7 as n_chars")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(0L, 100000L).map { lo =>
+      val t = new Thread(() => {
+        try part(lo).write.format("graft.sources.BlockStoreSource")
+          .option("store", name).mode("append").save()
+        catch { case e: Throwable => errors.add(e): Unit }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive) && errors.isEmpty,
+      s"concurrent write failed: ${Option(errors.peek())}")
+    val got = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toVector
+    val expected = ((0L until 500L) ++ (100000L until 100500L)).toVector
+    assert(got == expected,
+      s"concurrent batch writes interleaved or lost rows: got ${got.size} " +
+        s"rows, expected ${expected.size}")
+    BlockStore.dropStore(name)
+  }
+
+  test("V2 write into an SPJ-sharded store is refused loudly") {
+    val (cur, _) = BlockStore.ensureShardedSnapshots(spark, sf)
+    val e = intercept[Exception] {
+      spark.range(0, 5).selectExpr("id as doc_id", "'x' as text",
+          "'en' as lang", "'s0' as source", "id as n_chars")
+        .write.format("graft.sources.BlockStoreSource")
+        .option("store", cur).mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("SPJ-sharded")),
+      s"sharded-store write must refuse loudly, got: ${msgs(e).take(3)}")
+    // the refused write must not have mutated the fixture
+    val n = spark.table(s"graftblocks.`$cur`").count()
+    assert(n > 0 && BlockStore.stagedCount(cur) == 0)
+  }
+
+  test("MIN/MAX over an emptied store declines the stats pushdown and " +
+    "returns SQL's NULL") {
+    val name = "spec-empty-agg"
+    BlockStore.dropStore(name)
+    spark.range(0, 50).selectExpr("id as doc_id", "'x' as text",
+        "'en' as lang", "'s0' as source", "id as n_chars")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("append").save()
+    assert(BlockStore.deleteWhere(name, _ => true, _ => true) == 50L)
+    def table = spark.read.format("graft.sources.BlockStoreSource")
+      .option("store", name).load()
+    val agg = table.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("STATS-ONLY"),
+      "an empty store must decline the metadata-agg pushdown")
+    val row = agg.head()
+    assert(row.isNullAt(0) && row.isNullAt(1),
+      s"MIN/MAX over an empty store must be NULL, got $row")
+    // COUNT(*) = 0 keeps working (with or without the pushdown)
+    assert(table.count() == 0L)
+    BlockStore.dropStore(name)
+  }
+
+  test("partial drop of the SPJ fixture rebuilds BOTH snapshots without " +
+    "duplicating the survivor") {
+    val (cur, prev) = BlockStore.ensureShardedSnapshots(spark, sf)
+    val (nCur, nPrev) = (spark.table(s"graftblocks.`$cur`").count(),
+      spark.table(s"graftblocks.`$prev`").count())
+    assert(nCur > 0 && nPrev > 0)
+    // drop only the PREVIOUS snapshot: the old guard (on spj_cur alone)
+    // would never rebuild it -> empty store with no error
+    BlockStore.dropStore(prev)
+    BlockStore.ensureShardedSnapshots(spark, sf)
+    assert(spark.table(s"graftblocks.`$prev`").count() == nPrev,
+      "dropped snapshot must be rebuilt to its exact row count")
+    // and the surviving half must NOT have been double-loaded
+    assert(spark.table(s"graftblocks.`$cur`").count() == nCur,
+      "surviving snapshot must not be re-appended (doubled rows)")
+    val ids = spark.table(s"graftblocks.`$cur`")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate doc_ids after rebuild")
+  }
+
+  test("history-retained blocks are budget-visible: a rewritten-away " +
+    "version can demote and still serves time travel") {
+    val name = "spec-history-budget"
+    BlockStore.dropStore(name)
+    spark.range(0, 400).selectExpr("id as doc_id",
+        "repeat('x', 200) as text", "'en' as lang", "'s0' as source",
+        "id as n_chars")
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("append").save()
+    val v1 = BlockStore.currentVersion(name)
+    // rewrite: v1's blocks survive ONLY through history
+    assert(BlockStore.deleteWhere(name, _ => true, _._1 < 300L) == 300L)
+    try {
+      BlockStore.setMemoryBudget(1L) // force demotion of everything visible
+      val used = BlockStore.memoryUsed
+      assert(used <= 4096L,
+        s"history-retained payloads must be demotable under budget " +
+          s"(memoryUsed=$used after budget 1)")
+      // the demoted historical version still reads back exactly
+      val old = spark.read.format("graft.sources.BlockStoreSource")
+        .option("store", name).option("versionAsOf", v1.toString).load()
+        .count()
+      assert(old == 400L, s"time-travel read after demotion lost rows: $old")
+    } finally BlockStore.resetMemoryBudget()
+    BlockStore.dropStore(name)
+  }
 }

@@ -286,6 +286,28 @@ class ConcurrentStoreSpec extends SparkSpec {
     }
   }
 
+  test("a stale stream's stop() cannot steal a successor stream's fence " +
+    "(registration tokens survive dropStore)") {
+    val name = "conc-fence-theft"
+    BlockStore.dropStore(name)
+    val tokenA = BlockStore.registerStreamReader(name)
+    assert(BlockStore.liveStreamReaders(name) == 1)
+    // dropStore clears the counter while A is still registered (the
+    // deliberate re-run-starts-clean semantics) ...
+    BlockStore.dropStore(name)
+    // ... and a successor stream registers on the recreated store
+    val tokenB = BlockStore.registerStreamReader(name)
+    assert(BlockStore.liveStreamReaders(name) == 1)
+    // A's late teardown must not decrement B's fence: a DELETE would
+    // otherwise pass the liveStreamReaders==0 require under live B
+    BlockStore.unregisterStreamReader(name, tokenA)
+    assert(BlockStore.liveStreamReaders(name) == 1,
+      "a stale stream's stop stole the successor's fence")
+    BlockStore.unregisterStreamReader(name, tokenB)
+    assert(BlockStore.liveStreamReaders(name) == 0)
+    BlockStore.dropStore(name)
+  }
+
   test("pin expiry: unchanged generation re-resolves positionally; a " +
     "rewritten store fails loudly (never silently shifted blocks)") {
     val name = "conc-pin"
