@@ -541,13 +541,10 @@ object Dedup {
     * cosine verify. Cosines via the codegen'd vec_dot (bit-identical to the
     * oracle's ordered fold), so the >= threshold cuts identically. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.VectorExpressions.register(spark)
-    def dot(a: String, b: String) = call_function("vec_dot", col(a), col(b))
-    val v = Catalog.tableSpread(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        col("embedding").cast(ArrayType(DoubleType)).as("e"), col("label"))
-      .withColumn("nrm", sqrt(call_function("vec_dot", col("e"), col("e"))))
-      .filter(col("nrm") > 0) // zero vectors excluded (cosine undefined)
+    // the scan/cast/norm/zero-vector pipeline is Similarity.emb — ONE
+    // definition of the cross-engine zero-cosine guard (its scaladoc
+    // carries the Divide-null-vs-NaN rationale), not a drifting copy
+    val v = Similarity.emb(spark, dir)
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
       col("nrm").as("na"), col("label"))
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
@@ -647,6 +644,15 @@ object Dedup {
     }
     lastCcRounds = rounds
     synchronized {
+      // unpersist whatever this registration DISPLACES: the clear at
+      // entry and this register are separate critical sections with the
+      // whole fixpoint loop between them, so a concurrent dd8 call can
+      // have registered its own converged frame in the meantime — the
+      // check-then-act hazard the ngramBase scaladoc documents (leaving
+      // it would strand a persisted MEMORY_AND_DISK copy for the session)
+      lastLabelsCache.filter(_ ne labels).foreach { prev =>
+        try prev.unpersist(blocking = false) catch { case _: Exception => }
+      }
       lastLabelsCache = Some(labels)
       // the converged labels are a pure function of the (immutable) input
       // corpus — later same-session consumers (p1) reuse them as a landed
@@ -877,10 +883,15 @@ object Dedup {
         array_distinct(transform(Text.shingles5(col("_toks")),
           s => Text.sharedHash(s))).as("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // everything between the persist and returning the pinned frame to
+    // the caller (whose try/finally owns the unpersist) runs under a
+    // catch-unpersist: a throw in view registration or SQL analysis
+    // would otherwise strand the corpus-sized cached frame
+    val flagged = try {
     sh.select(col("doc_id"), col("split"), size(col("shh")).as("n_sh"),
         explode(col("shh")).as("g"))
       .createOrReplaceTempView("dd13_sh")
-    val flagged = spark.sql(
+    spark.sql(
       s"""WITH t AS (SELECT DISTINCT g FROM dd13_sh WHERE split = 'test'),
          |c AS (SELECT e.doc_id,
          |        CAST(min(e.n_sh) AS BIGINT) AS n_shingles,
@@ -894,6 +905,10 @@ object Dedup {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
          |FROM c WHERE n_shared >= $DecontamMinShared
          |ORDER BY doc_id""".stripMargin)
+    } catch { case e: Throwable =>
+      try sh.unpersist(blocking = false) catch { case _: Exception => }
+      throw e
+    }
     (flagged, sh)
   }
 

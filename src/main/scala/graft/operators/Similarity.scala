@@ -170,7 +170,16 @@ object Similarity {
         val pool = scala.collection.mutable.Map(
           cs.map(c => c._2 -> c._3).toSeq: _*)
         val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
-        (1 to MmrK).map { step =>
+        // stop when the pool runs dry (a sparse probed cell can hold
+        // fewer than MmrK candidates — the recursive-CTE oracle emits
+        // min(|pool|, k) ranks, and maxBy over an empty pool throws).
+        // A while loop, not Range.takeWhile: the Range is strict, so its
+        // predicate would be evaluated for every step BEFORE the map
+        // body starts removing candidates.
+        val picks =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var step = 1
+        while (step <= MmrK && pool.nonEmpty) {
           // greedy argmax of 0.5·rel − 0.5·max sim-to-chosen, vec_id ties
           val (bestId, bestScore) = pool.keys.toSeq.sorted.map { c =>
             val maxSim =
@@ -185,10 +194,12 @@ object Similarity {
           chosen += bestId
           // HALF_UP to 6dp — the same rounding Spark's round() and
           // DuckDB's round() apply (rint would tie-break half-to-even)
-          org.apache.spark.sql.Row(q, step.toLong, bestId,
+          picks += org.apache.spark.sql.Row(q, step.toLong, bestId,
             java.math.BigDecimal.valueOf(bestScore)
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+          step += 1
         }
+        picks
       }
       val schema = StructType(Seq(
         StructField("query_id", LongType, nullable = false),
@@ -696,7 +707,13 @@ object Similarity {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val all = emb(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pqIdx: Option[DataFrame] = None
+    // AtomicReference, not a plain var: written from the fIdx Future's
+    // thread and read in the finally — if an EARLIER await throws while
+    // fIdx is still encoding, a plain var has no happens-before edge and
+    // the finally could miss the persisted index (session-lifetime cache
+    // leak on the failure path)
+    val pqIdx =
+      new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     try {
       all.count()
       val probes = all.filter(col("vec_id") < ProbeCount)
@@ -736,7 +753,7 @@ object Similarity {
         val cb = pqCodebook(all)
         val idx = pqIndex(all, cb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pqIdx = Some(idx)
+        pqIdx.set(Some(idx))
         idx.count()
         (cb, idx)
       }
@@ -752,7 +769,7 @@ object Similarity {
       recallTable(spark,
         armPairs.map { case (m, a) => (m, recallRows(exact, a)) })
     } finally {
-      pqIdx.foreach(_.unpersist(): Unit)
+      pqIdx.get().foreach(_.unpersist(): Unit)
       all.unpersist(): Unit
     }
   }
@@ -1082,7 +1099,14 @@ object Similarity {
       dir: String): (String, String) = synchronized {
     val idxName = s"annidx@$dir"
     val metaName = s"annmeta@$dir"
-    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+    // idempotence keys on the META store — the artifact written LAST: a
+    // build that died between the index write and the meta write must
+    // rebuild, not serve (keying on the index store made such a partial
+    // build permanently poison every later serve with a missing-codebook
+    // error until a manual drop). Any partial remains are dropped first.
+    if (graft.sources.BlockStore.blockCount(metaName) == 0) {
+      graft.sources.BlockStore.dropStore(idxName)
+      graft.sources.BlockStore.dropStore(metaName)
       graft.expr.VectorExpressions.register(spark)
       val all = emb(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1303,7 +1327,14 @@ object Similarity {
       dir: String): (String, String) = synchronized {
     val idxName = s"annidx2@$dir"
     val metaName = s"annmeta2@$dir"
-    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+    // guard on the artifact finished LAST + drop partial remains first;
+    // on ANY failure mid-build both stores are dropped so a retry
+    // rebuilds instead of serving a half-built generation (stores are
+    // in-memory, so exception cleanup IS failure-atomicity)
+    if (graft.sources.BlockStore.blockCount(idxName) == 0 ||
+        graft.sources.BlockStore.blockCount(metaName) == 0) {
+      graft.sources.BlockStore.dropStore(idxName)
+      graft.sources.BlockStore.dropStore(metaName)
       graft.expr.VectorExpressions.register(spark)
       val all = emb(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1324,6 +1355,10 @@ object Similarity {
         val batchCells = collectCellStats(quantFrame(batch))
         writeMetaStore(spark, metaName, landedSeeds,
           mergeCells(landedCells, batchCells))
+      } catch { case e: Throwable =>
+        graft.sources.BlockStore.dropStore(idxName)
+        graft.sources.BlockStore.dropStore(metaName)
+        throw e
       } finally all.unpersist(): Unit
     }
     (idxName, metaName)
@@ -1416,7 +1451,15 @@ object Similarity {
     val idxName = s"annidx3@$dir"
     val metaName = s"annmeta3@$dir"
     val tombName = s"anntomb3@$dir"
-    if (graft.sources.BlockStore.blockCount(idxName) == 0) {
+    // same failure-atomicity discipline as ensureAppendedIndex: a build
+    // that died after the full land but before the tombstone/stat
+    // correction must rebuild, never serve uncorrected stats
+    if (graft.sources.BlockStore.blockCount(idxName) == 0 ||
+        graft.sources.BlockStore.blockCount(metaName) == 0 ||
+        graft.sources.BlockStore.blockCount(tombName) == 0) {
+      graft.sources.BlockStore.dropStore(idxName)
+      graft.sources.BlockStore.dropStore(metaName)
+      graft.sources.BlockStore.dropStore(tombName)
       graft.expr.VectorExpressions.register(spark)
       val all = emb(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1451,6 +1494,11 @@ object Similarity {
           }
         }
         writeMetaStore(spark, metaName, landedSeeds, corrected)
+      } catch { case e: Throwable =>
+        graft.sources.BlockStore.dropStore(idxName)
+        graft.sources.BlockStore.dropStore(metaName)
+        graft.sources.BlockStore.dropStore(tombName)
+        throw e
       } finally all.unpersist(): Unit
     }
     (idxName, metaName, tombName)
@@ -1603,7 +1651,11 @@ object Similarity {
     meansStep(assignStep(all, centroids))
       .select(col("centroid_id"), asLong(col("pos") + 1).as("dim"),
         asLong(col("n_members")).as("n_members"),
-        round(col("mean"), 6).as("new_val"))
+        // HALF-UP via floor(x·1e6 + 0.5) — the repo's cross-engine
+        // rounding rule (round() tie-breaks differently between Spark
+        // and DuckDB); same spelling as sim8's codebook output
+        (floor(col("mean") * 1000000 + 0.5).cast(DoubleType) / 1000000)
+          .as("new_val"))
       .orderBy("centroid_id", "dim")
   }
 
@@ -2263,7 +2315,7 @@ object Similarity {
          |       FROM best WHERE rk = 1)
          |SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
          |       CAST(count(*) AS BIGINT) AS n_members,
-         |       round(CAST(sum(CAST(qv AS BIGINT)) AS DOUBLE) / count(*), 6) AS new_val
+         |       floor(CAST(sum(CAST(qv AS BIGINT)) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS new_val
          |FROM ex GROUP BY centroid_id, dim ORDER BY centroid_id, dim""".stripMargin,
     "sim6_kmeans_assign" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae

@@ -316,6 +316,29 @@ class SimilaritySpec extends SparkSpec {
     assert(meanAbs < 0.6, f"corpus-wide mean distortion $meanAbs%.3f beyond k=16 noise")
   }
 
+  test("sim23 MMR: a probe with fewer candidates than k emits min(|pool|, k) " +
+    "ranks instead of crashing (sparse-cell edge)") {
+    import org.apache.spark.sql.types._
+    // a 2-candidate pool for one probe: the greedy loop must stop when
+    // the pool runs dry (maxBy over an empty pool threw before r14) and
+    // emit exactly 2 ranks — the recursive-CTE oracle's natural stop
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("rel", DoubleType, nullable = false),
+      StructField("e", ArrayType(DoubleType), nullable = false),
+      StructField("nrm", DoubleType, nullable = false)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(7L, 100L, 0.9, Seq(1.0, 0.0), 1.0),
+      org.apache.spark.sql.Row(7L, 101L, 0.8, Seq(0.0, 1.0), 1.0))
+    graft.expr.VectorExpressions.register(spark)
+    val out = Similarity.mmrOver(spark, spark.createDataFrame(rows, schema))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2, s"expected 2 ranks for a 2-candidate pool, got ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(1L, 2L) && out.head._3 == 100L,
+      s"greedy order wrong on the sparse pool: ${out.toSeq}")
+  }
+
   test("sim23 MMR: serve arm argmaxes its landed candidates, exact arm " +
     "matches brute force, picks are strictly more diverse than relevance picks") {
     // registered arm (r13): candidates from the LANDED index's probed
