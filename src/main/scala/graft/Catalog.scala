@@ -158,4 +158,20 @@ object Catalog {
     * used on (documents/embeddings). */
   def tableSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     table(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+  /** A fresh temp directory with a recursive-delete shutdown hook — the
+    * one definition of the pattern the streaming sinks and shard stores
+    * previously copy-pasted eight times (any fix to the cleanup logic now
+    * lands once). Callers that run once per (JVM, dir) should memoize the
+    * result (the s10 discipline) — each call registers one hook. */
+  def tempDirWithCleanup(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d.toFile)
+    }
+    d
+  }
 }

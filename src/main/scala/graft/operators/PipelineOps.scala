@@ -503,16 +503,8 @@ object PipelineOps {
 
   // One unique shard-store base per JVM (the Extended.roundtripBase
   // pattern: collision-free across processes, cleaned up on exit)
-  private lazy val shardStoreBase: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-shards")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(d.toFile)
-    }
-    d.toString
-  }
+  private lazy val shardStoreBase: String =
+    Catalog.tempDirWithCleanup("graft-shards").toString
   /** p11's landed layout — exposed so the spec reads THIS run's files. */
   private[graft] def shardStoreDir: String = s"$shardStoreBase/corpus"
 

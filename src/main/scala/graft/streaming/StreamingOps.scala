@@ -124,7 +124,7 @@ object StreamingOps {
   def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val typed = eventsStream(spark, dir)
-      .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
       .as[(Long, Long)]
     val updated = typed.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -571,13 +571,7 @@ object StreamingOps {
     val (idxStore, metaStore) =
       graft.operators.Similarity.ensureLandedIndex(spark, dir)
     val docsStore = graft.sources.BlockStore.ensureLoaded(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft-s23")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(base.toFile)
-    }
+    val base = Catalog.tempDirWithCleanup("graft-s23")
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.Row]
     @volatile var schema: org.apache.spark.sql.types.StructType = null
@@ -684,13 +678,7 @@ object StreamingOps {
     // re-runs restart from a fresh checkpoint at epoch 0 — the sink store
     // and its epoch watermark must reset together
     graft.sources.BlockStore.dropStore(dst)
-    val base = java.nio.file.Files.createTempDirectory("graft-s24")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(base.toFile)
-    }
+    val base = Catalog.tempDirWithCleanup("graft-s24")
     val q = spark.readStream.format("graft.sources.BlockStoreSource")
       .option("store", src).option("maxBlocksPerTrigger", "4").load()
       .filter(col("n_chars") >= SinkCharFloor)
@@ -737,13 +725,7 @@ object StreamingOps {
           lit("feed").as("lang"), lit("feed").as("source"), lit(0L).as("n_chars"))
         .write.format("graft.sources.BlockStoreSource")
         .option("store", feed).mode("overwrite").save()
-    val base = java.nio.file.Files.createTempDirectory("graft-s25")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(base.toFile)
-    }
+    val base = Catalog.tempDirWithCleanup("graft-s25")
     // 8 blocks/trigger drains the 16-block feed in TWO batches: still a
     // genuine multi-batch ingest (the commutative-merge contract needs ≥2
     // appends to mean anything) without paying 4 encode-job launches for
@@ -777,13 +759,7 @@ object StreamingOps {
   def streamPhashServe(spark: SparkSession, dir: String): DataFrame = {
     graft.operators.Multimodal.ensurePhashIndex(spark, dir): Unit
     val docsStore = graft.sources.BlockStore.ensureLoaded(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft-s26")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(base.toFile)
-    }
+    val base = Catalog.tempDirWithCleanup("graft-s26")
     val data = s"$base/data"
     // 8 blocks/trigger → a 2-batch drain: the serve stays per-batch (the
     // moderation shape) without 4 overhead-dominated job launches (s23's
@@ -801,7 +777,21 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(data).orderBy("query_id", "match_id")
+    // EMPTY-DRAIN guard (the s10/s23 discipline): if no batch contained a
+    // qualifying doc, nothing ever wrote the data dir and a bare
+    // spark.read.parquet would throw path-not-found instead of returning
+    // the empty moderation report a small SF legitimately produces
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(data)))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("match_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("hamming",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else spark.read.parquet(data).orderBy("query_id", "match_id")
   }
 
   def streamContextChunks(spark: SparkSession, dir: String): DataFrame = {
@@ -842,13 +832,7 @@ object StreamingOps {
   def parquetSinkWindow(spark: SparkSession, dir: String): DataFrame = {
     val out = synchronized {
       sinkDirs.getOrElseUpdate(dir, {
-        val base = java.nio.file.Files.createTempDirectory("graft-s10")
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(base.toFile)
-        }
+        val base = Catalog.tempDirWithCleanup("graft-s10")
         val outDir = s"$base/out"
         val agg = eventsStream(spark, dir)
           .withWatermark("ts", "1 hour")
@@ -885,13 +869,7 @@ object StreamingOps {
   private def eventsMultiFile(spark: SparkSession, dir: String): String =
     synchronized {
       splitDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-s11").toString
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(d))
-        }
+        val d = Catalog.tempDirWithCleanup("graft-s11").toString
         // Split ORDERED by event time (repartitionByRange gives contiguous
         // time ranges per file; part-file NUMBER = range order). But Spark's
         // FileStreamSource with maxFilesPerTrigger=1 picks pending files by
@@ -931,17 +909,15 @@ object StreamingOps {
   def multiBatchTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = eventsMultiFile(spark, dir)
-    // the split files were written from eventsNorm, so ts is ALREADY a
-    // µs timestamp — read with the normalized schema, no second div-1000
-    val normSchema = StructType(Catalog.events.map(f =>
-      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
     // 2 files/trigger -> FOUR micro-batches: still genuinely multi-batch
     // (state must accumulate across batches), without 8 overhead-dominated
     // job launches (the s23 r11 lesson; result is granularity-invariant)
-    val stream = spark.readStream.schema(normSchema)
+    // Catalog.events already declares ts as TimestampType (the driver's
+    // r9 parquet regeneration) — the split files carry exactly it
+    val stream = spark.readStream.schema(Catalog.events)
       .option("maxFilesPerTrigger", "2").parquet(src)
     val typed = stream
-      .select(col("user_id"), round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
       .as[(Long, Long)]
     val updated = typed.groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -1045,24 +1021,15 @@ object StreamingOps {
     val out = synchronized {
       mergeDirs.getOrElseUpdate(dir, {
         val src = eventsMultiFile(spark, dir)
-        val base = java.nio.file.Files.createTempDirectory("graft-s14")
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(base.toFile)
-        }
+        val base = Catalog.tempDirWithCleanup("graft-s14")
         val data = s"$base/data"
-        // split files carry the already-normalized µs ts (see multiBatchTotals)
-        val normSchema = StructType(Catalog.events.map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
         // 2 files/trigger -> four batches: the latest-batch-wins merge
         // still sees several partial generations (granularity-invariant)
-        val agg = spark.readStream.schema(normSchema)
+        val agg = spark.readStream.schema(Catalog.events)
           .option("maxFilesPerTrigger", "2").parquet(src)
           .groupBy(col("user_id"))
           .agg(asLong(count(lit(1))).as("n_events"),
-            sum(round(col("value") * 100, 0).cast(LongType)).as("total_cents"))
+            sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("total_cents"))
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         val q = try {
           spark.conf.set("spark.sql.shuffle.partitions",
@@ -1257,11 +1224,9 @@ object StreamingOps {
     // full-corpus computation; see sim15's shared-oracle argument)
     "s23_stream_ann_serve" -> graft.operators.Similarity
       .oracles("sim13_ivf_pq"),
-    // s20: classification is a pure function of the canonical id =
-    // min(doc_id) holding the fingerprint across index ∪ stream history
-    // (the processor's sorted single-batch replay), so the oracle is the
-    // batch formulation: index canon via group-min, stream canon via a
-    // per-fingerprint window min over the incoming side
+    // s27: admission order is doc_id order within each source (the
+    // positional drain), so the cross-batch quota state reduces to a
+    // per-source row_number cap in batch
     "s27_stream_quota" ->
       s"""WITH r AS (SELECT source, doc_id,
          |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
@@ -1270,6 +1235,11 @@ object StreamingOps {
          |SELECT source, doc_id, CAST(admit_idx AS BIGINT) AS admit_idx
          |FROM r WHERE admit_idx <= $QuotaCap
          |ORDER BY source, admit_idx""".stripMargin,
+    // s20: classification is a pure function of the canonical id =
+    // min(doc_id) holding the fingerprint across index ∪ stream history
+    // (the processor's sorted single-batch replay), so the oracle is the
+    // batch formulation: index canon via group-min, stream canon via a
+    // per-fingerprint window min over the incoming side
     "s20_stream_dedup_bootstrap" -> {
       val fp = graft.functions.Text.sqlContentFingerprint(
         graft.functions.Text.sqlTokens("text"))
@@ -1428,7 +1398,7 @@ object StreamingOps {
 
   private lazy val StatefulTotalsOracle: String =
     """SELECT user_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }
 
