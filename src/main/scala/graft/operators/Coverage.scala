@@ -175,24 +175,21 @@ object Coverage {
 
   // One unique external-table/partitioned-data base per JVM (see
   // Extended.roundtripBase for the rationale), cleaned on shutdown.
-  private lazy val covBase: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-coverage")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(d.toFile)
-    }
-    d.toString
-  }
+  private lazy val covBase: String =
+    Catalog.tempDirWithCleanup("graft-coverage").toString
 
   // Layouts already written this JVM, keyed by (kind, sf dir): x18/x19 are
   // about the READ-side plan (shuffle-free join / partition pruning), so
   // the one-time layout write must not be re-paid — or re-timed — on every
   // invocation. Names carry the dir hash so multiple sf dirs coexist.
   private val writtenLayouts = scala.collection.mutable.Set.empty[String]
+  // md5 prefix, not String.hashCode: a 32-bit hash collision between two
+  // sf dirs in one JVM would silently serve one dir's bucketed/partitioned
+  // layout for the other (writtenLayouts keys on the full dir string, so
+  // nothing would catch the overwrite)
   private def dirTag(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   /** Write `lineitem`/`orders` as bucketed external tables (8 buckets on the
     * join key, sorted within buckets) and return them as catalog reads.

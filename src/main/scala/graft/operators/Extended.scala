@@ -37,6 +37,16 @@ object SecondMax extends Aggregator[Double, (Double, Double),
   * sketch, typed UDAF. */
 object Extended {
 
+  /** Materialize a bounded result EAGERLY as a LocalRelation: the frame
+    * must survive the enclosing finally's DROP TABLE / unpersist, so the
+    * plan cannot stay lazy over the resource being released. Every
+    * caller is a declared-bound eager query (PlanAuditSpec.eagerBounds
+    * audits the registry for exactly this shape). */
+  private def eager(spark: SparkSession,
+      out: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+
   /** As-of join (point-in-time lookup): each event annotated with the most
     * recent prior-or-same purchase value of the same user. Composed from a
     * running `last(..., ignoreNulls)` window — no custom operator needed
@@ -84,16 +94,8 @@ object Extended {
   // One unique temp base per JVM (collision-free across concurrent
   // processes/users, unlike a fixed /tmp name), reused across calls within
   // the JVM so repeated runs don't accumulate copies.
-  private lazy val roundtripBase: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-roundtrip")
-    sys.addShutdownHook { // best-effort cleanup so runs don't accumulate in /tmp
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(d.toFile)
-    }
-    d.toString
-  }
+  private lazy val roundtripBase: String =
+    Catalog.tempDirWithCleanup("graft-roundtrip").toString
 
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val tmp = s"$roundtripBase/$format"
@@ -252,13 +254,27 @@ object Extended {
     * extraction are all scan-side map work; the aggregation is a
     * low-cardinality (|langs|+1) two-stage hash agg. FAILFAST-vs-
     * PERMISSIVE-vs-DROPMALFORMED is spec-contrasted on the same files. */
+  // corrupted layout written once per (JVM, sf dir) — the scaladoc's
+  // "generated in setup" promise: the PERMISSIVE read path under
+  // measurement must not re-pay (and re-time) a full corpus
+  // serialization on every Verify/Bench invocation (the x24/x18/x19
+  // memoized-layout discipline). A different sf dir regenerates — the
+  // same sequential-harness assumption corruptDir documents.
+  @volatile private var corruptWrittenFor: String = null
+
   def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = corruptDir
-    val jsonLine = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
-    Catalog.table(spark, dir, "documents")
-      .select(when(col("doc_id") % 7 === 3, concat(lit("{corrupt!"), jsonLine))
-        .otherwise(jsonLine).as("value"))
-      .write.mode("overwrite").text(tmp)
+    synchronized {
+      if (corruptWrittenFor != dir) {
+        val jsonLine =
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+        Catalog.table(spark, dir, "documents")
+          .select(when(col("doc_id") % 7 === 3, concat(lit("{corrupt!"), jsonLine))
+            .otherwise(jsonLine).as("value"))
+          .write.mode("overwrite").text(tmp)
+        corruptWrittenFor = dir
+      }
+    }
     val readSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType), StructField("text", StringType),
@@ -290,8 +306,7 @@ object Extended {
         .select(lit("corrupt").as("kind"), lit("json").as("k"), col("n_rows"),
           lit(0L).as("sum_chars"), col("digest"))
       val out = clean.unionAll(corrupt).orderBy("kind", "k")
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      eager(spark, out)
     } finally { parsed.unpersist(): Unit }
   }
 
@@ -462,8 +477,7 @@ object Extended {
           |WHERE doc_id % 7 <> 0
           |GROUP BY source, lang
           |ORDER BY source, lang""".stripMargin)
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      eager(spark, out)
     } finally {
       try spark.sql("DROP TABLE IF EXISTS graft_block_table")
       catch { case _: Exception => }
@@ -729,8 +743,7 @@ object Extended {
           |FROM graft_del_table
           |GROUP BY source, lang
           |ORDER BY source, lang""".stripMargin)
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      eager(spark, out)
     } finally {
       try spark.sql("DROP TABLE IF EXISTS graft_del_table")
       catch { case _: Exception => }
@@ -797,8 +810,7 @@ object Extended {
         .union(snap("2_after_delete", now))
         .select(col("snap"), col("lang"), col("n_docs"), col("sum_chars"))
         .orderBy("snap", "lang")
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      eager(spark, out)
     } finally {
       try spark.sql("DROP TABLE IF EXISTS graft_tt_table")
       catch { case _: Exception => }
@@ -861,7 +873,11 @@ object Extended {
             concat(lit("item-"), col("l_orderkey"), lit("-"),
               col("l_linenumber")).as("text"),
             col("l_returnflag").as("lang"), col("l_linestatus").as("source"),
-            col("l_quantity").cast(LongType).as("n_chars"))
+            // floor BEFORE the cast (and in the x44 oracle): Spark's
+            // double→long cast truncates toward zero while DuckDB's
+            // CAST rounds — integral fixture values hide the divergence,
+            // a regenerated fixture would not (repo cast discipline)
+            floor(col("l_quantity")).cast(LongType).as("n_chars"))
           .write.format("graft.sources.BlockStoreSource")
           .option("store", name).mode("overwrite").save()
       }
@@ -1037,7 +1053,7 @@ object Extended {
     "x44_columnar_scan" ->
       """SELECT l_returnflag AS lang, l_linestatus AS source,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // two snapshots of one store: pre-delete (full corpus) and current
     "x41_time_travel" ->
