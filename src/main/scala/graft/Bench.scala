@@ -73,14 +73,18 @@ object Bench {
     // the shared one-time build (the prepareLayouts discipline; sim16/s25
     // still time their own incremental/streaming BUILDS, which are the
     // measured operators there). Same loud-failure contract as above.
-    try {
-      sources.BlockStore.ensureLoaded(spark, sfDir): Unit
-      operators.Similarity.ensureLandedIndex(spark, sfDir): Unit
-      operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit
-      operators.Extended.ensureColumnarStore(spark, sfDir): Unit
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] landed-index pre-build failed (serve queries will pay the build): $e")
-    }
+    // per-item try: one artifact's failure must not skip the INDEPENDENT
+    // later builds (a shared try made an ensureLandedIndex error silently
+    // shift mm7's and x44's build costs into their timed windows too)
+    def land(what: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] $what pre-build failed (its serve queries will pay the build): $e")
+      }
+    land("docs store")(sources.BlockStore.ensureLoaded(spark, sfDir): Unit)
+    land("ANN index")(operators.Similarity.ensureLandedIndex(spark, sfDir): Unit)
+    land("phash index")(operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit)
+    land("columnar store")(operators.Extended.ensureColumnarStore(spark, sfDir): Unit)
     // optional comma-separated name filter for isolating one query's
     // timing (diagnostics only; the driver runs the full registry)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -35,14 +35,17 @@ case class TokenizeGenerator(child: Expression)
     val raw = child.eval(input)
     if (raw == null) Nil
     else {
-      // NOT String.trim/toLowerCase: Java trim strips every char <= 0x20
-      // (incl. control chars SQL trim keeps), and default-locale lowercase
-      // breaks under tr-TR ('I' -> dotless ı). split+filter makes trim
-      // redundant; Locale.ROOT matches SQL lower for this corpus. The split
-      // class is the EXPLICIT [ \t\n\r\f] (not \s): Java's \s matches \x0B
-      // where the oracle's RE2 \s does not — same pin as Text.tokens.
-      val toks = raw.asInstanceOf[UTF8String].toString
-        .toLowerCase(java.util.Locale.ROOT).split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      // Lowercase via Spark's OWN UTF8String.toLowerCase — bit-identical
+      // to SQL lower() in EVERY locale (ASCII fast path; any slow-path
+      // locale behavior is then exactly what Text.tokens' lower() does
+      // too, instead of diverging under tr-TR where Locale.ROOT and the
+      // default locale disagree on 'I'). NOT String.trim: Java trim
+      // strips every char <= 0x20 (incl. control chars SQL trim keeps) —
+      // split+filter makes trim redundant. The split class is the
+      // EXPLICIT [ \t\n\r\f] (not \s): Java's \s matches \x0B where
+      // the oracle's RE2 \s does not — same pin as Text.tokens.
+      val toks = raw.asInstanceOf[UTF8String].toLowerCase.toString
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
       toks.iterator.zipWithIndex.map { case (t, i) =>
         val row = new GenericInternalRow(2)
         row.update(0, i)
@@ -61,9 +64,7 @@ object Generators {
   /** Register `graft_tokens` (idempotent); usable via LATERAL VIEW in SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_tokens", exprs => {
-        if (exprs.length != 1) throw new IllegalArgumentException(
-          s"graft_tokens expects 1 argument, got ${exprs.length}")
-        TokenizeGenerator(exprs.head)
-      }, "built-in")
+      "graft_tokens",
+      graft.expr.VectorExpressions.unaryBuilder("graft_tokens",
+        TokenizeGenerator), "built-in")
 }

@@ -48,12 +48,8 @@ import graft.expr.{DoubleVectorDot, LshCandidates, RandomHyperplanes}
   * application consumes its marker conjunct; a plan without markers is
   * untouched.
   */
-object LshBucketRewrite extends Rule[LogicalPlan] {
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
-  }
+object LshBucketRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** 6-bit sign signature of a vector expression, planes as literals —
     * bit-identical to the sim3 query's column-level formulation. */
@@ -68,7 +64,7 @@ object LshBucketRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
         if cond.exists(_.isInstanceOf[LshCandidates]) =>
-      val conjuncts = splitConjuncts(cond)
+      val conjuncts = splitConjunctivePredicates(cond)
       // one marker per application; fixed-point iteration consumes the rest
       conjuncts.collectFirst {
         case m @ LshCandidates(a, b)
