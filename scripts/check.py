@@ -43,7 +43,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(set(os.listdir(out_dir)) - {"oracle_sql.json"})
+    # enumerate the UNION of written outputs and oracle keys: a query that
+    # threw inside Verify writes nothing, and enumerating only the output
+    # dirs would silently shrink N instead of failing (the r14 gate-hole
+    # review finding). On a subset run (Verify's 3rd arg) only the written
+    # subset is checked — missing oracle-keyed outputs count as failures
+    # only when the full registry was dumped (oracle_sql.json is always
+    # full, so detect subset runs by written < half the keys).
+    written = sorted(set(os.listdir(out_dir)) - {"oracle_sql.json"})
+    full_run = len(written) >= len(oracles) // 2
+    names = sorted(set(written) | (set(oracles) if full_run else set()))
     n_pass = n_fail = 0
     for name in names:
         spark_df = load_spark(out_dir, name)

@@ -21,12 +21,23 @@ object Verify {
     // drifted from Catalog's declared physical contract (r9 lesson)
     Catalog.assertDataContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // delete any PREVIOUS run's output first: the gate command reuses
+      // one outDir, and a query that now throws would otherwise leave the
+      // stale parquet in place — check.py would compare it against the
+      // oracle and report PASS for a currently-broken query (r14 review:
+      // the gate's one silent-green hole)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release anything a query persisted for its own multi-arm reuse
@@ -50,5 +61,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // non-zero exit on any failed query: the gate must be loud even if
+    // the caller only checks the exit code
+    if (failed > 0) {
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -146,10 +146,18 @@ object AsOfJoin {
             org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
           rPlan0)
       else rPlan0
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val matches = p.output.filter(_.name == name)
+      // a WITHIN-side duplicate (e.g. a prior join that kept both sides'
+      // ts) must throw, not silently bind the first occurrence — the
+      // as-of join would otherwise run on the wrong time column
+      require(matches.length <= 1,
+        s"column '$name' is ambiguous on this side (${matches.length} " +
+          "occurrences) — disambiguate with a select/alias first")
+      matches.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    }
     def requireType(a: Attribute, ok: org.apache.spark.sql.types.DataType => Boolean,
         what: String, accepted: String): Attribute = {
       require(ok(a.dataType),

@@ -45,7 +45,12 @@ class GraftBlockCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val store = ident.name
-    if (BlockStore.blockCount(store) == 0) throw new NoSuchTableException(ident)
+    // existence = listed in storeNames, NOT block count: a registered but
+    // zero-block store (truncated, or committed-empty) must load as an
+    // empty table — the previous blockCount guard made SHOW TABLES list a
+    // name that spark.table() then refused (r14 review)
+    if (!BlockStore.storeNames.contains(store))
+      throw new NoSuchTableException(ident)
     new BlockStoreTable(store, Catalog.documents)
   }
 
