@@ -48,10 +48,11 @@ def main():
     # dirs would silently shrink N instead of failing (the r14 gate-hole
     # review finding). On a subset run (Verify's 3rd arg) only the written
     # subset is checked — missing oracle-keyed outputs count as failures
-    # only when the full registry was dumped (oracle_sql.json is always
-    # full, so detect subset runs by written < half the keys).
-    written = sorted(set(os.listdir(out_dir)) - {"oracle_sql.json"})
-    full_run = len(written) >= len(oracles) // 2
+    # only on a full-registry run, detected by the _FULL_RUN marker Verify
+    # writes (a written-count heuristic misclassified a run where most
+    # queries threw as a subset run — r15 fix).
+    written = sorted(set(os.listdir(out_dir)) - {"oracle_sql.json", "_FULL_RUN"})
+    full_run = os.path.exists(os.path.join(out_dir, "_FULL_RUN"))
     names = sorted(set(written) | (set(oracles) if full_run else set()))
     n_pass = n_fail = 0
     for name in names:

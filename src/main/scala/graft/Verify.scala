@@ -21,6 +21,17 @@ object Verify {
     // drifted from Catalog's declared physical contract (r9 lesson)
     Catalog.assertDataContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // _FULL_RUN marker: check.py treats missing oracle-keyed outputs as
+    // failures ONLY on a full-registry run. The previous written-count
+    // heuristic (written >= |oracles|/2) misclassified a run where more
+    // than half the queries threw as a subset run — the exact catastrophic
+    // case the union check exists for (r14 advice). The marker makes the
+    // run's intent explicit: written on full runs (even if queries fail),
+    // deleted on subset runs.
+    val fullRunMarker = Paths.get(s"$outDir/_FULL_RUN")
+    Files.deleteIfExists(fullRunMarker)
+    println(s"[verify] registry: ${SparkEntry.queries.size} queries" +
+      (if (only.nonEmpty) s" (subset run: ${only.size})" else ""))
     var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -60,6 +71,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (only.isEmpty)
+      Files.writeString(fullRunMarker, s"${SparkEntry.queries.size}\n"): Unit
     spark.stop()
     // non-zero exit on any failed query: the gate must be loud even if
     // the caller only checks the exit code

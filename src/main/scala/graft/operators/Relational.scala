@@ -172,11 +172,18 @@ object Relational {
     * per flag, and join the three tiny (≤3-row) results. NEVER the
     * multi-`countDistinct` single agg: Spark plans that as an Expand
     * that TRIPLES every corpus row before the shuffle (x8's scaladoc
-    * benched even the single-distinct Expand form 4× slower). */
+    * benched even the single-distinct Expand form 4× slower).
+    *
+    * The first-stage groupBy keeps a NULL key as its own group, which
+    * `count(DISTINCT key)` (both engines) would EXCLUDE — so the pattern
+    * filters `key IS NOT NULL` first. On non-null TPC-H keys the filter
+    * is a pushed-down no-op; on a nullable key it is what makes the
+    * two-stage rewrite equivalent to countDistinct (r15 advice). */
   def q12DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     def nd(key: String, as: String) =
-      li.groupBy(col("l_returnflag"), col(key)).agg(Map.empty[String, String])
+      li.filter(col(key).isNotNull)
+        .groupBy(col("l_returnflag"), col(key)).agg(Map.empty[String, String])
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
     nd("l_partkey", "nd_parts")
       .join(nd("l_suppkey", "nd_supps"), Seq("l_returnflag"))

@@ -546,11 +546,18 @@ object BlockStore {
     // demote loop reads the headroom, or post-rewrite evictions would be
     // misrouted to disk even though the tier has room. Cheap when the
     // tier is idle (counter already 0 → scan skipped).
-    if (rewroteSinceOffHeapSync.getAndSet(false) &&
-        offHeapBlockCount.get > 0) {
-      val oh = distinctBlocks(_.isOffHeap)
-      offHeapBlockCount.set(oh.length.toLong)
-      offHeapBytesUsed.set(oh.iterator.map(_.offHeapHeld).sum)
+    if (rewroteSinceOffHeapSync.getAndSet(false)) {
+      if (offHeapBlockCount.get > 0) {
+        val oh = distinctBlocks(_.isOffHeap)
+        offHeapBlockCount.set(oh.length.toLong)
+        offHeapBytesUsed.set(oh.iterator.map(_.offHeapHeld).sum)
+      } else {
+        // count == 0 means no off-heap block is visible (the counter is
+        // never stale-LOW), so the byte counter must be 0 too — zero it
+        // unconditionally rather than leave a rewrite's stale-high bytes
+        // behind with the flag already consumed (r15 advice)
+        offHeapBytesUsed.set(0L)
+      }
     }
     var used = memoryUsed
     if (used > budget) {
@@ -767,10 +774,13 @@ object BlockStore {
             val alias = s"$name@@v${i + 1}"
             // parity-bump the alias key around its removal so an
             // expired-pin versioned reader fails loudly instead of
-            // resolving the empty alias (see dropStore)
+            // resolving the empty alias (see dropStore); exception-paired
+            // like every other rewrite path — a throw between the bumps
+            // would strand the alias at odd parity and make
+            // stableLayoutGeneration spin forever (r15 advice)
             bumpLayoutGen(alias)
-            snapshotAliases.remove(alias): Unit
-            completeLayoutRewrite(alias)
+            try snapshotAliases.remove(alias): Unit
+            finally completeLayoutRewrite(alias)
           }
           null
         } else blocks
@@ -857,10 +867,12 @@ object BlockStore {
           // an alias removal IS a layout rewrite of that alias key: its
           // generation otherwise never moves, so an expired-pin reader
           // would pass the fallback's equality check against the now
-          // EMPTY alias array instead of failing loudly
+          // EMPTY alias array instead of failing loudly. try/finally for
+          // parity-pair consistency with the store-level paths (a throw
+          // between the bumps strands the alias at odd parity forever)
           bumpLayoutGen(alias)
-          snapshotAliases.remove(alias): Unit
-          completeLayoutRewrite(alias)
+          try snapshotAliases.remove(alias): Unit
+          finally completeLayoutRewrite(alias)
         }
     } finally completeLayoutRewrite(name)
   }
