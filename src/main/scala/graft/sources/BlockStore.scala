@@ -679,7 +679,74 @@ object BlockStore {
   private val staged =
     new ConcurrentHashMap[String, ConcurrentHashMap[Int, Block]]()
 
+  // ---- staged-write crash consistency ------------------------------------
+  //
+  // At 100 TB writer death between task-level staging and the job commit is
+  // ROUTINE, and a crashed writer's staged blocks are invisible garbage the
+  // store would otherwise hold forever. Two signals decide what is orphaned:
+  //
+  //  - a WRITE LEASE: the batch write path registers its unique staging key
+  //    when execution starts (createBatchWriterFactory) and releases it at
+  //    job commit/abort. A key with a live lease is never an orphan. On a
+  //    cluster deployment the lease would be heartbeat-backed (the
+  //    reference's daemon tracks client liveness the same way); in-JVM the
+  //    release is explicit, and a crashed writer's lease is expired by the
+  //    vacuum caller via `minAgeMs`'s companion [[expireWriteLease]].
+  //  - AGE: streaming epochs stage without a per-epoch driver-side begin
+  //    hook (the epoch id first surfaces executor-side), so an in-flight
+  //    epoch's staging is distinguished from a dead stream's only by age —
+  //    the Delta/Iceberg orphan-file VACUUM retention model. Live epoch
+  //    staging exists for seconds; a retention of minutes is safe.
+  //
+  // Nothing here touches the visible store: staging is invisible by
+  // construction, so reclamation is pure garbage collection — readers see
+  // the pre-crash version throughout, and a fresh writer (new unique
+  // staging key) never collides with the orphan.
+
+  private val stagedSince = new ConcurrentHashMap[String, Long]()
+  private val liveWriteLeases = ConcurrentHashMap.newKeySet[String]()
+
+  private[sources] def beginWriteLease(stagingKey: String): Unit =
+    liveWriteLeases.add(stagingKey): Unit
+  /** Release (or, from a vacuum policy that decided the writer is dead,
+    * forcibly expire) a staging key's lease. */
+  private[graft] def expireWriteLease(stagingKey: String): Unit =
+    liveWriteLeases.remove(stagingKey): Unit
+
+  /** Staging keys that belong to `store` (its job/epoch staging areas). */
+  private def stagingKeysOf(store: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    staged.keySet().asScala
+      .filter(k => k == store || k.startsWith(s"$store##")).toSeq
+  }
+
+  /** Staged-but-uncommitted keys for `store` with no live write lease and
+    * staging age >= `minAgeMs` — the residue of writers that died between
+    * task-level staging and the job/epoch commit. Returns
+    * (stagingKey, blockCount) pairs; the accounting half of vacuum. */
+  def stagedOrphans(store: String, minAgeMs: Long = 0): Seq[(String, Int)] = {
+    val now = System.nanoTime()
+    stagingKeysOf(store)
+      .filterNot(liveWriteLeases.contains)
+      .filter { k =>
+        val since = stagedSince.getOrDefault(k, now)
+        (now - since) / 1000000L >= minAgeMs
+      }
+      .map(k => k -> stagedCount(k))
+      .filter(_._2 > 0)
+  }
+
+  /** Reclaim `store`'s orphaned staging areas (see [[stagedOrphans]]) —
+    * the staging half of VACUUM. Returns the number of blocks freed. The
+    * visible store is untouched: orphans were never promoted. */
+  def vacuumStagedOrphans(store: String, minAgeMs: Long = 0): Int = {
+    val orphans = stagedOrphans(store, minAgeMs)
+    orphans.foreach { case (k, _) => discardStaged(k) }
+    orphans.iterator.map(_._2).sum
+  }
+
   private[graft] def stage(name: String, partitionId: Int, b: Block): Unit = {
+    stagedSince.putIfAbsent(name, System.nanoTime()): Unit
     staged.computeIfAbsent(name, _ => new ConcurrentHashMap[Int, Block]())
       .put(partitionId, b): Unit
   }
@@ -716,6 +783,8 @@ object BlockStore {
     // assemble BEFORE the opening bump: any throw between the bumps would
     // strand the generation at odd parity and spin every future planner
     val s = staged.remove(stagingKey)
+    stagedSince.remove(stagingKey): Unit
+    expireWriteLease(stagingKey)
     val blocks: Array[Block] =
       if (s == null) Array.empty
       else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
@@ -852,6 +921,12 @@ object BlockStore {
       history.remove(name): Unit
       liveStreams.remove(name): Unit
       shardedMeta.remove(name): Unit
+      // a dropped store's ORPHANED staging is garbage by definition —
+      // reclaim it here rather than wait for an explicit vacuum. Keys
+      // with a LIVE lease survive: an in-flight write racing the drop
+      // keeps its existing semantics (its commit recreates the store).
+      stagingKeysOf(name).filterNot(liveWriteLeases.contains)
+        .foreach(discardStaged)
       // release this store's planning pins — a dropped store's payloads
       // must not stay reachable through stale plans (reads fail loudly);
       // versioned scans pin under the alias key, so match those too
@@ -879,6 +954,8 @@ object BlockStore {
 
   private[sources] def discardStaged(name: String): Unit = {
     staged.remove(name): Unit
+    stagedSince.remove(name): Unit
+    expireWriteLease(name)
   }
 
   /** Staged (not yet visible) block count — the spec asserts this drains

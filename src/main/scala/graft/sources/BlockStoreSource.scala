@@ -835,11 +835,18 @@ private[sources] class BlockBatchWrite(store: String, schema: StructType,
   // collided on the bare store name: whichever commit ran first promoted
   // an arbitrary mix of both jobs' blocks, and one job's abort discarded
   // the other's staging).
-  private val jobKey = store + "##job-" + java.util.UUID.randomUUID()
+  private[sources] val jobKey = store + "##job-" + java.util.UUID.randomUUID()
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // write lease: from here until commit/abort this job's staging key is
+    // LIVE — the orphan vacuum must not reclaim an in-flight job's blocks
+    // (released by promoteInto/discardStaged; a crashed writer's lease is
+    // expired by the vacuum policy — see BlockStore's crash-consistency
+    // scaladoc)
+    BlockStore.beginWriteLease(jobKey)
     new BlockWriterFactory(jobKey,
       Catalog.documents.fieldNames.map(schema.fieldIndex))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     BlockStore.promoteInto(jobKey, store,
