@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * "plan regression vs GC spike vs shuffle growth" triage reads from the
   * artifact: elapsed up + gc up + shuffle flat = session GC; elapsed up +
   * shuffle up = the plan actually moves more data; all flat = host noise. */
-private class BenchTaskMetricsListener extends SparkListener {
+private[graft] class BenchTaskMetricsListener extends SparkListener {
   val shuffleRead = new AtomicLong(0)
   val shuffleWrite = new AtomicLong(0)
   val spill = new AtomicLong(0)

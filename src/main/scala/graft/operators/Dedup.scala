@@ -266,7 +266,11 @@ object Dedup {
         }
         // hist lane 0 = total length, lanes 1.. = tracked-char counts —
         // the [[graft.expr.VectorExpressions.IntHistL1]] layout
-        val df = simhashOf(spark, dir)
+        // shuffle-hash pin (corpus ⋈ corpus on doc_id): unhinted, the
+        // planner's estimate broadcasts one corpus-sized side — see
+        // ngramCandidateFrame's scaladoc for the full finding. The hinted
+        // (narrow 16-byte simhash) side is the per-partition build.
+        val df = simhashOf(spark, dir).hint("shuffle_hash")
           .join(Catalog.table(spark, dir, "documents")
             .select(col("doc_id"), col("text")), Seq("doc_id"))
           .withColumn("lt", length(col("text")))
@@ -411,6 +415,15 @@ object Dedup {
       }
     }
 
+  /** Materialize (and memo) the shared bigram frame without running any
+    * downstream stage — the scale harness's per-stage split pre-builds it
+    * so dd6/dd9 rows price their OWN stage, not the shared-artifact
+    * rebuild the per-dir memo otherwise folds into whichever op runs
+    * first at that factor (the r14 "20 s dd8 row is mostly dd6" gotcha,
+    * made self-explaining in scale.json). */
+  private[graft] def ensureNgramBase(spark: SparkSession, dir: String): Unit =
+    ngramBase(spark, dir).count(): Unit
+
   /** PPJoin PREFIX rows over the shared bigram frame: one row per
     * (doc, prefix bigram-hash), where each doc's prefix is its
     * `n − ⌈0.6·n⌉ + 1` RAREST bigrams under the global (document
@@ -493,11 +506,28 @@ object Dedup {
         col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair may share several prefix tokens — verify once
+    // Array-attach via SHUFFLED HASH JOIN, pinned by hint. Unhinted, the
+    // join strategy is UNSTABLE in exactly the way that hid the r14 scale
+    // table's ×32 step: before the persisted base MATERIALIZES, its
+    // sizeInBytes estimate (a Project dropping `text` over a FileScan —
+    // the estimate shrinks with the column-size ratio) lands under the
+    // broadcast threshold and the planner broadcasts THE CORPUS' bigram
+    // arrays (locally invisible — one in-JVM hash relation — and never
+    // the plan a cluster would run); once the cache is materialized, the
+    // accurate stats flip the same query to SMJ, whose 10M-candidate-row
+    // sorts spilled ~7 GB at blow-up ×32. The SMJ-with-spill variant IS
+    // what accurate stats pick at real scale, so the ×32 spill was the
+    // honest 100 TB preview. SHJ dominates both: shuffle each side on the
+    // doc key once, build a per-partition hash of the base slice
+    // (corpus/partitions per task — bounded when partitions scale with
+    // data), stream the candidates with NO sort — measured at ×32: zero
+    // spill, runtime 19 s → 16 s, and one plan regardless of cache state.
+    // PlanAuditSpec pins the SHJ shape for all four attach-join queries.
     candIds
       .join(base.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
-        col("n_bg").as("na")), Seq("doc_a"))
+        col("n_bg").as("na")).hint("shuffle_hash"), Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
-        col("n_bg").as("nb")), Seq("doc_b"))
+        col("n_bg").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
   }
 
   // dd6's VERIFIED pairs, memoized per (session, dir): the pair list is a
@@ -770,11 +800,14 @@ object Dedup {
     val base = ngramBase(spark, dir)
     val candP = incrementalCandidateIds(spark, dir)
     val nInt = call_function("sorted_intersect_count", col("bg_i"), col("bg_x"))
+    // same shuffle-hash pin as ngramCandidateFrame's attach joins (see the
+    // scaladoc there): never broadcast the corpus' arrays, never sort the
+    // candidate stream
     val nearIds = candP
       .join(base.select(col("doc_id"), col("bg").as("bg_i"),
-        col("n_bg").as("ni")), Seq("doc_id"))
+        col("n_bg").as("ni")).hint("shuffle_hash"), Seq("doc_id"))
       .join(base.select(col("doc_id").as("idx_id"), col("bg").as("bg_x"),
-        col("n_bg").as("nx")), Seq("idx_id"))
+        col("n_bg").as("nx")).hint("shuffle_hash"), Seq("idx_id"))
       .filter(nInt.cast(DoubleType) /
         (col("ni") + col("nx") - nInt).cast(DoubleType) >= 0.6)
       .select(col("doc_id")).distinct().withColumn("is_near", lit(1))

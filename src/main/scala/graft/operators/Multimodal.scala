@@ -265,7 +265,14 @@ object Multimodal {
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("b0").as("v0"),
       col("b1").as("v1"), col("b2").as("v2"), col("b3").as("v3"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // shuffle-hash pin on the signature attaches: unhinted, the planner's
+    // pre-materialization estimate of the persisted signature frame
+    // broadcasts the CORPUS-sized sigs on both attaches, then flips to a
+    // sorting SMJ once the cache materializes — same cache-state plan
+    // instability as dd6's array-attach joins (see ngramCandidateFrame's
+    // scaladoc); SHJ is the sort-free shape both locally and at scale
+    cand.join(sa.hint("shuffle_hash"), Seq("doc_a"))
+      .join(sb.hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("hamming", asLong(
         expr("bit_count(a0 ^ v0) + bit_count(a1 ^ v1) + bit_count(a2 ^ v2) + bit_count(a3 ^ v3)")))
       .filter(col("hamming") <= HammingMax)

@@ -132,4 +132,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(cross.isEmpty && bound.isEmpty,
       (cross ++ bound).mkString("\n"))
   }
+
+  /** The corpus-attach joins (candidate pairs ⋈ corpus feature frame, and
+    * dd15's corpus ⋈ corpus histogram build) must plan as SHUFFLED HASH
+    * JOINS — the r15 finding: unhinted, the strategy flips with the
+    * persisted frame's materialization state (pre-materialization
+    * underestimate → broadcast of the CORPUS; accurate post-cache stats →
+    * SMJ whose candidate sorts spilled ~7 GB at blow-up ×32). The hints
+    * make the plan deterministic; this pin makes losing them loud. */
+  test("corpus-attach joins stay shuffled-hash (no corpus broadcast, no sorting SMJ)") {
+    val expectShj = Map(
+      "dd6_ngram_jaccard" -> 2, // bg_a / bg_b attaches
+      "dd9_incremental_dedup" -> 2, // bg_i / bg_x attaches
+      "dd15_edit_distance" -> 1, // simhash ⋈ documents hist build
+      "mm6_perceptual_neardup" -> 2) // signature attaches
+    val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      val shj = plan.linesIterator.count(_.contains("ShuffledHashJoin"))
+      if (shj < n) Some(s"$name: expected >= $n ShuffledHashJoin, found $shj")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }

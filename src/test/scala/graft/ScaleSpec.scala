@@ -17,7 +17,7 @@ class ScaleSpec extends SparkSpec {
   private val baseDir = "/root/testdata/sf0.01"
   private lazy val outRoot = "/tmp/graft-scale-sf0.01"
 
-  test("copy bijections are pairwise DISTANT through ×51") {
+  test("copy bijections are pairwise DISTANT through ×65") {
     // distinctness is not enough: two maps agreeing on most of the
     // alphabet make their copies byte-level near-duplicates (r14 found
     // copies 1/28 agreeing on ~2/3 of the letters under the old
@@ -29,7 +29,7 @@ class ScaleSpec extends SparkSpec {
       val m = src.zip(dst).toMap
       "abcdefghijklmnopqrstuvwxyz".map(m)
     }
-    val maps = (0 until 51).map(canonical)
+    val maps = (0 until 65).map(canonical)
     for (i <- maps.indices; j <- (i + 1) until maps.size) {
       val agree = maps(i).indices.count(p => maps(i)(p) == maps(j)(p))
       assert(agree <= 26 - Scale.MinLetterDisagree,
@@ -41,14 +41,14 @@ class ScaleSpec extends SparkSpec {
       val m = src.zip(dst).toMap
       "0123456789".map(m)
     }
-    val dmaps = (0 until 51).map(canonicalDigits)
+    val dmaps = (0 until 65).map(canonicalDigits)
     for (i <- dmaps.indices; j <- (i + 1) until dmaps.size) {
       val agree = dmaps(i).indices.count(p => dmaps(i)(p) == dmaps(j)(p))
       assert(agree <= 10 - Scale.MinDigitDisagree,
         s"digit maps of copies $i and $j agree on $agree/10 positions")
     }
     // each mapping is a true bijection over its source alphabet
-    (0 until 51).foreach { k =>
+    (0 until 65).foreach { k =>
       val (src, dst) = Scale.copyMapping(k)
       assert(dst.sorted == src.sorted && dst.distinct.length == dst.length,
         s"copy $k mapping is not a bijection")
