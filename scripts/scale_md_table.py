@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Dev-only: render SCALE.md's measurement table from scale.json, so the
+committed prose can never drift from the committed artifact (r15: the table
+gained shuffle/spill and per-stage columns — hand-transcribing 50 rows per
+round was the drift risk). Usage: python3 scripts/scale_md_table.py"""
+import json
+
+rows = json.load(open("scale.json"))
+FLAGS = ["rows_track_xN", "cand_track_model", "runtime_within_bound",
+         "spill_within_bound", "extra_within_bound"]
+
+print("| operator | factor | found rows | candidate pairs | sec | gc s |"
+      " shuffle MB | spill MB | stage split | model |")
+print("|---|---|---|---|---|---|---|---|---|---|")
+for d in rows:
+    stage = "; ".join(f"{k[:-3]} {v / 1000:.1f}s"
+                      for k, v in d.items() if k.endswith("_ms")) or "—"
+    extras = []
+    if "cc_rounds" in d:
+        extras.append(f"rounds={d['cc_rounds']}")
+    if "cand_per_1k_incoming" in d:
+        extras.append(f"{d['cand_per_1k_incoming']:,}/1k in")
+    if "blocks_opened" in d:
+        extras.append(f"{d['blocks_opened']} opened of "
+                      f"{d['index_blocks']} idx blocks")
+    model = d["model"] + (f" ({', '.join(extras)})" if extras else "")
+    bad = [f for f in FLAGS if not d.get(f, True)]
+    if bad:
+        model += " **FLAGS: " + ",".join(bad) + "**"
+    print(f"| {d['op']} | ×{d['factor']} | {d['rows']:,} |"
+          f" {d['candidates']:,} | {d['sec']:.2f} | {d['gc_sec']:.2f} |"
+          f" {d['shuffle_bytes'] / 1e6:,.0f} | {d['spill_bytes'] / 1e6:,.0f} |"
+          f" {stage} | {model} |")
+
+n_ok = sum(all(d.get(f, True) for f in FLAGS) for d in rows)
+print(f"\n{n_ok}/{len(rows)} rows with all flags true.")

@@ -11,6 +11,25 @@ object TestSession {
         .config("spark.sql.shuffle.partitions", "4"),
       "graft-test").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // Several specs assert EXPECTED task failures (vacuumed-version and
+    // fence-generation reads must throw; CrashConsistencySpec's aborting
+    // job) — each such failure prints a full executor/scheduler stack
+    // wall at ERROR, burying anything a human scans the 198-test log for.
+    // Silence just those two chatty loggers; real failures still surface
+    // as assertion messages with the thrown cause.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.executor.Executor",
+      org.apache.logging.log4j.Level.FATAL)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.TaskSetManager",
+      org.apache.logging.log4j.Level.FATAL)
+    // ...and the execution-listener bus, which only ever logs LISTENER
+    // callback exceptions: a prior spec's Observation listener on the
+    // shared session rethrows when later specs' expected-failure reads
+    // poke it (10 stack walls from DataContractSpec's missing-dir test).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.util.ExecutionListenerBus",
+      org.apache.logging.log4j.Level.FATAL)
     s
   }
 }
