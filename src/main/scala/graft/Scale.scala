@@ -450,6 +450,75 @@ object Scale {
   private[graft] def spillBound(factor: Int, baseSpill: Long): Long =
     baseSpill * factor * 2 + (96L << 20) * factor + (256L << 20)
 
+  /** UNBOUNDED-CORPUS-BROADCAST AUDIT — the r15 dd6 finding generalized
+    * into a fleet guard. A BroadcastHashJoin whose build subtree reaches a
+    * corpus-sized leaf (the documents/embeddings scan, a cached frame over
+    * one, or a landed block-store scan) with NO cardinality-bounding
+    * operator in between (aggregate / limit / top-k) is a plan that
+    * broadcasts the corpus: invisible on a laptop (one in-JVM hash
+    * relation), never the plan a cluster runs. Crucially the audit PLANS
+    * at a BLOWN-UP corpus (`dir` = the sweep's largest factor), where
+    * file sizes are large enough that any remaining broadcast decision is
+    * an estimator defect (the dd6 class: a Project over an unmaterialized
+    * persisted frame shrinking sizeInBytes below the threshold) rather
+    * than a small-input optimization that accurate stats would undo at
+    * scale. Returns (query, detail) pairs for flagged plans; the
+    * committed sweep writes them to plan_audit.json — expected empty. */
+  private[graft] def auditCorpusBroadcasts(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+    def unbounded(p: SparkPlan): Boolean = p match {
+      // cardinality-bounding operators: whatever lies below, the build
+      // side's row count is |groups| / k, not the corpus
+      case _: HashAggregateExec | _: SortAggregateExec |
+           _: ObjectHashAggregateExec | _: TakeOrderedAndProjectExec |
+           _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec =>
+        false
+      case f: FileSourceScanExec =>
+        f.metadata.get("Location").exists(l =>
+          l.contains("documents.parquet") || l.contains("embeddings.parquet"))
+      case i: InMemoryTableScanExec => unbounded(i.relation.cachedPlan)
+      // a landed block-store scan is the corpus by construction
+      case _: BatchScanExec => true
+      case other => other.children.exists(unbounded)
+    }
+    // deliberate corpus-DERIVED broadcasts, each with its rationale —
+    // the analogue of PlanAuditSpec.allowCross for this audit
+    val allowed = Set(
+      // x35's broadcast dim IS the demonstrated runtime-filter shape: it
+      // models a small dimension table (carved from the corpus fixture
+      // by a selective predicate), and its explicit broadcast() is the
+      // query's contract — the injected runtime filter on the store scan
+      // is the thing x35 exists to prove
+      "x35_blockstore_runtime_prune")
+    val streaming = "s\\d+_.*".r
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        streaming.matches(n) || SparkEntry.eagerQueries(n) ||
+          SparkEntry.constructionRunsCorpusJobs(n) || allowed(n) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try Some(fn(spark, dir).queryExecution.sparkPlan)
+          catch { case _: Throwable => None } // reads a table the blow-up dir lacks
+        plan.toSeq.flatMap(_.collect {
+          case b: BroadcastHashJoinExec
+              if unbounded(if (b.buildSide == BuildLeft) b.left else b.right) =>
+            name -> s"BroadcastHashJoin(${b.leftKeys.mkString(",")}) builds an unbounded corpus side"
+          case b: BroadcastNestedLoopJoinExec
+              if unbounded(if (b.buildSide == BuildLeft) b.left else b.right) =>
+            name -> "BroadcastNestedLoopJoin builds an unbounded corpus side"
+        })
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1)
@@ -546,6 +615,21 @@ object Scale {
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     System.err.println(s"[scale] wrote $out")
+    // plan-shape audit at the LARGEST factor's file sizes (see
+    // auditCorpusBroadcasts): a broadcast decision that survives GB-scale
+    // inputs is an estimator defect, not a small-input optimization
+    val biggest = dirs(factors.max)
+    val flagged = auditCorpusBroadcasts(spark, biggest)
+    val auditJson = "{\"dir\":\"" + biggest + "\",\"flagged\":[" +
+      flagged.map { case (q, d) => s"""{"query":"$q","detail":"$d"}""" }
+        .mkString(",") + "]}"
+    val auditOut = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".") + "/plan_audit.json").toAbsolutePath
+    java.nio.file.Files.write(auditOut,
+      (auditJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    System.err.println(s"[scale] corpus-broadcast audit: " +
+      s"${flagged.size} flagged → $auditOut")
+    flagged.foreach { case (q, d) => System.err.println(s"[scale]   $q: $d") }
     spark.stop()
   }
 }

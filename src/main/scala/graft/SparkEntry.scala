@@ -16,6 +16,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q5LocalSupplier(spark, "/root/testdata/sf0.001")
 
+  /** Registry queries whose CONSTRUCTION executes (a driver-side bounded
+    * collect — probe-budget evaluations, |groups|-shaped manifests,
+    * catalog-lifecycle queries that must not stay lazy past their
+    * finally). PlanAuditSpec DETECTS eagerness structurally (all analyzed
+    * leaves LocalRelation) and asserts the detected set equals this one,
+    * so the list cannot drift; consumers that must not trigger execution
+    * at construction time (Scale's corpus-broadcast plan audit runs at a
+    * ×64 corpus, where an eager build costs minutes) skip these names. */
+  val eagerQueries: Set[String] = Set(
+    "dd11_decontaminate", "dd13_decontaminate_bloom",
+    "p5_token_shards", "p7_incremental_shards",
+    "p8_curriculum_shards", "p9_epoch_shuffle", "p10_corpus_build",
+    "sim8_kmeans_iterate", "sim9_recall_at_k", "sim11_ivf_multiprobe",
+    "sim13_ivf_pq", "sim14_recall_bar", "sim23_mmr_topk",
+    "t9_quality_deciles", "t13_bpe_pairs", "t14_heavy_hitters",
+    "x30_corrupt_ingest", "x36_blockstore_sql", "x38_observed_metrics",
+    "x39_blockstore_delete", "x41_time_travel")
+
+  /** Queries whose returned frame is LAZY but whose CONSTRUCTION runs
+    * corpus-scale jobs (dd8's iterative CC loop; p1 consumes it; p11
+    * lands the token-shard store) — the corpus-broadcast audit skips
+    * these too, since "plan it at the ×64 corpus" would mean "run it". */
+  val constructionRunsCorpusJobs: Set[String] = Set(
+    "dd8_dedup_clusters", "p1_pipeline_manifest", "p11_landed_shards")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextAnalysis.queries ++

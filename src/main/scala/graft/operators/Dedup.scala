@@ -811,9 +811,14 @@ object Dedup {
       .filter(nInt.cast(DoubleType) /
         (col("ni") + col("nx") - nInt).cast(DoubleType) >= 0.6)
       .select(col("doc_id")).distinct().withColumn("is_near", lit(1))
+    // shuffle-hash pin: exactIds/nearIds are |incoming|-scale id sets
+    // (corpus/5) whose ids-only Project UNDERESTIMATES below the
+    // broadcast threshold even at the ×64 corpus (the r15 audit caught
+    // the resulting corpus-fraction broadcast) — SHJ keeps the
+    // classification join scale-sane at any corpus size
     incoming.select(col("doc_id"))
-      .join(exactIds, Seq("doc_id"), "left")
-      .join(nearIds, Seq("doc_id"), "left")
+      .join(exactIds.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nearIds.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_exact") === 1, lit("exact_dup"))
           .when(col("is_near") === 1, lit("near_dup"))

@@ -387,7 +387,15 @@ object Multimodal {
       col("i0"), col("i1"), col("i2"), col("i3"))).as(Seq("band", "bsig")))
     val cand = pb.join(ib, Seq("band", "bsig"))
       .select(col("query_id"), col("match_id")).distinct()
-    cand.join(broadcast(probes), Seq("query_id")).join(idxSigs, Seq("match_id"))
+    // shuffle-hash, not broadcast: s26's real micro-batches are small,
+    // but mm7's registered fixture batch is a CORPUS FRACTION (the
+    // doc_id % 11 slice) and a serve plan must not depend on the batch
+    // being broadcastable — SHJ costs two tiny shuffles on a small batch
+    // and stays correct when a caller serves a corpus-sized backfill
+    // (the r15 corpus-broadcast audit flagged the old explicit
+    // broadcast() at the ×64 corpus)
+    cand.join(probes.hint("shuffle_hash"), Seq("query_id"))
+      .join(idxSigs, Seq("match_id"))
       .withColumn("hamming", graft.Sql.asLong(
         expr("bit_count(q0 ^ i0) + bit_count(q1 ^ i1)" +
           " + bit_count(q2 ^ i2) + bit_count(q3 ^ i3)")))

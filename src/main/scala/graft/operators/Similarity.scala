@@ -35,6 +35,20 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   private val ProbeCount = 10
+
+  /** A by-id-range slice with its cardinality bound made STRUCTURAL:
+    * vec_ids are dense from 0, so the `limit(n)` is an identity on the
+    * rows the filter already selects — but it puts the bound INTO THE
+    * PLAN. That is what makes the probe/centroid `broadcast(...)` and
+    * cross-join shapes legitimate at ANY corpus size (the build side is
+    * provably ≤ n rows, not "a filter we promise is small"), and lets
+    * the corpus-broadcast audit (`Scale.auditCorpusBroadcasts`, run at
+    * the ×64 corpus) prove it instead of trusting a comment (r15).
+    * `rowsPerId` sizes the limit for frames carrying several rows per
+    * vec_id (sim12's banded frame) — the limit must admit ALL of a
+    * bounded id's rows to stay an identity. */
+  private def idBound(df: DataFrame, n: Int, rowsPerId: Int = 1): DataFrame =
+    df.filter(col("vec_id") < n).limit(n * rowsPerId)
   private val TopK = 5
   private val IvfTopK = 3
 
@@ -74,7 +88,7 @@ object Similarity {
   /** Exact brute-force cosine top-k for a deterministic probe subset. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("query_id"))
     topk(pairs, TopK)
@@ -127,7 +141,7 @@ object Similarity {
   private[graft] def mmrCandidatesExact(spark: SparkSession,
       dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"))
     val pairs = all.crossJoin(broadcast(probes))
@@ -215,7 +229,7 @@ object Similarity {
   /** ANN scale path: search only the probe's cell (label = IVF cell id). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("label").as("qlabel"))
     val pairs = all.join(broadcast(probes),
@@ -244,7 +258,7 @@ object Similarity {
       when(dot(col("e"), typedlit(Planes(j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val withSig = all.withColumn("sig", sig)
-    val probes = withSig.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(withSig, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
     val pairs = withSig.join(broadcast(probes),
@@ -290,7 +304,7 @@ object Similarity {
         dot(col("e"), typedlit(ProjPlanes(j).toSeq))): _*))
       .withColumn("pnrm", sqrt(dot(col("p"), col("p"))))
       .filter(col("pnrm") > 0) // a cancelled-out projection has no cosine
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("p").as("qp"),
         col("pnrm").as("qpnrm"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.join(broadcast(probes), col("vec_id") =!= col("query_id"))
@@ -396,7 +410,7 @@ object Similarity {
     // interpreted 3-HOF quantizer feeding this plus a join/groupBy/window
     // scoring chain; scoring is now driver-side (below).
     val cells = collectCellStats(quant)
-    val probeRows = quant.filter(col("vec_id") < ProbeCount)
+    val probeRows = idBound(quant, ProbeCount)
       .select(col("vec_id"), col("label"), col("q")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val out = nearestCells(cells, probeRows, nProbe)
@@ -521,7 +535,7 @@ object Similarity {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       all.count()
-      val probes = all.filter(col("vec_id") < ProbeCount)
+      val probes = idBound(all, ProbeCount)
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
       def pairs(df: DataFrame): Array[(Long, Long)] =
         df.select(col("query_id"), col("neighbor_id")).collect()
@@ -545,7 +559,7 @@ object Similarity {
   /** sim11 body over precomputed pieces — sim9 shares one cell-selection
     * job across its ivf_multi and ivf_pq arms instead of re-running it. */
   private def ivfMultiProbe(all: DataFrame, cells: DataFrame): DataFrame = {
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.join(
       broadcast(probes.join(cells, Seq("query_id"))),
@@ -591,14 +605,18 @@ object Similarity {
     val banded = all
       .select(col("vec_id"), explode(bandRows).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val probeBands = banded.filter(col("vec_id") < ProbeCount)
+    // the banded frame carries NumBands rows per vec_id — the structural
+    // bound must admit all of a probe's bands (a bare limit(ProbeCount)
+    // silently truncated 3/4 of the probe bands: r15's first cut, caught
+    // by the oracle gate)
+    val probeBands = idBound(banded, ProbeCount, rowsPerId = NumBands)
       .select(col("vec_id").as("query_id"), col("band").as("qband"),
         col("sig").as("qsig"))
     val cand = banded.join(broadcast(probeBands),
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = cand
       .join(all, Seq("vec_id"))
@@ -617,7 +635,7 @@ object Similarity {
   def lshRewriteTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.LshBucketRewrite.register(spark)
     val all = emb(spark, dir)
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.join(probes,
       call_function("lsh_candidates", col("e"), col("qe")) &&
@@ -655,7 +673,7 @@ object Similarity {
       .withColumn("nrm", sqrt(call_function("vec_dot", col("q"), col("q"))))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("q").as("e"), col("nrm"))
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val pairs = all.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("query_id"))
     topk(pairs, TopK)
@@ -716,7 +734,7 @@ object Similarity {
       new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     try {
       all.count()
-      val probes = all.filter(col("vec_id") < ProbeCount)
+      val probes = idBound(all, ProbeCount)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("nrm").as("qnrm"), col("label").as("qlabel"))
       def pairs(df: DataFrame): Array[(Long, Long)] =
@@ -734,7 +752,7 @@ object Similarity {
           when(dot(col("e"), typedlit(Planes(j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
         val withSig = all.withColumn("sig", sig)
-        val lshProbes = withSig.filter(col("vec_id") < ProbeCount)
+        val lshProbes = idBound(withSig, ProbeCount)
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
             col("nrm").as("qnrm"), col("sig").as("qsig"))
         pairs(topk(
@@ -850,7 +868,7 @@ object Similarity {
     val all = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = all.count()
-      val probes = all.filter(col("vec_id") < ProbeCount)
+      val probes = idBound(all, ProbeCount)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("nrm").as("qnrm"))
       def pairs(df: DataFrame): Array[(Long, Long)] =
@@ -967,7 +985,7 @@ object Similarity {
 
   private def pqScanIdx(index: DataFrame, all: DataFrame,
       cb: IndexedSeq[Column]): DataFrame = {
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     pqRank(index.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id")), cb)
@@ -996,7 +1014,7 @@ object Similarity {
 
   private def ivfPqIdx(index: DataFrame, all: DataFrame,
       cb: IndexedSeq[Column], cells: DataFrame): DataFrame = {
-    val probes = all.filter(col("vec_id") < ProbeCount)
+    val probes = idBound(all, ProbeCount)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val pairs = index.join(
       broadcast(probes.join(cells, Seq("query_id"))),
@@ -1293,10 +1311,14 @@ object Similarity {
             .bitwiseAND(lit(255L)).cast(IntegerType).as(s"c$m")): _*)
     // tombstoned ids never become candidates: an equi ANTI-join against
     // the tombstone store (a table, not a broadcast — at 100 TB the
-    // delete set scales with the corpus, the sim18 contract)
+    // delete set scales with the corpus, the sim18 contract). The
+    // shuffle-hash hint ENFORCES that contract: unhinted, the planner
+    // broadcast the tombstone scan (the r15 ×64 corpus-broadcast audit
+    // caught the plan contradicting this very comment)
     val idx = tombstones.fold(idx0)(t =>
       idx0.join(spark.read.format("graft.sources.BlockStoreSource")
-          .option("store", t).load().select(col("doc_id").as("vec_id")),
+          .option("store", t).load().select(col("doc_id").as("vec_id"))
+          .hint("shuffle_hash"),
         Seq("vec_id"), "left_anti"))
     val joined = idx.join(broadcast(probesDf),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
@@ -1579,7 +1601,11 @@ object Similarity {
     val all = emb(spark, dir)
     val langs = Catalog.table(spark, dir, "documents")
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val v = all.join(langs, Seq("vec_id"))
+    // corpus ⋈ corpus on vec_id: the two-column lang Project's size
+    // estimate sits under the broadcast threshold even at the ×64 corpus
+    // (the r15 audit's finding — broadcasting `documents` is never the
+    // cluster plan); shuffle-hash pins the scale-sane shape
+    val v = all.join(langs.hint("shuffle_hash"), Seq("vec_id"))
     val en = v.filter(col("lang") === "en")
       .select(col("vec_id").as("en_id"), col("e").as("ee"),
         col("nrm").as("enrm"), col("label"))
@@ -1616,7 +1642,7 @@ object Similarity {
     * centroid-update agg on top — same shuffle shape. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir)
-    val centroids = all.filter(col("vec_id") < NumCentroids)
+    val centroids = idBound(all, NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
     val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
@@ -1646,7 +1672,7 @@ object Similarity {
     * carries K x dim x partitions small longs, independent of corpus size. */
   def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
     val all = quantized(spark, dir)
-    val centroids = all.filter(col("vec_id") < NumCentroids)
+    val centroids = idBound(all, NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
     meansStep(assignStep(all, centroids))
       .select(col("centroid_id"), asLong(col("pos") + 1).as("dim"),
@@ -1726,7 +1752,7 @@ object Similarity {
   def kmeansIterate(spark: SparkSession, dir: String): DataFrame = {
     val all = quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = all.filter(col("vec_id") < NumCentroids)
+    var centroids = idBound(all, NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
     var pinned: Option[DataFrame] = None
     try {

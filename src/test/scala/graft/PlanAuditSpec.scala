@@ -99,6 +99,7 @@ class PlanAuditSpec extends SparkSpec {
     val bounds = eagerBounds(nDocs, shape.getLong(0), shape.getLong(1))
     val crossOffenders = Seq.newBuilder[String]
     val boundOffenders = Seq.newBuilder[String]
+    val detectedEager = Set.newBuilder[String]
     SparkEntry.queries.keys.toSeq.sorted.filterNot(streaming).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       // eager = the RESULT was collected: every leaf is a LocalRelation.
@@ -106,6 +107,7 @@ class PlanAuditSpec extends SparkSpec {
       // table — so a collectFirst would misclassify it.)
       val leaves = df.queryExecution.analyzed.collectLeaves()
       val eager = leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
+      if (eager) detectedEager += name
       // An eager query is bound-checked REGARDLESS of allowCross
       // membership — allowCross only waives the cartesian/nested-loop
       // check on lazy plans (an eager query that is also listed there
@@ -131,6 +133,15 @@ class PlanAuditSpec extends SparkSpec {
     val bound = boundOffenders.result()
     assert(cross.isEmpty && bound.isEmpty,
       (cross ++ bound).mkString("\n"))
+    // the published eager list (SparkEntry.eagerQueries — consumed by
+    // Scale's corpus-broadcast audit to avoid executing eager builds at a
+    // ×64 corpus) must match what detection actually finds: a query that
+    // becomes eager or lazy without the list moving fails HERE, not in a
+    // silently-mis-scoped audit
+    assert(detectedEager.result() == SparkEntry.eagerQueries,
+      s"SparkEntry.eagerQueries drifted from detection: " +
+        s"detected-only=${detectedEager.result() -- SparkEntry.eagerQueries} " +
+        s"listed-only=${SparkEntry.eagerQueries -- detectedEager.result()}")
   }
 
   /** The corpus-attach joins (candidate pairs ⋈ corpus feature frame, and
