@@ -131,6 +131,63 @@ class CrashConsistencySpec extends SparkSpec {
     BlockStore.dropStore(name)
   }
 
+  test("orphan vacuum racing LIVE writers steals nothing: every leased " +
+      "job commits complete; unleased staging is reclaimed") {
+    val name = "crash-race"
+    BlockStore.dropStore(name)
+    def blk(id: Long) = BlockStore.Block(id, id,
+      Array((id, s"t$id", "en", "s", 1L)))
+    val nWriters = 8
+    val blocksPerWriter = 20
+    @volatile var stop = false
+    @volatile var vacError: Throwable = null
+    @volatile var vacPasses = 0L
+    // aggressive vacuum loop with ZERO retention — only the lease
+    // protects in-flight staging. The loop's health is ASSERTED below:
+    // a vacuum that throws on iteration 1 would otherwise leave the
+    // writers unraced and the test vacuously green (r15 review).
+    val vac = new Thread(() => {
+      try while (!stop) {
+        BlockStore.vacuumStagedOrphans(name): Unit
+        vacPasses += 1
+        Thread.`yield`()
+      } catch { case t: Throwable => vacError = t }
+    })
+    vac.start()
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        val key = s"$name##job-race-$w"
+        BlockStore.beginWriteLease(key)
+        (0 until blocksPerWriter).foreach { pid =>
+          BlockStore.stage(key, pid, blk(w * 1000L + pid))
+          if (pid % 5 == 0) Thread.`yield`()
+        }
+        BlockStore.promoteInto(key, name, 0 until blocksPerWriter,
+          truncate = false)
+      })
+    }
+    // plus a perpetual ORPHAN staged with no lease — the vacuum's prey
+    BlockStore.stage(s"$name##job-dead", 0, blk(999999L))
+    writers.foreach(_.start())
+    writers.foreach(_.join(30000))
+    assert(writers.forall(!_.isAlive),
+      "a writer thread hung past its join timeout")
+    stop = true
+    vac.join(10000)
+    assert(vacError == null, s"vacuum loop died mid-race: $vacError")
+    assert(vacPasses > 0, "vacuum loop never completed a pass")
+    val ids = BlockStore.blocks(name).flatMap(_.rows).map(_._1).sorted
+    val want = (for (w <- 0 until nWriters; p <- 0 until blocksPerWriter)
+      yield w * 1000L + p).sorted
+    assert(ids.toSeq == want,
+      s"racing vacuum lost committed blocks: got ${ids.length} of ${want.length}")
+    // the unleased orphan was reclaimed by one of the vacuum passes
+    BlockStore.vacuumStagedOrphans(name): Unit
+    assert(BlockStore.stagedCount(s"$name##job-dead") == 0)
+    assert(BlockStore.stagedOrphans(name).isEmpty)
+    BlockStore.dropStore(name)
+  }
+
   test("a failing write job aborts cleanly: store untouched, no staging " +
       "residue, no orphan report") {
     val name = "crash-abort"
