@@ -55,7 +55,15 @@ def main():
     if not common:
         sys.exit("no common queries between the two files")
 
-    ratios = {q: qb[q] / qa[q] for q in common if qa[q] > 0}
+    # Bench marks a FAILED query with -1.0 — surface failures loudly
+    # instead of feeding a negative ratio into math.log (crash) or
+    # silently dropping them
+    failed = sorted(q for q in common if qa[q] < 0 or qb[q] < 0)
+    for q in failed:
+        which = [n for n, run in (("old", qa), ("new", qb)) if run[q] < 0]
+        print(f"FAILED in {'/'.join(which)}: {q}")
+    ratios = {q: qb[q] / qa[q] for q in common
+              if qa[q] > 0 and qb[q] > 0}
     controls = [c for c in args.controls.split(",") if c]
     missing = [c for c in controls if c not in ratios]
     if missing:

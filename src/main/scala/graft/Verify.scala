@@ -25,11 +25,23 @@ object Verify {
     // failures ONLY on a full-registry run. The previous written-count
     // heuristic (written >= |oracles|/2) misclassified a run where more
     // than half the queries threw as a subset run — the exact catastrophic
-    // case the union check exists for (r14 advice). The marker makes the
-    // run's intent explicit: written on full runs (even if queries fail),
-    // deleted on subset runs.
+    // case the union check exists for (r14 advice). The marker states the
+    // run's INTENT, so it is written BEFORE the loop (an end-of-run marker
+    // re-opened the hole for a killed run: no marker → subset semantics →
+    // stale outputs from the previous run compare green — r15 review),
+    // and a full run CLEARS the outDir first so a kill mid-way leaves
+    // missing outputs that check.py counts as failures, never stale ones.
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete(): Unit
+    }
     val fullRunMarker = Paths.get(s"$outDir/_FULL_RUN")
     Files.deleteIfExists(fullRunMarker)
+    if (only.isEmpty) {
+      Option(new java.io.File(outDir).listFiles)
+        .foreach(_.foreach(rmAll))
+      Files.writeString(fullRunMarker,
+        s"${SparkEntry.queries.size}\n"): Unit
+    }
     println(s"[verify] registry: ${SparkEntry.queries.size} queries" +
       (if (only.nonEmpty) s" (subset run: ${only.size})" else ""))
     var failed = 0
@@ -71,8 +83,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (only.isEmpty)
-      Files.writeString(fullRunMarker, s"${SparkEntry.queries.size}\n"): Unit
     spark.stop()
     // non-zero exit on any failed query: the gate must be loud even if
     // the caller only checks the exit code

@@ -177,8 +177,12 @@ object Relational {
     * The first-stage groupBy keeps a NULL key as its own group, which
     * `count(DISTINCT key)` (both engines) would EXCLUDE — so the pattern
     * filters `key IS NOT NULL` first. On non-null TPC-H keys the filter
-    * is a pushed-down no-op; on a nullable key it is what makes the
-    * two-stage rewrite equivalent to countDistinct (r15 advice). */
+    * is a pushed-down no-op; on a nullable key it aligns the per-group
+    * COUNTS with countDistinct, with one residual caveat: a group whose
+    * key is NULL on EVERY row vanishes from the filtered aggregate, so
+    * the inner joins below drop that group's row entirely where
+    * count(DISTINCT) would report it with 0 — reuse on such data needs
+    * left joins + coalesce(.., 0) (r15 review). */
   def q12DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     def nd(key: String, as: String) =

@@ -720,17 +720,33 @@ object BlockStore {
       .filter(k => k == store || k.startsWith(s"$store##")).toSeq
   }
 
+  /** Default staging retention: streaming epochs carry NO lease (no
+    * driver-side per-epoch begin hook), so only AGE distinguishes a live
+    * stream's seconds-old in-flight staging from a dead one's residue —
+    * a default-argument vacuum with zero retention could reclaim a live
+    * epoch's task-committed blocks and the epoch would promote
+    * incomplete (r15 review). Live epoch staging exists for seconds;
+    * ten minutes is conservatively beyond any epoch interval here.
+    * Tests pass an explicit 0 to exercise immediate reclaim. */
+  val DefaultStagingRetentionMs: Long = 10 * 60 * 1000L
+
   /** Staged-but-uncommitted keys for `store` with no live write lease and
     * staging age >= `minAgeMs` — the residue of writers that died between
     * task-level staging and the job/epoch commit. Returns
     * (stagingKey, blockCount) pairs; the accounting half of vacuum. */
-  def stagedOrphans(store: String, minAgeMs: Long = 0): Seq[(String, Int)] = {
+  def stagedOrphans(store: String,
+      minAgeMs: Long = DefaultStagingRetentionMs): Seq[(String, Int)] = {
     val now = System.nanoTime()
     stagingKeysOf(store)
       .filterNot(liveWriteLeases.contains)
       .filter { k =>
-        val since = stagedSince.getOrDefault(k, now)
-        (now - since) / 1000000L >= minAgeMs
+        // a staged key with NO timestamp is the residue of stage()
+        // racing a concurrent discard (timestamp removed, block landed
+        // after) — eternally age-0 under a default would make it
+        // unreclaimable by any safe-retention vacuum, so missing
+        // timestamp = eligible (r15 review)
+        Option(stagedSince.get(k))
+          .forall(since => (now - since) / 1000000L >= minAgeMs)
       }
       .map(k => k -> stagedCount(k))
       .filter(_._2 > 0)
@@ -739,7 +755,8 @@ object BlockStore {
   /** Reclaim `store`'s orphaned staging areas (see [[stagedOrphans]]) —
     * the staging half of VACUUM. Returns the number of blocks freed. The
     * visible store is untouched: orphans were never promoted. */
-  def vacuumStagedOrphans(store: String, minAgeMs: Long = 0): Int = {
+  def vacuumStagedOrphans(store: String,
+      minAgeMs: Long = DefaultStagingRetentionMs): Int = {
     val orphans = stagedOrphans(store, minAgeMs)
     orphans.foreach { case (k, _) => discardStaged(k) }
     orphans.iterator.map(_._2).sum

@@ -72,7 +72,7 @@ class CrashConsistencySpec extends SparkSpec {
       "crashed writer moved the version history")
     // ...and the orphan is visible to accounting, not silently held
     assert(BlockStore.stagedCount(deadKey) == 3)
-    assert(BlockStore.stagedOrphans(name).toMap.get(deadKey).contains(3),
+    assert(BlockStore.stagedOrphans(name, 0).toMap.get(deadKey).contains(3),
       "dead job's staging not reported as orphaned")
 
     // (b) a fresh writer succeeds immediately (its own staging key — no
@@ -89,9 +89,9 @@ class CrashConsistencySpec extends SparkSpec {
 
     // (c) vacuum reclaims exactly the orphan; the visible store and the
     // live store's staging accounting are untouched
-    assert(BlockStore.vacuumStagedOrphans(name) == 3)
+    assert(BlockStore.vacuumStagedOrphans(name, 0) == 3)
     assert(BlockStore.stagedCount(deadKey) == 0, "orphan not reclaimed")
-    assert(BlockStore.stagedOrphans(name).isEmpty)
+    assert(BlockStore.stagedOrphans(name, 0).isEmpty)
     assert(ids(name) == (before ++ freshIds).sorted)
     BlockStore.dropStore(name)
   }
@@ -111,7 +111,7 @@ class CrashConsistencySpec extends SparkSpec {
     BlockStore.stage(liveKey, 0, blk(2L))
 
     // the epoch orphan is visible at zero retention, the leased key never
-    assert(BlockStore.stagedOrphans(name).map(_._1) ==
+    assert(BlockStore.stagedOrphans(name, 0).map(_._1) ==
       Seq(BlockStore.epochKey(name, 7L)))
     // a retention window longer than the staging's age shields the epoch
     // too — the guard that keeps a LIVE stream's seconds-old staging safe
@@ -127,7 +127,7 @@ class CrashConsistencySpec extends SparkSpec {
       "dropStore must not steal a live writer's staging")
     // the live job then aborts: everything drains
     BlockStore.discardStaged(liveKey)
-    assert(BlockStore.stagedOrphans(name).isEmpty)
+    assert(BlockStore.stagedOrphans(name, 0).isEmpty)
     BlockStore.dropStore(name)
   }
 
@@ -148,7 +148,7 @@ class CrashConsistencySpec extends SparkSpec {
     // writers unraced and the test vacuously green (r15 review).
     val vac = new Thread(() => {
       try while (!stop) {
-        BlockStore.vacuumStagedOrphans(name): Unit
+        BlockStore.vacuumStagedOrphans(name, 0): Unit
         vacPasses += 1
         Thread.`yield`()
       } catch { case t: Throwable => vacError = t }
@@ -182,9 +182,9 @@ class CrashConsistencySpec extends SparkSpec {
     assert(ids.toSeq == want,
       s"racing vacuum lost committed blocks: got ${ids.length} of ${want.length}")
     // the unleased orphan was reclaimed by one of the vacuum passes
-    BlockStore.vacuumStagedOrphans(name): Unit
+    BlockStore.vacuumStagedOrphans(name, 0): Unit
     assert(BlockStore.stagedCount(s"$name##job-dead") == 0)
-    assert(BlockStore.stagedOrphans(name).isEmpty)
+    assert(BlockStore.stagedOrphans(name, 0).isEmpty)
     BlockStore.dropStore(name)
   }
 
@@ -207,7 +207,7 @@ class CrashConsistencySpec extends SparkSpec {
     // Spark called BatchWrite.abort: staging discarded, lease released,
     // visible store still the previous version
     assert(ids(name) == before, "failed overwrite mutated the store")
-    assert(BlockStore.stagedOrphans(name).isEmpty,
+    assert(BlockStore.stagedOrphans(name, 0).isEmpty,
       "aborted job left staging residue")
     BlockStore.dropStore(name)
   }
