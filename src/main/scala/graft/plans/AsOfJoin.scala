@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
 /** AS-OF JOIN as a first-class operator — logical node, planner strategy and
@@ -65,6 +65,17 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTieBreak, Ascending)))
+
+  // ADVERTISE what the merge preserves: output rows are the left child's
+  // rows in order (right columns attached), so the left side's
+  // hash-clustering and (key, time) sort survive. Without these
+  // overrides the node reported UnknownPartitioning/unordered and every
+  // downstream per-key operator (the asofCustom groupBy/window pattern)
+  // paid a SECOND full shuffle+sort on the key this operator just
+  // clustered and sorted by — the r15 review's redundant-Exchange
+  // finding; SortMergeJoinExec's left-outer contract, mirrored.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lTimeB = BindReferences.bindReference(leftTime, left.output)

@@ -101,6 +101,12 @@ object JaccardLengthPrune extends Rule[LogicalPlan] with PredicateHelper {
   /** Add missing prune conjuncts to a predicate; None when nothing to do. */
   private def injectInto(cond: Expression,
       scope: LogicalPlan): Option[Expression] = {
+    // cheap precheck before the subtree-wide alias collection: this rule
+    // runs session-wide to fixed point over every Filter/Join of every
+    // plan, and almost none contain the intersect expression — without
+    // the gate each visit walks the whole subtree to build an alias map
+    // it never uses (O(|nodes|·|filters+joins|) per pass, r15 review)
+    if (!cond.exists(_.isInstanceOf[SortedLongIntersectCount])) return None
     val m = aliasMap(scope)
     val conjuncts = splitConjunctivePredicates(cond)
     val prunes = conjuncts.flatMap(matchJaccard(_, m)).flatMap { case (na, nb, t) =>

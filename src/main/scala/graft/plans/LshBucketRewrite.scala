@@ -75,8 +75,17 @@ object LshBucketRewrite extends Rule[LogicalPlan]
                 b.references.subsetOf(right.outputSet)) ||
                (b.references.subsetOf(left.outputSet) &&
                 a.references.subsetOf(right.outputSet)) =>
+          // side assignment must agree with the guard for ARG PAIRS where
+          // one side is reference-free (a literal query vector): an empty
+          // reference set is a subset of EITHER side, so deciding by
+          // a-is-left alone could project the column-bearing arg's
+          // signature onto the wrong child (unresolvable at binding —
+          // r15 review). Require the full (a-left, b-right) split; any
+          // other guard-passing combination is (b, a).
           val (lv, rv) =
-            if (a.references.subsetOf(left.outputSet)) (a, b) else (b, a)
+            if (a.references.subsetOf(left.outputSet) &&
+                b.references.subsetOf(right.outputSet)) (a, b)
+            else (b, a)
           val sigL = Alias(sigExpr(lv), "_lsh_sig_l")()
           val sigR = Alias(sigExpr(rv), "_lsh_sig_r")()
           val newCond = conjuncts.map {

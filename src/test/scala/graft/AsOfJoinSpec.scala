@@ -63,6 +63,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("downstream per-key aggregation reuses the as-of join's " +
+      "clustering: no second Exchange on the key") {
+    // AsOfJoinExec advertises left.outputPartitioning/outputOrdering
+    // (r15: without the overrides it reported UnknownPartitioning and a
+    // groupBy on the very key the merge just clustered by paid a second
+    // full shuffle — the redundant-Exchange class at 100 TB)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = (1L to 40L).map(i =>
+        (i, i % 4, ts(s"2024-01-01 10:00:${10 + i % 40}")))
+      .toDF("event_id", "user_id", "ts")
+    val right = (1L to 12L).map(i =>
+        (i % 4, ts(s"2024-01-01 10:00:${5 + i}"), i * 1.5, i))
+      .toDF("p_user", "p_ts", "p_value", "p_eid")
+    val agg = AsOfJoin.join(left, right, "ts", "p_ts", "user_id", "p_user",
+        "p_eid")
+      .groupBy("user_id").agg(sum("p_value").as("total"))
+    agg.collect() // force the AQE-final plan (r12 gotcha)
+    // AQE's toString prints the Final AND Initial plans — count
+    // exchanges in the final section only
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // exactly the two exchanges the as-of's children need — none between
+    // the as-of node and the aggregate
+    assert(exchanges <= 2,
+      s"downstream groupBy re-shuffled the as-of output:\n$plan")
+  }
+
   test("non-long key type fails fast at construction") {
     val left = Seq(("k", 1L)).toDF("key", "ts")
     val e = intercept[IllegalArgumentException] {

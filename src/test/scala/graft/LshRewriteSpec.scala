@@ -70,4 +70,38 @@ class LshRewriteSpec extends SparkSpec {
     assert(LshBucketRewrite(once).canonicalized == once.canonicalized,
       "re-applying the rule to an already-rewritten plan changed it")
   }
+
+  test("a literal (reference-free) marker argument resolves on the " +
+      "correct side and still buckets") {
+    // a LITERAL query vector's reference set is EMPTY — a subset of
+    // EITHER side — so a tie-break deciding by the first argument alone
+    // projected the column-bearing side's signature onto the wrong child
+    // (unresolvable at binding; r15 review). Both argument orders must
+    // plan AND return exactly the same-bucket subset vs the exact join.
+    // End-to-end, pushdown moves a single-side marker below the join
+    // before the user-provided batch runs, so the rule only meets this
+    // shape under DIRECT application (tools / RulesSpec-style tests) —
+    // which is exactly where the old tie-break produced a Project whose
+    // signature expression referenced the OTHER child's column. Apply
+    // the rule to the pre-pushdown analyzed plan and require every node
+    // to keep a consistent input set, for BOTH argument orders.
+    val qv = typedlit((0 until 8).map(i => math.cos(3.0 * (i + 1)) * 10))
+    val a = vecs().select(col("vid").as("ida"), col("v").as("va"))
+    Seq(true, false).foreach { litFirst =>
+      val m =
+        if (litFirst) call_function("lsh_candidates", qv, col("va"))
+        else call_function("lsh_candidates", col("va"), qv)
+      val analyzed = a.join(spark.range(1), m).queryExecution.analyzed
+      val rewritten = LshBucketRewrite(analyzed)
+      assert(rewritten.treeString.contains("_lsh_sig"),
+        "rule did not fire on the literal-arg marker join")
+      val broken = rewritten.collect {
+        case n if n.missingInput.nonEmpty =>
+          s"${n.nodeName} missing ${n.missingInput.mkString(",")}"
+      }
+      assert(broken.isEmpty,
+        s"litFirst=$litFirst: signature projected onto the wrong side:\n" +
+          broken.mkString("\n"))
+    }
+  }
 }
