@@ -319,8 +319,9 @@ object PipelineOps {
         asLong(min(col("doc_id"))).as("first_doc"),
         asLong(max(col("doc_id"))).as("last_doc"))
       .orderBy("shard_id")
-    val rows = agg.collect() // ~total_tokens/budget rows — the manifest
-    ranked.release()
+    // release in a finally: a failed collect must not leave the pinned
+    // pass-1 sort in the block manager for the rest of the session
+    val rows = try agg.collect() finally ranked.release()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
@@ -392,8 +393,7 @@ object PipelineOps {
         round(max(col("quality")), 6).as("max_q"),
         round(min(col("quality")), 6).as("min_q"))
       .orderBy("shard_id")
-    val rows = agg.collect() // ~total_tokens/budget rows — the manifest
-    ranked.release()
+    val rows = try agg.collect() finally ranked.release()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
@@ -443,8 +443,7 @@ object PipelineOps {
         asLong(sum(col("skm"))).as("sk_digest"),
         asLong(countDistinct(col("lang"))).as("n_langs"))
       .orderBy("bucket")
-    val rows = agg.collect() // N/bucket rows — the manifest
-    ranked.release()
+    val rows = try agg.collect() finally ranked.release()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
@@ -525,17 +524,25 @@ object PipelineOps {
     * repartition beyond the pack's own range partitioning); the read-back
     * is a partition-discovering scan whose `shard_id` comes from the
     * directory tree, prunable per shard (spec asserts PartitionFilters).
-    * The read-side shard_id arrives as the partition-inferred INT and is
-    * cast back to BIGINT so the manifest schema matches p10's. */
+    * The read-back declares its schema EXPLICITLY (partition values are
+    * cast to the declared BIGINT, matching p10's manifest schema): with
+    * inference, a zero-survivor corpus — nothing clears the quality floor
+    * after decontamination — writes only _SUCCESS and the read-back would
+    * throw 'Unable to infer schema' instead of the empty manifest the
+    * oracle legitimately produces (the s10/s26 empty-output guard). */
   def landShards(spark: SparkSession, dir: String): DataFrame = {
     val ranked = buildRanked(spark, dir)
     val out = shardStoreDir
-    ranked.df
-      .select(col("doc_id"), col("quality"), col("n_tok"),
-        expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
-    ranked.release()
-    spark.read.parquet(out)
+    try {
+      ranked.df
+        .select(col("doc_id"), col("quality"), col("n_tok"),
+          expr(s"prev_toks DIV $ShardTokenBudget").as("shard_id"))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    } finally ranked.release()
+    val landedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality", DoubleType),
+      StructField("n_tok", LongType), StructField("shard_id", LongType)))
+    spark.read.schema(landedSchema).parquet(out)
       .groupBy(col("shard_id"))
       .agg(asLong(count(lit(1))).as("n_docs"),
         asLong(sum(col("n_tok"))).as("sum_tokens"),
@@ -620,8 +627,14 @@ object PipelineOps {
     * single groupBy(source, lang) with a conditional count (no second
     * scan, no join); everything downstream operates on |sources|×|langs|
     * rows. */
-  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Catalog.table(spark, dir, "documents")
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
+    snapshotDriftFrom(Catalog.table(spark, dir, "documents"))
+
+  /** p15 core over an injectable (source, lang, doc_id) frame — split out
+    * so the empty-previous-snapshot edge (n_prev = 0 → NULL drift, not
+    * NaN) is spec-testable without a fixture corpus shaped for it. */
+  private[graft] def snapshotDriftFrom(docs: DataFrame): DataFrame = {
+    val cells = docs
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("ca"),
         count(when(col("doc_id") % 3 =!= 0, lit(1))).as("cb"))
@@ -634,8 +647,14 @@ object PipelineOps {
         asLong(max(col("nb"))).as("n_prev"),
         asLong(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))))
           .as("drift_num"))
-      .withColumn("drift_l1", col("drift_num").cast(DoubleType) /
-        (col("n_cur") * col("n_prev")).cast(DoubleType))
+      // empty-previous-snapshot guard: a source whose every doc_id ≡ 0
+      // (mod 3) has n_prev = 0 and drift_num = 0, and 0.0/0.0 is NaN in
+      // Spark vs engine-dependent in DuckDB — the drift is UNDEFINED
+      // against an empty snapshot, so say so with NULL (both engines)
+      .withColumn("drift_l1",
+        when(col("n_prev") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("drift_num").cast(DoubleType) /
+            (col("n_cur") * col("n_prev")).cast(DoubleType)))
       .orderBy("source")
   }
 
@@ -941,8 +960,9 @@ object PipelineOps {
         |  CAST(max(na) AS BIGINT) AS n_cur,
         |  CAST(max(nb) AS BIGINT) AS n_prev,
         |  CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS drift_num,
-        |  CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE)
-        |    / CAST(max(na) * max(nb) AS DOUBLE) AS drift_l1
+        |  CASE WHEN max(nb) = 0 THEN NULL
+        |       ELSE CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE)
+        |         / CAST(max(na) * max(nb) AS DOUBLE) END AS drift_l1
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "p12_group_split" ->
       s"""WITH s AS (SELECT source, n_chars,

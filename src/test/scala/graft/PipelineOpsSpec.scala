@@ -275,4 +275,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.length.toLong == nTokenized, "inference must score every doc")
     assert(rows.forall(r => (r.getLong(3) == 1L) == (r.getDouble(2) >= 0.6)))
   }
+
+  test("p15 drift against an EMPTY previous snapshot is NULL, not NaN") {
+    // a source whose every doc_id ≡ 0 (mod 3) has n_prev = 0; the old
+    // 0.0/0.0 produced NaN in Spark vs engine-dependent output in DuckDB
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "allmod3", "en"), (3L, "allmod3", "de"), (6L, "allmod3", "en"),
+      (1L, "healthy", "en"), (2L, "healthy", "de"), (3L, "healthy", "en"))
+      .toDF("doc_id", "source", "lang")
+    val out = operators.PipelineOps.snapshotDriftFrom(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out("allmod3")._1 === 0L, "n_prev must be 0 for the mod-3 source")
+    assert(out("allmod3")._2 == null, "empty-snapshot drift must be NULL")
+    val healthy = out("healthy")._2
+    assert(healthy != null && !healthy.asInstanceOf[Double].isNaN)
+  }
+
+  test("p11's explicit-schema read-back survives a zero-survivor landing") {
+    // with schema INFERENCE, a partitioned overwrite that lands zero rows
+    // (only _SUCCESS on disk) makes the read-back throw 'Unable to infer
+    // schema'; the explicit schema returns the empty manifest instead —
+    // the same landing + read-back shape landShards uses
+    import org.apache.spark.sql.types._
+    val dir = Catalog.tempDirWithCleanup("graft-p11-empty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("quality", DoubleType),
+      StructField("n_tok", LongType), StructField("shard_id", LongType)))
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    val back = spark.read.schema(schema).parquet(dir)
+    assert(back.count() === 0L)
+    assert(back.schema.fieldNames.toSet ===
+      Set("doc_id", "quality", "n_tok", "shard_id"))
+  }
 }
