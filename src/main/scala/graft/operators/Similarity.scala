@@ -955,6 +955,17 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Shared ADC rank/output tail for sim10/sim13. */
+  /** [[pqRank]]'s output shape, statically declared so s23's empty-drain
+    * path can build a correctly-shaped empty frame without running a full
+    * serve pipeline just to read `.schema` (the s26 static-schema
+    * pattern); s23 requires each batch's live schema to match, so the two
+    * cannot drift silently. */
+  private[graft] val ServeSchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("rank", LongType, nullable = false),
+    StructField("adc_score", DoubleType)))
+
   private def pqRank(pairs: DataFrame, cb: IndexedSeq[Column]): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     pairs

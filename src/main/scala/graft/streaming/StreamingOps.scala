@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.{Catalog, Sql}
 import graft.Sql._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
@@ -36,23 +36,33 @@ object StreamingOps {
       spark.readStream.schema(Catalog.events)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
 
-  private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = nextName()
-    // Stateful streaming cost scales with state-store instances (= shuffle
-    // partitions, fixed at query start). The local event volumes don't
-    // amortize 32 stores x per-batch commits; 8 is plenty here. On a real
-    // cluster this knob follows executor count instead. Restored after
-    // start: the partition count is baked into the query at startup (the
-    // set/restore is visible to concurrent queries on the same session for
-    // the duration of start() — acceptable for the sequential Verify/Bench
-    // drivers this runs under).
+  /** Launch `start` (a writeStream `.start()`) with
+    * spark.sql.shuffle.partitions clamped to ≤ 8, restoring the caller's
+    * value after. Stateful streaming cost scales with state-store
+    * instances (= shuffle partitions, FIXED at query start) and the local
+    * event volumes don't amortize 32 stores × per-batch commits; on a
+    * real cluster this knob follows executor count instead. The partition
+    * count is baked into the query at startup, so the restore never
+    * affects the launched query; the set/restore is visible to concurrent
+    * queries on the same session only for the duration of start() —
+    * acceptable for the sequential Verify/Bench drivers this runs under.
+    * One audited copy of the clamp-around-start() dance for the four
+    * launch sites. */
+  private def startClamped[A](spark: SparkSession)(start: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
+    try {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.min(8, prev.toInt).toString)
+      start
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = nextName()
+    val q = startClamped(spark) {
       df.writeStream.outputMode(mode).format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     // Materialize eagerly into a LocalRelation and drop the sink view right
     // away: the returned frame then stays valid however many streaming
     // queries run afterwards. The memory sink already pins the full result
@@ -113,17 +123,21 @@ object StreamingOps {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
-  /** Arbitrary stateful processing: running per-user totals via
-    * mapGroupsWithState. Money is accumulated in exact integer cents inside
-    * the state (doubles would make the final value order-dependent). The
-    * The memory sink in Update mode keeps one row per user per micro-batch;
-    * the final state is recovered with max(struct(n_events, total_cents)) —
-    * n_events strictly increases across a user's updates, so the
-    * lexicographic struct max selects the LAST update even when
-    * total_cents itself is non-monotone (negative values/refunds). */
-  def statefulTotals(spark: SparkSession, dir: String): DataFrame = {
+  /** s4/s11 shared core — running per-user totals via mapGroupsWithState
+    * plus the Update-sink state recovery. Money accumulates in exact
+    * integer cents inside the state (doubles would make the final value
+    * order-dependent). The memory sink in Update mode keeps one row per
+    * user per micro-batch; the final state is recovered with
+    * max(struct(n_events, total_cents)) — n_events strictly increases
+    * across a user's updates, so the lexicographic struct max selects the
+    * LAST update even when total_cents itself is non-monotone (negative
+    * values/refunds). One copy of the fold + recovery for the
+    * single-batch (s4) and multi-micro-batch (s11) replays: the two must
+    * stay replay-granularity-invariant, which sharing makes a property
+    * of the code rather than of review discipline. */
+  private def runningCentTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val typed = eventsStream(spark, dir)
+    val typed = events
       .select(col("user_id"), floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
       .as[(Long, Long)]
     val updated = typed.groupByKey(_._1)
@@ -144,13 +158,24 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  def statefulTotals(spark: SparkSession, dir: String): DataFrame =
+    runningCentTotals(spark, eventsStream(spark, dir))
+
   /** Stream-stream inner join: each click joined to same-user purchases
     * within the following 30 minutes. Both sides carry watermarks + a time
     * range, so join state is bounded (Spark evicts rows once the other
     * side's watermark passes the range) — the canonical unbounded-join
     * pattern. Inner join emits every match regardless of watermark, so the
     * bounded-input result equals the batch join the oracle runs. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The streaming-join family's shared inputs: watermarked click and
+    * purchase streams plus the same-user 30-minute match condition —
+    * s5 (inner), s9 (left outer), s12 (semi) and s15 (full outer) differ
+    * ONLY in join type and output projection, so the watermark delay and
+    * the window live in exactly one place (four copies of this pair once
+    * drifted a column list apart; Catalyst prunes unused purchase columns
+    * per consumer, so the widest select serves all four). */
+  private def clickPurchaseStreams(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Column) = {
     val clicks = eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
@@ -161,10 +186,15 @@ object StreamingOps {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
       .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val cond = col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+    (clicks, purchases, cond)
+  }
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases, cond) = clickPurchaseStreams(spark, dir)
+    val joined = clicks.join(purchases, cond)
     runToTable(spark, joined, OutputMode.Append())
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"), col("value"))
       .orderBy("click_id", "purchase_id")
@@ -181,21 +211,8 @@ object StreamingOps {
     * oracle reproduces exactly that cutoff (final watermark = min of the
     * two sides' max event time, minus the 1h delay). */
   def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-      "left_outer")
+    val (clicks, purchases, cond) = clickPurchaseStreams(spark, dir)
+    val joined = clicks.join(purchases, cond, "left_outer")
     runToTable(spark, joined, OutputMode.Append())
       .select(col("click_id"), col("purchase_id"),
         col("c_user").as("user_id"), col("value"))
@@ -281,6 +298,24 @@ object StreamingOps {
   private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Run `body` with the state-store provider pinned to RocksDB, restoring
+    * the previous knob value after. The provider is baked into a streaming
+    * query at start() (like the shuffle-partition count), so the restore
+    * never affects the query `body` launched; the set/restore is visible
+    * to concurrent queries on the same session only for the duration of
+    * the call — acceptable under the sequential Verify/Bench drivers. One
+    * audited copy of the save/set/restore dance for all six stateful-TWS
+    * queries. */
+  private def withRocksDbProvider[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.getOption(ProviderKnob)
+    spark.conf.set(ProviderKnob, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKnob, v)
+      case None    => spark.conf.unset(ProviderKnob)
+    }
+  }
+
   /** s16: s8's closed-session emission re-expressed on Spark 4's
     * `transformWithState` — the stateful-processing API that SUPERSEDES
     * map/flatMapGroupsWithState (SPARK-46815): explicit per-key state
@@ -317,13 +352,9 @@ object StreamingOps {
       .transformWithState(new ClosedSessionProcessor(SessionGapUs),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "session_start_s", "session_last_s", "n_events", "closed_by")
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, sessions, OutputMode.Append())
-      .orderBy("user_id", "session_start_s")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, sessions, OutputMode.Append())
+        .orderBy("user_id", "session_start_s")
     }
   }
 
@@ -355,13 +386,9 @@ object StreamingOps {
       .transformWithState(new LatestKProcessor(LatestK),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "rank", "event_id", "event_ts_s", "event_type")
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, latest, OutputMode.Append())
-      .orderBy("user_id", "rank")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, latest, OutputMode.Append())
+        .orderBy("user_id", "rank")
     }
   }
 
@@ -384,13 +411,9 @@ object StreamingOps {
       .transformWithState(new TypeTallyProcessor,
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "event_type", "n_events")
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, tallies, OutputMode.Append())
-      .orderBy("user_id", "event_type")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, tallies, OutputMode.Append())
+        .orderBy("user_id", "event_type")
     }
   }
 
@@ -444,13 +467,9 @@ object StreamingOps {
       .transformWithState(new LatestKInitProcessor(LatestK),
         TimeMode.EventTime(), OutputMode.Append(), snapshot)
       .toDF("user_id", "rank", "event_id", "event_ts_s", "event_type")
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, latest, OutputMode.Append())
-      .orderBy("user_id", "rank")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, latest, OutputMode.Append())
+        .orderBy("user_id", "rank")
     }
   }
 
@@ -501,12 +520,8 @@ object StreamingOps {
       when(col("canonical_id") === col("doc_id"), lit("new"))
         .when(col("canonical_id") % 5 =!= 0, lit("dup_index"))
         .otherwise(lit("dup_stream")).as("status"))
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, out, OutputMode.Append()).orderBy("doc_id")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, out, OutputMode.Append()).orderBy("doc_id")
     }
   }
 
@@ -574,15 +589,11 @@ object StreamingOps {
     val base = Catalog.tempDirWithCleanup("graft-s23")
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.Row]
-    @volatile var schema: org.apache.spark.sql.types.StructType = null
     val probeIds = spark.readStream.format("graft.sources.BlockStoreSource")
       .option("store", docsStore).option("maxBlocksPerTrigger", "8").load()
       .filter(col("doc_id") < 10)
       .select(col("doc_id"))
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, prev.toInt).toString)
+    val q = startClamped(spark) {
       probeIds.writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", s"$base/chk")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -590,20 +601,25 @@ object StreamingOps {
           if (ids.nonEmpty) {
             val res = graft.operators.Similarity
               .serveForProbes(spark, dir, idxStore, metaStore, ids)
-            if (schema == null) schema = res.schema
+            // rows land positionally under the static ServeSchema — a
+            // silent shape drift would misfile columns, so fail loudly
+            require(res.schema.fieldNames.sameElements(
+              graft.operators.Similarity.ServeSchema.fieldNames),
+              s"serve schema drifted: ${res.schema.fieldNames.mkString(",")}")
             // foreachBatch runs on the stream's thread; the final read is
             // on the caller's — synchronize for visibility, not contention
             acc.synchronized { acc ++= res.collect(): Unit }
           }
         }
         .trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
-    if (schema == null) // no probes arrived: an empty, correctly-shaped frame
-      schema = graft.operators.Similarity
-        .serveForProbes(spark, dir, idxStore, metaStore, Nil).schema
     val rows = acc.synchronized { acc.toIndexedSeq }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // no-probe drains get the statically-declared empty frame — the old
+    // fallback ran the whole serve pipeline (probe collect + meta-store
+    // read) just to throw everything but .schema away
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        graft.operators.Similarity.ServeSchema)
       .orderBy("query_id", "rank")
   }
 
@@ -642,13 +658,9 @@ object StreamingOps {
       .transformWithState(new SourceQuotaProcessor(QuotaCap),
         TimeMode.None(), OutputMode.Append())
       .toDF("source", "doc_id", "admit_idx")
-    val prev = spark.conf.getOption(ProviderKnob)
-    spark.conf.set(ProviderKnob, RocksDbProvider)
-    try runToTable(spark, admitted, OutputMode.Append())
-      .orderBy("source", "admit_idx")
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKnob, v)
-      case None    => spark.conf.unset(ProviderKnob)
+    withRocksDbProvider(spark) {
+      runToTable(spark, admitted, OutputMode.Append())
+        .orderBy("source", "admit_idx")
     }
   }
 
@@ -840,15 +852,11 @@ object StreamingOps {
           .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
           .select(col("window.start").as("window_start"), col("event_type"),
             col("n_events"), col("sum_value"))
-        // same state-store-count reasoning as runToTable
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions",
-            math.min(8, prev.toInt).toString)
+        val q = startClamped(spark) {
           agg.writeStream.outputMode(OutputMode.Append()).format("parquet")
             .option("path", outDir).option("checkpointLocation", s"$base/chk")
             .trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         q.awaitTermination()
         outDir
       })
@@ -907,7 +915,6 @@ object StreamingOps {
     * fold could fake). Final state recovered exactly as in s4; oracle
     * shared with s4 — the result must be replay-granularity-invariant. */
   def multiBatchTotals(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val src = eventsMultiFile(spark, dir)
     // 2 files/trigger -> FOUR micro-batches: still genuinely multi-batch
     // (state must accumulate across batches), without 8 overhead-dominated
@@ -916,25 +923,7 @@ object StreamingOps {
     // r9 parquet regeneration) — the split files carry exactly it
     val stream = spark.readStream.schema(Catalog.events)
       .option("maxFilesPerTrigger", "2").parquet(src)
-    val typed = stream
-      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
-      .as[(Long, Long)]
-    val updated = typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state: GroupState[(Long, Long)]) =>
-          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
-          var n = n0; var c = c0
-          rows.foreach { r => n += 1; c += r._2 }
-          state.update((n, c))
-          (uid, n, c)
-      }
-      .toDF("user_id", "n_events", "total_cents")
-    runToTable(spark, updated, OutputMode.Update())
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("n_events"), col("total_cents"))).as("last"))
-      .select(col("user_id"), col("last.n_events").as("n_events"),
-        col("last.total_cents").as("total_cents"))
-      .orderBy("user_id")
+    runningCentTotals(spark, stream)
   }
 
   /** Stream-stream LEFT SEMI join: clicks that had at least one same-user
@@ -945,20 +934,8 @@ object StreamingOps {
     * s5; on bounded input the semi join's emit-on-first-match semantics
     * make the result exactly the batch EXISTS the oracle runs. */
   def streamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-      "left_semi")
+    val (clicks, purchases, cond) = clickPurchaseStreams(spark, dir)
+    val joined = clicks.join(purchases, cond, "left_semi")
     runToTable(spark, joined, OutputMode.Append())
       .select(col("click_id"), col("c_user").as("user_id"))
       .orderBy("click_id")
@@ -974,21 +951,8 @@ object StreamingOps {
     * late — so wm > p_ts proves no future match). The oracle reproduces
     * both eviction rules against the final global watermark. */
   def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-      "full_outer")
+    val (clicks, purchases, cond) = clickPurchaseStreams(spark, dir)
+    val joined = clicks.join(purchases, cond, "full_outer")
     runToTable(spark, joined, OutputMode.Append())
       .select(col("click_id"), col("purchase_id"),
         coalesce(col("c_user"), col("p_user")).as("user_id"), col("value"))
@@ -1030,10 +994,7 @@ object StreamingOps {
           .groupBy(col("user_id"))
           .agg(asLong(count(lit(1))).as("n_events"),
             sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("total_cents"))
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions",
-            math.min(8, prev.toInt).toString)
+        val q = startClamped(spark) {
           agg.writeStream.outputMode(OutputMode.Update())
             .option("checkpointLocation", s"$base/chk")
             .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1041,7 +1002,7 @@ object StreamingOps {
                 .write.mode("append").parquet(data)
             }
             .trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         q.awaitTermination()
         data
       })
@@ -1116,6 +1077,20 @@ object StreamingOps {
        |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000
        |       <= (SELECT epoch_ms(max(ts)) - 3600000 FROM events)
        |ORDER BY window_start, event_type""".stripMargin
+
+  // s17 and s19 share one oracle BY CONSTRUCTION (snapshot+tail must equal
+  // the full-history run — latest-K is associative), so the SQL is one
+  // shared constant like TumblingOracle/StatefulTotalsOracle. lazy: object
+  // val init order bites composed oracle strings (the sim11/sim20 trap).
+  private lazy val LatestKOracle: String =
+    s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
+       |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
+       |FROM (SELECT user_id, event_id, ts, event_type,
+       |        ROW_NUMBER() OVER (PARTITION BY user_id
+       |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+       |      FROM events)
+       |WHERE rn <= $LatestK
+       |ORDER BY user_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // null-extended rows appear only for clicks whose 30-minute window the
@@ -1257,26 +1232,8 @@ object StreamingOps {
          |       ELSE 'dup_stream' END AS status
          |FROM inc ORDER BY doc_id""".stripMargin
     },
-    // s19: snapshot+tail must equal the full-history run (latest-K is an
-    // associative top-k), so the oracle is s17's, verbatim
-    "s19_latest_k_bootstrap" ->
-      s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
-         |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
-         |FROM (SELECT user_id, event_id, ts, event_type,
-         |        ROW_NUMBER() OVER (PARTITION BY user_id
-         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         |      FROM events)
-         |WHERE rn <= $LatestK
-         |ORDER BY user_id, rank""".stripMargin,
-    "s17_latest_k_events" ->
-      s"""SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id,
-         |  epoch_us(ts) // 1000000 AS event_ts_s, event_type
-         |FROM (SELECT user_id, event_id, ts, event_type,
-         |        ROW_NUMBER() OVER (PARTITION BY user_id
-         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         |      FROM events)
-         |WHERE rn <= $LatestK
-         |ORDER BY user_id, rank""".stripMargin,
+    "s19_latest_k_bootstrap" -> LatestKOracle,
+    "s17_latest_k_events" -> LatestKOracle,
     "s16_closed_sessions_tws" ->
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
