@@ -1655,12 +1655,7 @@ object Similarity {
     val all = emb(spark, dir)
     val centroids = idBound(all, NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-    val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
-    all.crossJoin(broadcast(centroids))
-      .withColumn("cos", cos)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    assignStep(all, centroids)
       .groupBy(col("centroid_id"))
       .agg(asLong(count(lit(1))).as("n_members"),
         sum(round(col("cos"), 6).cast(DecimalType(18, 6)))
@@ -1713,7 +1708,10 @@ object Similarity {
   /** Max-cosine centroid assignment of every vector — the shared step of
     * sim6/sim7/sim8. K is constant, so the centroid side is always a
     * bounded broadcast and assignment is one map pass (K codegen vec_dots
-    * per row, window partitioned BY VECTOR — never unpartitioned). */
+    * per row, window partitioned BY VECTOR — never unpartitioned). The
+    * winning cosine rides along for sim6's aggregate (sim7/sim8's
+    * meansStep projects it away — Catalyst prunes it), so ONE copy of the
+    * assignment semantics — tie-break included — serves all three. */
   private def assignStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cos = dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
@@ -1721,7 +1719,7 @@ object Similarity {
       .withColumn("cos", cos)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("centroid_id"), col("e"))
+      .select(col("centroid_id"), col("e"), col("cos"))
   }
 
   /** Per-dim member means of an assignment — exact BIGINT sums over the

@@ -155,7 +155,9 @@ class PlanAuditSpec extends SparkSpec {
     val expectShj = Map(
       "dd6_ngram_jaccard" -> 2, // bg_a / bg_b attaches
       "dd9_incremental_dedup" -> 2, // bg_i / bg_x attaches
-      "dd15_edit_distance" -> 1, // simhash ⋈ documents hist build
+      "dd15_edit_distance" -> 2, // hist build + the a-side text attach
+      // (r15: the 3x-fanout side went slim — its text attaches
+      // post-prefilter; the unexploded b-side keeps its text)
       "mm6_perceptual_neardup" -> 2) // signature attaches
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
