@@ -30,6 +30,17 @@ object Sql {
   def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(1).cast(Money) - dec(discount))
 
+  /** SQL twin of [[revenue]] — the oracle-side spelling of the engine's
+    * core determinism invariant. ONE definition: every oracle that sums
+    * revenue interpolates this (or [[SumRevSql]]), so a precision change
+    * edits one line instead of N hand-copied string literals. */
+  val RevSql: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  /** SQL twin of [[dsumRevenue]]: exact-decimal revenue sum, cast DOUBLE. */
+  val SumRevSql: String = s"CAST(SUM($RevSql) AS DOUBLE)"
+
   def dsumRevenue(price: Column, discount: Column): Column =
     sum(revenue(price, discount)).cast(DoubleType)
 

@@ -345,7 +345,13 @@ object Coverage {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lines"),
         dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        countDistinct(col("c_mktsegment")).as("n_segments"))
+        // size(collect_set), NOT countDistinct: a mixed distinct+regular
+        // agg plans a RewriteDistinctAggregates Expand (×2 projections)
+        // ON TOP of rollup's 3-set Expand over the registry's widest
+        // joined row stream; the segment vocabulary is 5 values, so a
+        // bounded per-group set is one normal agg pass with map-side
+        // partials (NULL handling matches COUNT(DISTINCT): both skip)
+        asLong(size(collect_set(col("c_mktsegment")))).as("n_segments"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
@@ -847,9 +853,8 @@ object Coverage {
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q34_monthly_growth" ->
-      """WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
-        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      s"""WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+        |             ${graft.Sql.SumRevSql} AS revenue
         |           FROM lineitem GROUP BY date_trunc('month', l_shipdate))
         |SELECT month, revenue,
         |  round((revenue - lag(revenue) OVER (ORDER BY month))
@@ -890,9 +895,8 @@ object Coverage {
       """SELECT substr(p_name, 1, 1) AS initial, COUNT(*) AS n_names
         |FROM part GROUP BY substr(p_name, 1, 1) ORDER BY initial""".stripMargin,
     "q29_wide_star" ->
-      """SELECT r_name, n_name, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT r_name, n_name, COUNT(*) AS n_lines,
+        |  ${graft.Sql.SumRevSql} AS revenue,
         |  COUNT(DISTINCT c_mktsegment) AS n_segments
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -905,10 +909,9 @@ object Coverage {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "q31_volume_shipping" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  ${graft.Sql.SumRevSql} AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -921,9 +924,8 @@ object Coverage {
         |GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l_shipdate)
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q30_disjunctive" ->
-      """SELECT COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      s"""SELECT COUNT(*) AS n_lines,
+        |  ${graft.Sql.SumRevSql} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 1 AND 15)
@@ -1020,9 +1022,8 @@ object Coverage {
         |      (sp2 - sp * sp / CAST(n AS DOUBLE))), 9) AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "x18_bucketed_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  ${graft.Sql.SumRevSql} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x19_partition_pruning" ->

@@ -460,31 +460,40 @@ object Extended {
     * touches; a connector that only works through `spark.read.format` is
     * half a connector. Table dropped in finally: the session catalog is
     * shared across the harness's sequential queries. */
-  def blockStoreSql(spark: SparkSession, dir: String): DataFrame = {
-    val store = s"sql:$dir"
-    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x36_docs")
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_block_table
+  /** Catalog-table lifecycle shared by x36/x39/x41: land `documents` into
+    * a block-store-backed SQL table via INSERT OVERWRITE, run `body`
+    * (which must return an EAGER frame — the result has to survive the
+    * DROP TABLE), and tear the table + temp view down whatever happens.
+    * The subtle parts (eager materialization before DROP, the swallowed
+    * teardown exceptions) live in this one audited copy. */
+  private def withBlockTable(spark: SparkSession, dir: String, table: String,
+      store: String, view: String)(body: => DataFrame): DataFrame = {
+    Catalog.table(spark, dir, "documents").createOrReplaceTempView(view)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $table
                  |USING graft.sources.BlockStoreSource
                  |OPTIONS (store '$store')""".stripMargin)
     try {
-      spark.sql("INSERT OVERWRITE graft_block_table SELECT * FROM x36_docs")
-      // materialize eagerly: the frame must survive the DROP TABLE below
-      val out = spark.sql(
+      spark.sql(s"INSERT OVERWRITE $table SELECT * FROM $view")
+      body
+    } finally {
+      try spark.sql(s"DROP TABLE IF EXISTS $table")
+      catch { case _: Exception => }
+      try spark.catalog.dropTempView(view)
+      catch { case _: Exception => }
+    }
+  }
+
+  def blockStoreSql(spark: SparkSession, dir: String): DataFrame =
+    withBlockTable(spark, dir, "graft_block_table", s"sql:$dir", "x36_docs") {
+      eager(spark, spark.sql(
         """SELECT source, lang,
           |       CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM graft_block_table
           |WHERE doc_id % 7 <> 0
           |GROUP BY source, lang
-          |ORDER BY source, lang""".stripMargin)
-      eager(spark, out)
-    } finally {
-      try spark.sql("DROP TABLE IF EXISTS graft_block_table")
-      catch { case _: Exception => }
-      try spark.catalog.dropTempView("x36_docs")
-      catch { case _: Exception => }
+          |ORDER BY source, lang""".stripMargin))
     }
-  }
 
   /** x37: STORAGE-PARTITIONED JOIN through the connector — two corpus
     * snapshots live in the block store sharded by the SAME deterministic
@@ -542,6 +551,11 @@ object Extended {
     * bench measured that form at 4x this one. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Catalog.table(spark, dir, "lineitem")
+      // COUNT(DISTINCT) parity on a nullable key: stage 1 would keep a
+      // (flag, NULL) group that stage 2's count(*) counts but the
+      // oracle's COUNT(DISTINCT l_partkey) excludes — the q12 NULL-key
+      // rule, applied to the same two-stage pattern here
+      .filter(col("l_partkey").isNotNull)
       .groupBy(col("l_returnflag"), col("l_partkey")).agg(Map.empty[String, String])
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.0165).as("approx_parts"),
@@ -551,10 +565,18 @@ object Extended {
           <= col("exact_parts").cast(DoubleType) * 0.05, 1L).otherwise(0L)).as("hll_ok"))
       .orderBy("l_returnflag")
 
-  /** Typed UDAF: max + second-distinct-max of quantity per return flag. */
+  /** Typed UDAF: max + second-distinct-max of quantity per return flag.
+    * NULL quantities are filtered BEFORE the agg: the Aggregator's input
+    * encoder is a primitive Double and cannot represent SQL NULL (an
+    * unfiltered null row would crash or decode as a spurious 0.0), while
+    * the oracle's MAX subqueries ignore NULLs natively. Residual edge,
+    * out of contract: a flag whose EVERY quantity is NULL drops from the
+    * output here but would appear as (flag, NULL, NULL) in the oracle —
+    * non-null l_quantity is a data-contract precondition (q12's rule). */
   def secondMax(spark: SparkSession, dir: String): DataFrame = {
     val sm = udaf(SecondMax)
     Catalog.table(spark, dir, "lineitem")
+      .filter(col("l_quantity").isNotNull)
       .groupBy(col("l_returnflag"))
       .agg(sm(col("l_quantity")).as("sm"))
       .select(col("l_returnflag"), col("sm._1").as("max_qty"), col("sm._2").as("second_qty"))
@@ -700,8 +722,7 @@ object Extended {
          |              WHERE o_totalprice > $BloomPriceFloor)
          |SELECT l_returnflag,
          |  CAST(COUNT(*) AS BIGINT) AS n_items,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         |  ${graft.Sql.SumRevSql} AS revenue
          |FROM x26_lineitem
          |WHERE graft_might_contain(
          |        (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM keys),
@@ -725,30 +746,17 @@ object Extended {
     * filters. Unsupported predicates fail at ANALYSIS (canDeleteWhere =
     * false — no silent partial delete), spec-asserted. */
   def blockStoreDelete(spark: SparkSession, dir: String): DataFrame = {
-    val store = s"del:$dir"
-    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x39_docs")
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_del_table
-                 |USING graft.sources.BlockStoreSource
-                 |OPTIONS (store '$store')""".stripMargin)
-    try {
-      spark.sql("INSERT OVERWRITE graft_del_table SELECT * FROM x39_docs")
+    withBlockTable(spark, dir, "graft_del_table", s"del:$dir", "x39_docs") {
       spark.sql("DELETE FROM graft_del_table WHERE lang = 'de'")
       spark.sql(s"DELETE FROM graft_del_table WHERE doc_id >= $DeleteIdFloor")
-      // materialize eagerly: the frame must survive the DROP TABLE below
-      val out = spark.sql(
+      eager(spark, spark.sql(
         """SELECT source, lang,
           |       CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(min(doc_id) AS BIGINT) AS min_id,
           |       CAST(max(doc_id) AS BIGINT) AS max_id
           |FROM graft_del_table
           |GROUP BY source, lang
-          |ORDER BY source, lang""".stripMargin)
-      eager(spark, out)
-    } finally {
-      try spark.sql("DROP TABLE IF EXISTS graft_del_table")
-      catch { case _: Exception => }
-      try spark.catalog.dropTempView("x39_docs")
-      catch { case _: Exception => }
+          |ORDER BY source, lang""".stripMargin))
     }
   }
 
@@ -789,12 +797,7 @@ object Extended {
     * (which accumulate history) stay deterministic. */
   def blockStoreTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val store = s"tt:$dir"
-    Catalog.table(spark, dir, "documents").createOrReplaceTempView("x41_docs")
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS graft_tt_table
-                 |USING graft.sources.BlockStoreSource
-                 |OPTIONS (store '$store')""".stripMargin)
-    try {
-      spark.sql("INSERT OVERWRITE graft_tt_table SELECT * FROM x41_docs")
+    withBlockTable(spark, dir, "graft_tt_table", store, "x41_docs") {
       spark.sql("DELETE FROM graft_tt_table WHERE lang = 'de'")
       val vBefore = graft.sources.BlockStore.currentVersion(store) - 1
       def snap(tag: String, df: DataFrame): DataFrame =
@@ -811,11 +814,6 @@ object Extended {
         .select(col("snap"), col("lang"), col("n_docs"), col("sum_chars"))
         .orderBy("snap", "lang")
       eager(spark, out)
-    } finally {
-      try spark.sql("DROP TABLE IF EXISTS graft_tt_table")
-      catch { case _: Exception => }
-      try spark.catalog.dropTempView("x41_docs")
-      catch { case _: Exception => }
     }
   }
 
@@ -979,9 +977,12 @@ object Extended {
       StructField("rows_kept", LongType, nullable = false),
       StructField("kept_revenue", DoubleType, nullable = false),
       StructField("keep_ratio", DoubleType, nullable = false)))
+    // null_qty is a SUM: over an empty scan it observes SQL NULL, the
+    // same degenerate case kept_revenue guards one line up
+    val nullQty = Option(in("null_qty")).map(_.asInstanceOf[Long]).getOrElse(0L)
     spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(
-        rowsIn, in("null_qty").asInstanceOf[Long], rowsKept, revenue,
+        rowsIn, nullQty, rowsKept, revenue,
         if (rowsIn == 0L) 0.0 else rowsKept.toDouble / rowsIn)),
       schema)
   }
@@ -1105,8 +1106,7 @@ object Extended {
     "x26_bloom_prune_join" ->
       s"""SELECT l_returnflag,
          |  CAST(count(*) AS BIGINT) AS n_items,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         |  ${graft.Sql.SumRevSql} AS revenue
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
          |                     WHERE o_totalprice > $BloomPriceFloor)
@@ -1218,13 +1218,11 @@ object Extended {
     // box straight over the original table, bounds data-derived the same
     // way (integer // matches Spark's long division on positive keys)
     "x31_zorder_layout" ->
-      """WITH b AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+      s"""WITH b AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
         |                  min(l_partkey) AS pklo, max(l_partkey) AS pkhi
         |           FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
-        |    AS revenue
+        |  ${graft.Sql.SumRevSql} AS revenue
         |FROM lineitem, b
         |WHERE l_orderkey <= oklo + (okhi - oklo) // 10
         |  AND l_partkey <= pklo + (pkhi - pklo) // 10

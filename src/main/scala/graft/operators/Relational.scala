@@ -316,8 +316,7 @@ object Relational {
     "q20_salted_agg" -> q20SaltedAgg)
 
   private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
-  private val Rev =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+  private val Rev = graft.Sql.RevSql // one definition, Sql.scala
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
