@@ -26,11 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Text {
 
+  /** The pinned whitespace characters, as regex-class CONTENT (never use
+    * `\s`: Java's matches `\x0B` where RE2's does not — see the object
+    * scaladoc). Interpolate into any pattern, Spark- or oracle-side, that
+    * needs a whitespace or non-whitespace class so every regex in the
+    * engine agrees on the same five characters. */
+  val WsChars: String = " \\t\\n\\r\\f"
+
   /** Whitespace tokens of lowercased text, empty strings dropped. The
     * explicit `[ \t\n\r\f]` class (not `\s`) keeps the Java and RE2
     * engines on the same character set — see the object scaladoc. */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "[ \\t\\n\\r\\f]+"), t => t =!= "")
+    filter(split(lower(trim(text)), s"[$WsChars]+"), t => t =!= "")
 
   /** Materialize a `_toks` token-array column and spread rows across all
     * cores. The repartition Exchange is load-bearing twice over: it
@@ -94,7 +101,7 @@ object Text {
   // ---- DuckDB mirrors (string builders used by the oracle SQL) ----------
 
   def sqlTokens(textExpr: String): String =
-    s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
+    s"list_filter(regexp_split_to_array(lower(trim($textExpr)), '[$WsChars]+'), t -> t <> '')"
 
   def sqlShingles2(toksExpr: String): String =
     s"""CASE WHEN len($toksExpr) >= 2

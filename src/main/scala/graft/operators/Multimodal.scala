@@ -67,8 +67,11 @@ object Multimodal {
       col("doc_id"),
       asLong(octet_length(col("text"))).as("byte_len"),
       substring(md5(col("text")), 1, 8).as("sig8"),
-      concat(lit("{\"lang\":\""), col("lang"), lit("\",\"source\":\""),
-        col("source"), lit("\"}")).as("meta_json"),
+      // coalesce: Spark's concat NULL-propagates, DuckDB's skips NULL
+      // args — a NULL lang/source must serialize identically ("")
+      concat(lit("{\"lang\":\""), coalesce(col("lang"), lit("")),
+        lit("\",\"source\":\""),
+        coalesce(col("source"), lit("")), lit("\"}")).as("meta_json"),
       pmod(Text.sharedHash(substring(col("text"), 1, 16)), lit(256L)).as("header_code"))
       .orderBy("doc_id")
 
@@ -87,16 +90,22 @@ object Multimodal {
   val MaxFrames = 4
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    toMedia(spark, dir).flatMap { r =>
+    // ONE MessageDigest per partition (getInstance is a provider lookup +
+    // allocation — pure per-row overhead on the decode hot path; digest()
+    // resets the instance between frames, and partitions are
+    // single-threaded, so sharing is safe even under the lazy iterator)
+    toMedia(spark, dir).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until MaxFrames).iterator
-        .takeWhile(k => k.toLong * FrameStride + FrameLen <= r.payload.length)
-        .map { k =>
-          val frame = java.util.Arrays.copyOfRange(
-            r.payload, k * FrameStride, k * FrameStride + FrameLen)
-          val sig = md.digest(frame).map("%02x".format(_)).mkString.substring(0, 8)
-          (r.doc_id, k.toLong, sig)
-        }
+      it.flatMap { r =>
+        (0 until MaxFrames).iterator
+          .takeWhile(k => k.toLong * FrameStride + FrameLen <= r.payload.length)
+          .map { k =>
+            val frame = java.util.Arrays.copyOfRange(
+              r.payload, k * FrameStride, k * FrameStride + FrameLen)
+            val sig = md.digest(frame).map("%02x".format(_)).mkString.substring(0, 8)
+            (r.doc_id, k.toLong, sig)
+          }
+      }
     }.toDF("doc_id", "frame_idx", "sig8")
       .orderBy("doc_id", "frame_idx")
   }
@@ -114,7 +123,9 @@ object Multimodal {
       val n = r.payload.length
       if (n < ThumbPoints) None
       else {
-        val thumb = Array.tabulate(ThumbPoints)(k => r.payload(k * n / ThumbPoints))
+        // k.toLong: Int `k * n` overflows at ~143 MB payloads (2^31/15)
+        val thumb = Array.tabulate(ThumbPoints)(k =>
+          r.payload((k.toLong * n / ThumbPoints).toInt))
         Some((r.doc_id, thumb.map("%02x".format(_)).mkString))
       }
     }.toDF("doc_id", "thumb_hex")
@@ -292,7 +303,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val n = p.length
-        def pt(i: Int): Int = disp(p(i * n / DHashPoints) & 0xff)
+        // i.toLong: `i * n` overflows Int for payloads >= 2^31/71 bytes
+        // (~30 MB) into a NEGATIVE index; the oracle's BIGINT arithmetic
+        // would keep going, so the engines would also diverge
+        def pt(i: Int): Int = disp(p((i.toLong * n / DHashPoints).toInt) & 0xff)
         val bands = new Array[Long](DHashBands)
         var bit = 0
         var r = 0
@@ -395,7 +409,10 @@ object Multimodal {
     // (the r15 corpus-broadcast audit flagged the old explicit
     // broadcast() at the ×64 corpus)
     cand.join(probes.hint("shuffle_hash"), Seq("query_id"))
-      .join(idxSigs, Seq("match_id"))
+      // idxSigs is CORPUS-sized: same pin as mm6's attaches — unhinted,
+      // the strategy is estimate-driven (corpus broadcast below the
+      // threshold, sorting SMJ above), the r15 plan-instability class
+      .join(idxSigs.hint("shuffle_hash"), Seq("match_id"))
       .withColumn("hamming", graft.Sql.asLong(
         expr("bit_count(q0 ^ i0) + bit_count(q1 ^ i1)" +
           " + bit_count(q2 ^ i2) + bit_count(q3 ^ i3)")))

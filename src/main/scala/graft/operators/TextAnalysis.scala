@@ -62,9 +62,17 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Text.withTokens(Catalog.table(spark, dir, "documents"))
 
-  /** BPE-ish word/number/punct token pattern (same regex engine semantics in
-    * Java and DuckDB's RE2 for this class-only pattern). */
-  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** BPE-ish word/number/punct token pattern. Whitespace is the PINNED
+    * explicit class ([[Text.WsChars]]), never `\s`: Java's `\s` matches
+    * `\x0B` where DuckDB/RE2's does not, so a vertical tab in a document
+    * would count as a punct token in exactly one engine (same for
+    * [[PunctPattern]] below). Shared with the t1 oracle by interpolation. */
+  private val BpePattern = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9${Text.WsChars}]"
+
+  /** Non-(alnum|pinned-whitespace) class for punct counting — shared by
+    * qualityScores0 (Spark) and the t2/t9 oracle (the same-constant
+    * discipline that keeps cross-engine regexes from drifting apart). */
+  private val PunctPattern = s"[^A-Za-z0-9${Text.WsChars}]"
 
   // Per-language marker words for the n-gram/stopword lang-id heuristic.
   private val Markers: Seq[(String, Seq[String])] = Seq(
@@ -88,7 +96,7 @@ object TextAnalysis {
     val toks = col("_toks")
     val nTok = size(toks).cast(DoubleType)
     val stopCnt = Text.countIn(toks, Markers.flatMap(_._2))
-    val punctCnt = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val punctCnt = size(regexp_extract_all(col("text"), lit(PunctPattern), lit(0)))
     val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val stopRatio = stopCnt.cast(DoubleType) / nTok
     val punctRatio = punctCnt.cast(DoubleType) / length(col("text")).cast(DoubleType)
@@ -300,7 +308,10 @@ object TextAnalysis {
     * match counts vary and the redaction rewrite is exercised for real. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
     val idStr = col("doc_id").cast(org.apache.spark.sql.types.StringType)
-    val synth = concat(col("text"),
+    // coalesce, not bare text: Spark's concat NULL-PROPAGATES while
+    // DuckDB's skips NULL arguments — a NULL-text row would zero this
+    // whole scan in one engine and still synthesize PII in the other
+    val synth = concat(coalesce(col("text"), lit("")),
       lit(" contact user"), idStr, lit("@example.org id 77"), idStr, lit("9999"),
       when(col("doc_id") % 3 === 0, lit(" second@mail.io")).otherwise(lit("")))
     val low = lower(synth)
@@ -336,7 +347,6 @@ object TextAnalysis {
     * The top-k stays a TakeOrderedAndProject (per-partition heads, no
     * global sort materialization); the 25-row rank window is constant-size. */
   def topTokens(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(col("_toks")).as("tok"))
       .groupBy(col("tok"), col("doc_id"))
@@ -462,7 +472,6 @@ object TextAnalysis {
         sequence(lit(1), length(col("tok")) - 1),
         i => col("tok").substr(i, lit(2)))).as("pair"))
     val pairAgg = pairs
-      .select(col("tf"), col("pair"))
       .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
     // Exact global rank via the two-pass RangeRank — not an unpartitioned
     // row_number window. The pair table is bounded (≤ |charset|²) TODAY,
@@ -715,13 +724,13 @@ object TextAnalysis {
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |  CAST(len(regexp_extract_all(text, '$PunctPattern')) AS DOUBLE)
          |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
          |  CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
          |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
          |    + (CAST($stop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
-         |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '$PunctPattern')) AS DOUBLE)
          |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
          |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
     }

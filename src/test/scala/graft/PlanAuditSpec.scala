@@ -158,7 +158,8 @@ class PlanAuditSpec extends SparkSpec {
       "dd15_edit_distance" -> 2, // hist build + the a-side text attach
       // (r15: the 3x-fanout side went slim — its text attaches
       // post-prefilter; the unexploded b-side keeps its text)
-      "mm6_perceptual_neardup" -> 2) // signature attaches
+      "mm6_perceptual_neardup" -> 2, // signature attaches
+      "mm7_phash_serve" -> 2) // probe-batch + corpus index-sig attaches
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
