@@ -60,6 +60,12 @@ object RangeRank {
     * per-partition VALUE SUMS instead of row counts flowing to the driver. */
   def withRunningTotal(df: DataFrame, valueCol: String, cumCol: String,
       base: Long, sortCols: Column*): Ranked = {
+    // type guard, same philosophy as the null guard below: a non-Long
+    // valueCol (size() returns Int) otherwise dies inside the shuffle
+    // stage as an opaque executor ClassCastException naming no column
+    require(df.schema(valueCol).dataType == LongType,
+      s"RangeRank.withRunningTotal: column '$valueCol' is " +
+        s"${df.schema(valueCol).dataType}, not LongType — cast it first")
     val idx = df.schema.fieldIndex(valueCol)
     // fail loudly on a NULL value (e.g. size(tokens) of a NULL text) —
     // a bare getLong would surface as an opaque executor NPE instead
@@ -96,6 +102,10 @@ object RangeRank {
       var acc = offsets(pid)
       it.map { row => val out = Row.fromSeq(row.toSeq :+ acc); acc += weight(row); out }
     }
+    // a duplicate name would only surface downstream as an
+    // AMBIGUOUS_REFERENCE naming no culprit — fail here instead
+    require(!sorted.columns.contains(outCol),
+      s"RangeRank: input already has a column named '$outCol'")
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     Ranked(spark.createDataFrame(scanned, schema), offsets.last, sorted)
   }

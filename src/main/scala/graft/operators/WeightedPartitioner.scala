@@ -56,6 +56,12 @@ class WeightedKeyPartitioner(
     locality: Seq[(Any, Int, Double)] = Nil,
     swapSeed: Long = 42L) extends Partitioner {
   require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+  // a duplicate key would be LPT-assigned twice: its load split across two
+  // bins in the accounting while every row routes to the LAST assignment —
+  // the 4/3 bound and the swap caps would then hold against fiction
+  require(weights.map(_._1).distinct.size == weights.size,
+    "WeightedKeyPartitioner: duplicate keys in weights — pre-aggregate " +
+      "per-key loads first")
 
   // deterministic LPT: sort by (weight desc, key-hash) so equal weights
   // break ties stably; min-heap of (load, bin) keyed by load then bin id.
