@@ -599,11 +599,23 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     verifiedNgramPairs(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** Embedding-cosine near-dup pairs, blocked by the IVF cell (label): the
-    * semantic-dedup shape — candidate pairs only within a cell, exact
-    * cosine verify. Cosines via the codegen'd vec_dot (bit-identical to the
-    * oracle's ordered fold), so the >= threshold cuts identically. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** dd5's candidate stage — every within-cell (label) pair, BEFORE the
+    * cosine verify. Split out so the scale harness can count it: unlike
+    * every hash-banded sibling, dd5's candidate volume is QUADRATIC BY
+    * SPEC under corpus blow-up (Σ_cell C(n_cell·N, 2) at fixed cell
+    * count), and — because the blow-up fixture's embedding copies are
+    * ±2.4%-perturbed SEMANTIC near-dups of their originals, not disjoint
+    * rewrites like the text bijections — the qualifying OUTPUT is
+    * quadratic too: the blown corpus genuinely contains ~N² cross-copy
+    * near-dup pairs and finding them is dd5 doing its job. The 100 TB
+    * posture therefore differs from the banded family: cell count must
+    * scale with the corpus (the SemDeDup discipline — K ∝ corpus keeps
+    * per-cell population, and so per-cell pairs, bounded), or the query
+    * becomes a top-k/threshold serve (sim1/sim15) or a banded candidate
+    * generator (dd3) — all registered; this exact-within-cell form is
+    * the RECALL=1 baseline they are measured against. */
+  private[graft] def embeddingCandidateFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     // the scan/cast/norm/zero-vector pipeline is Similarity.emb — ONE
     // definition of the cross-engine zero-cosine guard (its scaladoc
     // carries the Divide-null-vs-NaN rationale), not a drifting copy
@@ -613,11 +625,18 @@ object Dedup {
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
       col("nrm").as("nb"), col("label"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by the IVF cell (label): the
+    * semantic-dedup shape — candidate pairs only within a cell, exact
+    * cosine verify. Cosines via the codegen'd vec_dot (bit-identical to the
+    * oracle's ordered fold), so the >= threshold cuts identically. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingCandidateFrame(spark, dir)
       .withColumn("cos", call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
     * lowercased, whitespace runs collapsed to single spaces, trimmed — so

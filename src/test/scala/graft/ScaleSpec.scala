@@ -93,6 +93,23 @@ class ScaleSpec extends SparkSpec {
     check("mm6_phash", "banded16",
       d => operators.Multimodal.perceptualNearDup(spark, d).count(),
       d => operators.Multimodal.perceptualPieces(spark, d)._2.count())
+    // dd5: QUADRATIC BY SPEC — candidates are the exact within-cell pair
+    // count Σ C(c·N, 2) (copies keep their label), and found rows are ~N²
+    // because the embedding copies are ±2.4%-perturbed semantic near-dups
+    // of their originals (cross-copy pairs genuinely qualify — unlike the
+    // text bijections' disjoint copies). The model's value: a candidate
+    // count slipping BELOW N²·base means the stage silently lost pairs
+    // (lost recall), and rows leaving the N² band means the fixture's
+    // semantic-duplicate density drifted.
+    val (dd5f1, dd5f8) = check("dd5_embed", "quadspec",
+      d => operators.Dedup.embeddingNearDup(spark, d).count(),
+      d => operators.Dedup.embeddingCandidateFrame(spark, d).count())
+    // and the PRECISE two-term model (found = base·N² + V·C(N,2), the
+    // self-pair term measured not bounded) — shared with the harness's
+    // extraTrack via Scale.dd5RowsOk so the two cannot silently diverge
+    val dd5v1 = operators.Similarity.emb(spark, d1).count()
+    assert(Scale.dd5RowsOk(8, dd5f1, dd5v1, dd5f8),
+      s"dd5 found rows off the two-term model: ×1=$dd5f1 V=$dd5v1 ×8=$dd5f8")
     // sim11: output is |probes|×k at ANY factor; candidates (probed-cell
     // rows through the registered arm's own cell selection) grow ≈ N×
     val (s1, s8) = (operators.Similarity.ivfMultiProbeTopK(spark, d1).count(),
