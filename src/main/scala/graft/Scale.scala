@@ -258,6 +258,22 @@ object Scale {
         "found_rows" -> operators.Dedup.embeddingNearDup(s, d).count()),
       extraTrack = (n, base, e) => dd5RowsOk(n, base("found_rows"),
         base("corpus_vectors"), e("found_rows"))),
+    // dd16: the banded screen over dd5's pair space — measured NEXT TO
+    // dd5 so the artifact prices what banding buys (the candidate
+    // CONSTANT: ~53% of dd5's at every factor) and what it cannot (the
+    // complexity class — still quadspec; the within-cell background
+    // similarity sits too close to dd5's 0.35 threshold for any sign-LSH
+    // resolution to separate cheaply — the S-curve math is derived in
+    // Dedup.semanticDedupCandidates' scaladoc). Same two-term output
+    // model: self-pairs sit at cos ≈ 1 where band recall is ≈ 1.
+    Op("dd16_banded", operators.Dedup.semanticDedupBanded,
+      (s, d) => operators.Dedup.semanticDedupCandidates(s, d).count(),
+      "quadspec", maxFactor = 16,
+      extra = (s, d) => Map(
+        "corpus_vectors" -> operators.Similarity.emb(s, d).count(),
+        "found_rows" -> operators.Dedup.semanticDedupBanded(s, d).count()),
+      extraTrack = (n, base, e) => dd5RowsOk(n, base("found_rows"),
+        base("corpus_vectors"), e("found_rows"))),
     Op("mm6_phash", operators.Multimodal.perceptualNearDup,
       (s, d) => operators.Multimodal.perceptualPieces(s, d)._2.count(),
       "banded16"),

@@ -40,6 +40,39 @@ object RandomHyperplanes {
     * j / BandBits, bit(j) = j % BandBits. */
   val BandedPlanes: Seq[Array[Double]] =
     (0 until NumBands * BandBits).map(j => Array.tabulate(Dim)(i => planeVal(j, i).toDouble))
+
+  /** dd16's DEDUP band family: [[DedupBands]] bands of [[BandBits]] planes
+    * drawn from the same generator with the global index running past the
+    * sim12 banded family (disjoint plane sets). A dedup sweep needs far
+    * more bands than a top-k probe: sim12 ranks whatever its 3 bands
+    * surface, but dd16's contract is RECALL against dd5's exact pair set,
+    * and the corpus' qualifying pairs sit at the threshold floor — sign-LSH
+    * keeps a cos-c pair per 6-bit band with probability (1 − acos(c)/π)^6
+    * ≈ 0.054 at c = 0.35, so 3 bands recall ~15% while 48 bands give
+    * 1 − (1 − 0.054)^48 ≈ 93% (≥ 97% by c = 0.45, ≈ 1 for true near-dups).
+    * 48 × 64-bucket bands still cut the within-cell candidate constant far
+    * below dd5's all-pairs enumeration — the measured trade in scale.json. */
+  val DedupBands = 48
+  /** Component generator for the dedup family: a splitmix64-style
+    * avalanche mix, NOT [[planeVal]]'s linear stride — the LCG family's
+    * consecutive planes are the same stride sequence shifted by
+    * [[Dim]], and that cross-plane correlation collapsed the measured
+    * 48-band recall to ~62% where the independent-planes math predicts
+    * ~93% (sim3/sim12 keep the legacy family: their top-k contracts
+    * never depended on the recall constant). With the mixed components
+    * the measured sf0.1 recall is 94% overall and 100% at cos ≥ 0.45.
+    * No cross-engine hash parity is required: the components are
+    * embedded as LITERALS in both the Spark plan and the oracle SQL. */
+  def dedupPlaneVal(j: Int, i: Int): Long = {
+    var z = (NumBands * BandBits + j).toLong * Dim + i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, 2001L) - 1000L
+  }
+  val DedupPlanes: Seq[Array[Double]] =
+    (0 until DedupBands * BandBits).map(j =>
+      Array.tabulate(Dim)(i => dedupPlaneVal(j, i).toDouble))
 }
 
 /** Opt-in LSH candidate-generation MARKER: `lsh_candidates(a, b)` in a join

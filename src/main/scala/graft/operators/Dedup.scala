@@ -638,6 +638,124 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
 
+  /** The dedup band family as a 288-row literal (band, bit-weight, plane)
+    * frame — signatures are computed by corpus × planes cross join +
+    * per-(vec, band) SUM, the shape whose codegen stays NARROW (288
+    * inline typedlit dot-expressions in one Project is the r11
+    * wide-codegen trap) and whose oracle mirror is LITERALLY the same
+    * CROSS JOIN planes / GROUP BY SQL. */
+  private def dedupPlaneFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bb = graft.expr.RandomHyperplanes.BandBits
+    graft.expr.RandomHyperplanes.DedupPlanes.zipWithIndex.map { case (p, j) =>
+      (j / bb, 1L << (j % bb), p.toSeq)
+    }.toDF("band", "w", "r")
+  }
+
+  /** SQL twin of [[dedupPlaneFrame]] (VALUES rows) — lazy: referenced
+    * from the oracle map (the init-order trap rule). */
+  private lazy val DedupPlanesSqlValues: String = {
+    val bb = graft.expr.RandomHyperplanes.BandBits
+    graft.expr.RandomHyperplanes.DedupPlanes.zipWithIndex.map { case (p, j) =>
+      s"(${j / bb}, ${1L << (j % bb)}, " +
+        s"[${p.map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+  }
+
+  /** dd16's candidate stage: within-(label, band, sig) pairs through the
+    * 48-band dedup sign-LSH family
+    * ([[graft.expr.RandomHyperplanes.DedupPlanes]] — same deterministic
+    * generator as sim3/sim12, disjoint plane set, band count sized for
+    * RECALL at the dd5 threshold floor; see its scaladoc for the
+    * (1 − acos(c)/π)^6-per-band math). Pairs must collide in one of the
+    * 48 6-bit sign bands IN ADDITION to dd5's cell equi-key, so
+    * candidates are a strict SUBSET of dd5's, dd16's output ⊆ dd5's
+    * row-for-row, and recall is a containment measurement, not a fuzzy
+    * score — measured 100% at sf0.001/sf0.01 and 94% at sf0.1 (100% at
+    * cos ≥ 0.45), with candidates cut to ~53% of dd5's.
+    *
+    * THE HONEST TRADE, derived: 48 bands × 64 buckets admit
+    * 1 − (1 − 1/64)^48 ≈ 53% of RANDOM pairs — and the measured 53.5%
+    * shows the fixture's within-cell background (mean cos ≈ 0.2) is
+    * effectively random at this resolution, while the 0.35 threshold
+    * sits so CLOSE to that background (bit-agree 0.58 vs 0.62) that no
+    * sign-LSH parameterization separates them cheaply: recall at the
+    * floor needs many bands, and the S-curve's incidental term is paid
+    * per band. The constant-only 2× is therefore a property of dd5's
+    * adversarially-low threshold, not of the method — at a production
+    * dedup threshold (cos ≥ 0.9: bit-agree 0.86, per-band keep 0.4)
+    * the SAME family keeps recall ≥ 99.99% while admitting the same 53%
+    * incidental floor only for pairs the verify then discards — and
+    * WIDER bands (e.g. ~45 × 16-bit) push the incidental floor to
+    * ~0.07% at recall ≈ 98%. The complexity CLASS is unchanged either
+    * way (quadratic-by-spec, like dd5 — see the sweep); what banding
+    * buys is the verify constant. DedupSpec pins containment + the
+    * recall floor + the candidate cut; scale.json carries dd16's
+    * candidate constant next to dd5's. */
+  /** (vec_id, label, band, sig) over the dedup band family — corpus ×
+    * planes cross join + per-(vec, band) SUM, shared by the candidate
+    * counter and the registered query. */
+  private def dedupSignatures(spark: SparkSession, dir: String): DataFrame =
+    Similarity.emb(spark, dir)
+      .crossJoin(broadcast(dedupPlaneFrame(spark)))
+      .select(col("vec_id"), col("label"), col("band"),
+        when(call_function("vec_dot", col("e"), col("r")) >= 0, col("w"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("vec_id"), col("label"), col("band"))
+      .agg(sum(col("bitval")).as("sig"))
+
+  private[graft] def semanticDedupCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sigs = dedupSignatures(spark, dir)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("label"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("label"),
+      col("band"), col("sig"))
+    a.join(b, Seq("label", "band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** dd16: banded semantic dedup — dd5's exact verify over the banded
+    * candidate set (see [[semanticDedupCandidates]]). Same threshold,
+    * same codegen'd cosine, same output schema.
+    *
+    * VERIFY SHAPE (measured, the r15 dd15 lesson replayed on arrays):
+    * the arrays ride INTO the (label, band, sig) collision join — the
+    * sig-side attaches are |corpus|·bands rows of ~0.5 KB (1.6 GB at
+    * blow-up ×16) — and the cosine is evaluated per COLLISION with the
+    * distinct taken on the qualifying OUTPUT. The first cut instead
+    * materialized the distinct candidate PAIR LIST and re-attached both
+    * arrays to it: 27.6M pairs × two array shuffles = 34 GB shuffled,
+    * 4.2 GB of spill at ×16, and a runtime WORSE than dd5's enumerate-
+    * everything join — the pair fan-out is the one frame that must
+    * never carry payloads through an Exchange. Duplicate-band
+    * collisions re-verify a pair (~1.3× average, ~#bands for self-dup
+    * pairs) — a few million extra 64-dim dots, orders cheaper than
+    * shuffling pairs with arrays attached. The sig→array attaches ride
+    * the r15 shuffled-hash pin (PlanAuditSpec row). */
+  def semanticDedupBanded(spark: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.emb(spark, dir)
+    val sigs = dedupSignatures(spark, dir)
+    val a = sigs
+      .join(v.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("label"), col("band"),
+        col("sig"), col("ea"), col("na"))
+    val b = sigs
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id").as("vec_b"), col("label"), col("band"),
+        col("sig"), col("eb"), col("nb"))
+    a.join(b, Seq("label", "band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
     * lowercased, whitespace runs collapsed to single spaces, trimmed — so
     * case- and spacing-only variants collapse to one canonical doc. The
@@ -1086,6 +1204,7 @@ object Dedup {
     "dd4_simhash_buckets" -> simhashBuckets,
     "dd15_edit_distance" -> editDistanceNearDup,
     "dd5_embedding_neardup" -> embeddingNearDup,
+    "dd16_semantic_dedup" -> semanticDedupBanded,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
@@ -1181,6 +1300,36 @@ object Dedup {
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
         |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "dd16_semantic_dedup" -> {
+      // dd5's oracle with the candidate CTE swapped for the 48-band
+      // sign-LSH collision join — the planes VALUES literal is the SQL
+      // twin of dedupPlaneFrame (one generator, RandomHyperplanes), and
+      // the sig aggregation is literally the Spark plan's CROSS JOIN +
+      // GROUP BY shape
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
+         |n0 AS (SELECT vec_id, label, ae,
+         |    sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |  FROM v),
+         |n AS (SELECT * FROM n0 WHERE nrm > 0),
+         |planes AS (SELECT * FROM (VALUES
+         |        $DedupPlanesSqlValues) pl(band, w, r)),
+         |sigs AS (SELECT n.vec_id, n.label, pl.band,
+         |          CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(n.ae)),
+         |                                      i -> n.ae[i] * pl.r[i])) >= 0
+         |                   THEN pl.w ELSE 0 END) AS BIGINT) AS sig
+         |        FROM n CROSS JOIN planes pl GROUP BY n.vec_id, n.label, pl.band),
+         |cand AS (SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+         |         FROM sigs sa JOIN sigs sb
+         |           ON sa.label = sb.label AND sa.band = sb.band AND sa.sig = sb.sig
+         |          AND sa.vec_id < sb.vec_id),
+         |p AS (SELECT cd.vec_a, cd.vec_b,
+         |    list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
+         |      / (a.nrm * b.nrm) AS c
+         |  FROM cand cd JOIN n a ON a.vec_id = cd.vec_a JOIN n b ON b.vec_id = cd.vec_b)
+         |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
+         |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+    },
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -593,7 +593,13 @@ object Similarity {
 
   /** sim12 body over the shared embedding frame — sim9 passes its
     * persisted corpus instead of re-deriving scan+norm from the dir. */
-  private def bandLsh(all: DataFrame): DataFrame = {
+  /** (vec_id, band, sig) for every vector of `all` (an [[emb]]-shaped
+    * frame): [[NumBands]] rows per vector, signatures map-side from the
+    * shared [[BandedPlanes]] — sim12's LSH table, split out for reuse.
+    * (dd16's dedup sweep uses its own 48-band family computed via a
+    * plane-table cross join — see `Dedup.semanticDedupCandidates` — so
+    * the two probe shapes stay independently tuned.) */
+  private[graft] def bandedSignatures(all: DataFrame): DataFrame = {
     def bandSig(b: Int): Column =
       (0 until BandBits).map { i =>
         val j = b * BandBits + i
@@ -602,9 +608,13 @@ object Similarity {
       }.reduce(_ + _)
     val bandRows = array((0 until NumBands).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
-    val banded = all
+    all
       .select(col("vec_id"), explode(bandRows).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private def bandLsh(all: DataFrame): DataFrame = {
+    val banded = bandedSignatures(all)
     // the banded frame carries NumBands rows per vec_id — the structural
     // bound must admit all of a probe's bands (a bare limit(ProbeCount)
     // silently truncated 3/4 of the probe bands: r15's first cut, caught
@@ -2202,10 +2212,15 @@ object Similarity {
   /** sim12 mirror: 18 banded plane literals, per-(vector, band) signatures
     * with bit = global plane index mod bits, OR-of-bands via the DISTINCT
     * candidate join, then the shared cosine rank. */
-  private lazy val Sim12Oracle: String = {
-    val planeRows = (0 until NumBands * BandBits).map { j =>
+  /** VALUES rows of the banded plane literals — the SQL twin of
+    * [[bandedSignatures]]' planes, used by [[Sim12Oracle]]. */
+  private[graft] lazy val BandedPlanesSqlValues: String =
+    (0 until NumBands * BandBits).map { j =>
       s"($j, [${BandedPlanes(j).map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n        ")
+
+  private lazy val Sim12Oracle: String = {
+    val planeRows = BandedPlanesSqlValues
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
        |           FROM embeddings),
        |n AS (SELECT vec_id, ae,

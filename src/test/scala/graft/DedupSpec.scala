@@ -174,4 +174,30 @@ class DedupSpec extends SparkSpec {
       assert(da < db)
     }
   }
+
+  test("dd16 banded semantic dedup: contained in dd5, recall floor, " +
+    "candidate cut") {
+    // containment is STRUCTURAL (same verify over a candidate subset), so
+    // any dd16 row outside dd5 means the signature join broke; recall is
+    // the banding's measured keep-rate (94-100% across SFs with the mixed
+    // dedup plane family — the legacy LCG planes' cross-plane correlation
+    // collapsed it to ~62%, see RandomHyperplanes.dedupPlaneVal)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d5 = pairs(Dedup.embeddingNearDup(spark, sf))
+    val d16 = pairs(Dedup.semanticDedupBanded(spark, sf))
+    assert(d5.nonEmpty, "fixture must contain embedding near-dups")
+    assert(d16.subsetOf(d5),
+      s"dd16 found pairs outside dd5's exact set: ${(d16 -- d5).take(3)}")
+    val recall = d16.size.toDouble / d5.size
+    assert(recall >= 0.9, s"dd16 recall $recall below 0.9 (${d16.size}/${d5.size})")
+    // the candidate CUT shows at a denser SF (sf0.001 cells hold ~2
+    // vectors); 53% is the 48-band/64-bucket incidental floor the
+    // operator's scaladoc derives — the pin allows re-roll to 65%
+    val dir = "/root/testdata/sf0.01"
+    val c5 = Dedup.embeddingCandidateFrame(spark, dir).count()
+    val c16 = Dedup.semanticDedupCandidates(spark, dir).count()
+    assert(c16 < c5 * 65 / 100,
+      s"banded candidates $c16 not under 65% of dd5's $c5")
+  }
 }

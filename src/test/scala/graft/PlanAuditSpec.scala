@@ -31,10 +31,13 @@ class PlanAuditSpec extends SparkSpec {
   // x11: the registered demonstration of the non-equi nested-loop tier;
   // t11: a ONE-ROW broadcast N frame attached via cross join.
   // sim20: JL projected brute-force over the bounded probe broadcast
+  // dd16: corpus × the 288-row broadcast LITERAL plane table (the
+  // signature build — bounded constant side, the t11 shape)
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
     "sim20_random_projection",
     "sim6_kmeans_assign", "sim7_kmeans_update",
-    "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords")
+    "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords",
+    "dd16_semantic_dedup")
 
   private def streaming(n: String): Boolean = n.matches("s\\d+_.*")
 
@@ -159,7 +162,8 @@ class PlanAuditSpec extends SparkSpec {
       // (r15: the 3x-fanout side went slim — its text attaches
       // post-prefilter; the unexploded b-side keeps its text)
       "mm6_perceptual_neardup" -> 2, // signature attaches
-      "mm7_phash_serve" -> 2) // probe-batch + corpus index-sig attaches
+      "mm7_phash_serve" -> 2, // probe-batch + corpus index-sig attaches
+      "dd16_semantic_dedup" -> 2) // dd5-style embedding attaches
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString

@@ -110,6 +110,15 @@ class ScaleSpec extends SparkSpec {
     val dd5v1 = operators.Similarity.emb(spark, d1).count()
     assert(Scale.dd5RowsOk(8, dd5f1, dd5v1, dd5f8),
       s"dd5 found rows off the two-term model: ×1=$dd5f1 V=$dd5v1 ×8=$dd5f8")
+    // dd16: the banded screen over the same pair space — same quadspec
+    // class and two-term output model (self-pairs sit at cos ≈ 1 where
+    // band recall ≈ 1), with the candidate constant cut to the 48-band
+    // incidental floor
+    val (dd16f1, dd16f8) = check("dd16_banded", "quadspec",
+      d => operators.Dedup.semanticDedupBanded(spark, d).count(),
+      d => operators.Dedup.semanticDedupCandidates(spark, d).count())
+    assert(Scale.dd5RowsOk(8, dd16f1, dd5v1, dd16f8),
+      s"dd16 found rows off the two-term model: ×1=$dd16f1 V=$dd5v1 ×8=$dd16f8")
     // sim11: output is |probes|×k at ANY factor; candidates (probed-cell
     // rows through the registered arm's own cell selection) grow ≈ N×
     val (s1, s8) = (operators.Similarity.ivfMultiProbeTopK(spark, d1).count(),
