@@ -674,24 +674,28 @@ object Dedup {
     * score — measured 100% at sf0.001/sf0.01 and 94% at sf0.1 (100% at
     * cos ≥ 0.45), with candidates cut to ~53% of dd5's.
     *
-    * THE HONEST TRADE, derived: 48 bands × 64 buckets admit
-    * 1 − (1 − 1/64)^48 ≈ 53% of RANDOM pairs — and the measured 53.5%
-    * shows the fixture's within-cell background (mean cos ≈ 0.2) is
-    * effectively random at this resolution, while the 0.35 threshold
-    * sits so CLOSE to that background (bit-agree 0.58 vs 0.62) that no
-    * sign-LSH parameterization separates them cheaply: recall at the
-    * floor needs many bands, and the S-curve's incidental term is paid
-    * per band. The constant-only 2× is therefore a property of dd5's
-    * adversarially-low threshold, not of the method — at a production
-    * dedup threshold (cos ≥ 0.9: bit-agree 0.86, per-band keep 0.4)
-    * the SAME family keeps recall ≥ 99.99% while admitting the same 53%
-    * incidental floor only for pairs the verify then discards — and
-    * WIDER bands (e.g. ~45 × 16-bit) push the incidental floor to
-    * ~0.07% at recall ≈ 98%. The complexity CLASS is unchanged either
-    * way (quadratic-by-spec, like dd5 — see the sweep); what banding
-    * buys is the verify constant. DedupSpec pins containment + the
-    * recall floor + the candidate cut; scale.json carries dd16's
-    * candidate constant next to dd5's. */
+    * THE HONEST TRADE, measured (DedupSpec's bucketed S-curve over the
+    * full ~200k-pair sf0.1 within-cell space): keep-rate by exact
+    * cosine is 40.4% on anti-correlated pairs (cos < 0, n = 99,667),
+    * 64.4% on the positive background ([0, 0.2), n = 89,018), 83.4%
+    * at [0.2, 0.35), 93.9% at the dd5-threshold bucket [0.35, 0.45),
+    * and LOSSLESS (3,000/3,000) on the blow-up's cos ≥ 0.9 copy mass —
+    * so the aggregate ~53.5% candidate constant is the pair-mass-
+    * weighted mix of the 40/64 halves, bracketing the random-pair
+    * floor 1 − (1 − 1/64)^48 ≈ 53%. The curve says why the constant-
+    * only 2× is a property of dd5's adversarially-low threshold, not
+    * of the method: 0.35 sits one bucket above a 64%-keep background,
+    * so no sign-LSH resolution separates them cheaply — recall at that
+    * floor needs many bands, and each band's incidental term is paid.
+    * At a production dedup threshold (cos ≥ 0.9: per-band keep ≈ 0.83
+    * at cos 0.99) the SAME family is measured lossless while the
+    * verify discards the incidental floor — and WIDER bands (e.g.
+    * ~45 × 16-bit) push that floor to ~0.07% at recall ≈ 98%. The
+    * complexity CLASS is unchanged either way (quadratic-by-spec,
+    * like dd5 — see the sweep); what banding buys is the verify
+    * constant. DedupSpec pins containment + the recall floor + the
+    * candidate cut + the bucketed curve itself; scale.json carries
+    * dd16's candidate constant next to dd5's. */
   /** (vec_id, label, band, sig) over the dedup band family — corpus ×
     * planes cross join + per-(vec, band) SUM, shared by the candidate
     * counter and the registered query. */

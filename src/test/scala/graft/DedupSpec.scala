@@ -200,4 +200,79 @@ class DedupSpec extends SparkSpec {
     assert(c16 < c5 * 65 / 100,
       s"banded candidates $c16 not under 65% of dd5's $c5")
   }
+
+  test("dd16 sign-LSH keep-rate traces the S-curve by cosine bucket") {
+    // The MEASURED version of the scaladoc's derivation: bucket the full
+    // within-cell pair space by exact cosine and compute the fraction of
+    // each bucket the 48-band screen keeps. Two corpora because the
+    // fixture's cosine mass splits: plain sf0.1 (~200k pairs) covers the
+    // background and the dd5-threshold region but holds NO pair above
+    // cos 0.6; the blow-up's jittered copies supply the cos ≈ 1 mass a
+    // production dedup (cos ≥ 0.9) actually runs on. Pins the two claims
+    // the operator's honesty rests on: the incidental floor on background
+    // pairs (what banding admits for free) and losslessness on near-dups.
+    import org.apache.spark.sql.functions._
+    val edges = Seq(0.0, 0.2, 0.35, 0.45, 0.6, 0.9)
+    val label = "cos<0" +: edges.map(e => s"cos>=$e")
+    def keepRates(dir: String): Int => (Long, Double) = {
+      // ascending fold so each higher threshold WRAPS the lower ones —
+      // the outermost when() must be the highest edge
+      val bucket = edges.foldLeft(lit(-1)) { (acc, e) =>
+        when(col("cos") >= e, lit(edges.indexOf(e))).otherwise(acc)
+      }
+      val all = Dedup.embeddingCandidateFrame(spark, dir)
+        .withColumn("cos",
+          call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+        .select(col("vec_a"), col("vec_b"), bucket.as("bucket"))
+      val cand = Dedup.semanticDedupCandidates(spark, dir)
+        .withColumn("hit", lit(1))
+      val m = all.join(cand, Seq("vec_a", "vec_b"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("kept"))
+        .collect()
+        .map(r => r.getAs[Int]("bucket") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("kept"))).toMap
+      b => m.get(b).map { case (n, k) => (n, k.toDouble / n) }
+        .getOrElse((0L, Double.NaN))
+    }
+
+    val base = keepRates("/root/testdata/sf0.1")
+    (-1 to 5).foreach { b =>
+      val (n, r) = base(b)
+      info(f"sf0.1   ${label(b + 1)}%-9s n=$n%-7d keep=$r%.4f")
+    }
+    // the curve needs its low and threshold buckets populated
+    (-1 to 3).foreach(b => assert(base(b)._1 > 0L,
+      s"sf0.1 bucket $b empty — fixture drifted, curve unmeasurable"))
+    // monotone S-curve across the populated buckets (sparse-bucket slack)
+    (0 to 3).foreach(b => assert(base(b)._2 >= base(b - 1)._2 - 0.05,
+      s"keep-rate not monotone at bucket $b: ${base(b)._2} < ${base(b - 1)._2}"))
+    // the incidental floor, split where the aggregate 53.5% actually comes
+    // from: anti-correlated pairs keep ~0.40, positive background ~0.64 —
+    // loose bands so a plane-family regression (correlated planes) or a
+    // join bug (floor → 1) both fail loudly
+    assert(base(-1)._2 >= 0.25 && base(-1)._2 <= 0.55,
+      s"cos<0 floor ${base(-1)._2} outside [0.25, 0.55]")
+    assert(base(0)._2 >= 0.5 && base(0)._2 <= 0.8,
+      s"background floor ${base(0)._2} outside [0.5, 0.8]")
+    // the dd5-threshold bucket explains the operator's 94-98% recall
+    assert(base(2)._2 >= 0.85, s"cos>=0.35 keep-rate ${base(2)._2} below 0.85")
+
+    // production-threshold recall on the blow-up's cos ≈ 1 copy mass
+    // (×4 of sf0.01: every base vector gains 3 jittered copies → ~6 such
+    // pairs per cell-resident vector). The screen must be LOSSLESS here —
+    // at cos 0.99 a 6-bit band keeps a pair with prob ≈ 0.83, so 48 bands
+    // miss with prob ≈ 1e-37; one dropped pair is a code bug, not luck.
+    val blown = Scale.ensureBlowup(spark, "/root/testdata/sf0.01",
+      "/tmp/graft-scale-sf0.01", 4)
+    val top = keepRates(blown)
+    (4 to 5).foreach { b =>
+      val (n, r) = top(b)
+      info(f"×4 blow  ${label(b + 1)}%-9s n=$n%-7d keep=$r%.4f")
+    }
+    assert(top(5)._1 >= 500L,
+      s"blow-up cos>=0.9 bucket too thin (${top(5)._1}) to measure")
+    assert(top(5)._2 == 1.0,
+      s"cos>=0.9 keep-rate ${top(5)._2} — the screen dropped a true near-dup")
+  }
 }
