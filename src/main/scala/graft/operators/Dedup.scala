@@ -935,6 +935,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd17: CANONICAL SELECTION — the stage that ENDS a dedup pipeline:
+    * given dd8's near-dup clusters, pick the member to KEEP and emit the
+    * doc→canonical map every downstream stage joins (the "which copy
+    * survives" artifact production pipelines persist beside the corpus).
+    * The keep policy is argmax by t2's quality score (tiebreak min
+    * doc_id) — unlike [[pipelineManifest]]'s min-id canon, this is the
+    * production policy: near-dup copies differ in boilerplate/truncation
+    * and the highest-quality member is the one worth training on.
+    *
+    * Cross-engine determinism: the ranking key is t2's quality double,
+    * which is BIT-IDENTICAL across engines (exact-int divisions and
+    * correctly-rounded IEEE ops in one fixed evaluation order — the t2
+    * oracle hash-verifies it), so the argmax needs no rounding step; the
+    * output itself carries only BIGINTs. Docs with zero tokens have no
+    * quality row and are dropped (they exit a real pipeline at the
+    * quality gate anyway) — the oracle applies the same inner join.
+    *
+    * SCALE SHAPE: cluster ids are a landed artifact (the dd8 memo —
+    * production lands them once; cold callers pay one fixpoint); the
+    * selection itself is one |corpus|-row equi-join plus one window
+    * partitioned by cluster_id — a single shuffle on the cluster key,
+    * with per-partition work bounded by cluster size (near-dup clusters
+    * are small by construction; a corpus-sized cluster would mean the
+    * dedup threshold collapsed). */
+  def canonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val memoLabels = synchronized {
+      if (lastLabelsKey.contains((spark, dir)) &&
+          lastLabelsCache.exists(_.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE))
+        lastLabelsCache
+      else None
+    }
+    val clusters = memoLabels
+      .map(_.select(col("doc_id"), col("label").as("cluster_id")))
+      .getOrElse(dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id")))
+    val q = TextAnalysis.qualityScores0(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(byQuality))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup: a batch of incoming documents (`doc_id % 5 == 0`,
     * a fixed 20% slice at any SF) deduplicated AGAINST the already-ingested
     * index (the other 80%) — the production shape for daily increments,
@@ -1209,6 +1258,7 @@ object Dedup {
     "dd15_edit_distance" -> editDistanceNearDup,
     "dd5_embedding_neardup" -> embeddingNearDup,
     "dd16_semantic_dedup" -> semanticDedupBanded,
+    "dd17_canonical_keep" -> canonicalKeep,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
@@ -1390,6 +1440,31 @@ object Dedup {
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // same cluster CTEs as dd8, then the keep policy: t2's quality
+    // expression embedded VERBATIM (TextAnalysis.QualityOracle as a
+    // nested-WITH CTE, the t9 pattern — one source of truth for the
+    // ranking key), argmax per cluster via first_value over
+    // (quality DESC, doc_id)
+    "dd17_canonical_keep" ->
+      s"""WITH RECURSIVE $Dd6PairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |          least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |q AS (${TextAnalysis.QualityOracle}),
+         |m AS (SELECT l.doc_id, l.cluster_id, q.quality
+         |      FROM lab l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC, doc_id) AS canonical_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM m ORDER BY doc_id""".stripMargin,
     // same cluster CTEs as dd8, then the pipeline stages: token gate,
     // exact digest dedup (min doc_id per md5), keep each cluster's minimum
     // surviving member

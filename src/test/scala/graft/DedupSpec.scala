@@ -201,6 +201,30 @@ class DedupSpec extends SparkSpec {
       s"banded candidates $c16 not under 65% of dd5's $c5")
   }
 
+  test("dd17 canonical keep: per-cluster argmax by quality, sizes consistent") {
+    val q = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val got = Dedup.canonicalKeep(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byCluster = got.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.exists(_._2.length > 1),
+      "fixture must contain at least one multi-member near-dup cluster")
+    byCluster.foreach { case (cid, rows) =>
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+      // driver-side recompute of the keep policy: max quality, min id tie
+      val expect = ids.minBy(id => (-q(id), id))
+      rows.foreach { r =>
+        assert(r.getAs[Long]("canonical_id") == expect,
+          s"cluster $cid: canonical ${r.getAs[Long]("canonical_id")} != argmax $expect")
+        assert(r.getAs[Long]("cluster_size") == ids.length.toLong)
+      }
+    }
+    // singletons keep themselves
+    byCluster.filter(_._2.length == 1).foreach { case (_, rows) =>
+      assert(rows.head.getAs[Long]("canonical_id") == rows.head.getAs[Long]("doc_id"))
+    }
+  }
+
   test("dd16 sign-LSH keep-rate traces the S-curve by cosine bucket") {
     // The MEASURED version of the scaladoc's derivation: bucket the full
     // within-cell pair space by exact cosine and compute the fraction of
