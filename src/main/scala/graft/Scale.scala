@@ -317,6 +317,18 @@ object Scale {
         Map("cc_rounds" -> operators.Dedup.lastCcRounds.toLong),
       extraTrack = (_, base, e) =>
         e("cc_rounds") <= base("cc_rounds") + 1),
+    // dd17: canonical selection over the LANDED cluster ids — the claim:
+    // the keep stage itself is one equi-join plus one cluster-keyed
+    // window (a single shuffle, per-partition work bounded by cluster
+    // size), so `sec` stays flat-linear while the cluster_build stage
+    // column carries the dd6+CC pipeline it rides on (rows = every
+    // quality-eligible doc, exactly N×)
+    Op("dd17_keep", operators.Dedup.canonicalKeep,
+      (s, d) => Catalog.table(s, d, "documents").count(),
+      "linear",
+      stages = Seq("cluster_build" ->
+        ((s: SparkSession, d: String) =>
+          operators.Dedup.dedupClusters(s, d).count(): Unit))),
     // dd9: the incremental probe through the SHARED prefix rows — the
     // claim: per-batch cost = |incoming| × rare-token fan-in, never an
     // index self-join. The harness blows BOTH sides up N× (incoming is

@@ -149,6 +149,13 @@ class ScaleSpec extends SparkSpec {
       operators.Dedup.verifiedNgramPairs(spark, d8).count())
     assert(e8 == e1 * 8, s"dd8 edge list must be exactly ×8 ($e1 -> $e8)")
 
+    // dd17: the keep map rides the landed labels (d1's memo is live from
+    // the rounds measurement above) — one row per quality-eligible doc,
+    // exactly N× under blow-up
+    val k1 = operators.Dedup.canonicalKeep(spark, d1).count()
+    val k8 = operators.Dedup.canonicalKeep(spark, d8).count()
+    assert(k8 == k1 * 8, s"dd17 keep map must be exactly ×8 ($k1 -> $k8)")
+
     // sim15: landed serve — output |probes|×k at any factor; the serve
     // OPENS a flat number of cell-pruned blocks (bigger blocks, not more)
     def servedBlocks(d: String): (Long, Long) = {
