@@ -260,15 +260,18 @@ object Scale {
         base("corpus_vectors"), e("found_rows"))),
     // dd16: the banded screen over dd5's pair space — measured NEXT TO
     // dd5 so the artifact prices what banding buys (the candidate
-    // CONSTANT: ~53% of dd5's at every factor) and what it cannot (the
-    // complexity class — still quadspec; the within-cell background
-    // similarity sits too close to dd5's 0.35 threshold for any sign-LSH
-    // resolution to separate cheaply — the S-curve math is derived in
+    // CONSTANT: ~53% of dd5's at every factor, and ONE MORE FACTOR of
+    // feasible corpus: dd5 caps at ×16 where its exact pair volume hits
+    // ~107 GB through the join, while dd16's screened join runs ×32
+    // inside the linear spill budget) and what it cannot (the complexity
+    // class — still quadspec; the within-cell background similarity sits
+    // too close to dd5's 0.35 threshold for any sign-LSH resolution to
+    // separate cheaply — the S-curve math is derived in
     // Dedup.semanticDedupCandidates' scaladoc). Same two-term output
     // model: self-pairs sit at cos ≈ 1 where band recall is ≈ 1.
     Op("dd16_banded", operators.Dedup.semanticDedupBanded,
       (s, d) => operators.Dedup.semanticDedupCandidates(s, d).count(),
-      "quadspec", maxFactor = 16,
+      "quadspec", maxFactor = 32,
       extra = (s, d) => Map(
         "corpus_vectors" -> operators.Similarity.emb(s, d).count(),
         "found_rows" -> operators.Dedup.semanticDedupBanded(s, d).count()),
@@ -542,9 +545,21 @@ object Scale {
     * 2× on 2× data); spill arriving SUPER-linearly is a plan cliff (the
     * r14 SMJ sorts: 213 MB/factor at ×32, 0 before — fails this bound).
     * Constants: 2× the ×1 baseline's linear extrapolation + 96 MB/factor
-    * + a 256 MB absolute floor for zero-base jitter. */
-  private[graft] def spillBound(factor: Int, baseSpill: Long): Long =
-    baseSpill * factor * 2 + (96L << 20) * factor + (256L << 20)
+    * + a 256 MB absolute floor for zero-base jitter.
+    *
+    * QUAD-BY-SPEC ops (dd5/dd16) get one extra term: their candidate
+    * volume is the SPEC (N² by construction), and an external aggregate
+    * or join may legitimately spill each candidate row once when the
+    * volume outgrows execution memory — dd16 at ×32 spills ~39 B per
+    * candidate through the collision distinct, linear IN CANDIDATES and
+    * healthy. The budget adds 64 B × candidates for quad models only;
+    * spill beyond candidate-linear is still a cliff there too, and
+    * linear-model ops keep the strict linear-in-factor budget. */
+  private[graft] def spillBound(model: String, factor: Int, baseSpill: Long,
+      cand: Long): Long = {
+    val linear = baseSpill * factor * 2 + (96L << 20) * factor + (256L << 20)
+    if (model.startsWith("quad")) linear + 64L * cand else linear
+  }
 
   /** UNBOUNDED-CORPUS-BROADCAST AUDIT — the r15 dd6 finding generalized
     * into a fleet guard. A BroadcastHashJoin whose build subtree reaches a
@@ -731,7 +746,7 @@ object Scale {
             (Scale.rowsTrack(op.name, op.model, n, r1, rows),
               Scale.candTrack(op.model, n, c1, cand),
               sec <= runtimeBound(op.model, n, s1),
-              spill <= spillBound(n, sp1),
+              spill <= spillBound(op.model, n, sp1, cand),
               op.extraTrack(n, e1, extras))
           case None => (true, true, true, true, true)
         }

@@ -772,10 +772,14 @@ object Dedup {
     * chars uppercased and re-joined with doubled spaces — built identically
     * in the oracle, so the gate exercises case folding, collapse and trim
     * for real. The whitespace class is written explicitly ([ \t\n\r\f]):
-    * Java's \s matches \x0B where RE2's does not. */
+    * Java's \s matches \x0B where RE2's does not. Text rides through a
+    * Spark-side coalesce (the t7/mm1 rule): Spark's concat NULL-PROPAGATES
+    * while DuckDB's skips NULL args, so a NULL-text row would digest to
+    * SQL NULL here but md5('') in the oracle — coalescing only this side
+    * makes both engines canonicalize NULL to the empty string. */
   def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val messy = concat(upper(substring(col("text"), 1, 16)), lit("  "),
-      col("text"), lit(" "))
+    val t = coalesce(col("text"), lit(""))
+    val messy = concat(upper(substring(t, 1, 16)), lit("  "), t, lit(" "))
     val canon = trim(regexp_replace(lower(messy), "[ \\t\\n\\r\\f]+", " "))
     digestDedup(docs(spark, dir), md5(canon))
   }

@@ -201,6 +201,27 @@ class DedupSpec extends SparkSpec {
       s"banded candidates $c16 not under 65% of dd5's $c5")
   }
 
+  test("dd7 canonical dedup folds NULL text to the empty canon (concat rule)") {
+    // Spark's concat NULL-PROPAGATES while DuckDB's skips NULL args — dd7
+    // coalesces text on the Spark side so a NULL-text doc digests to
+    // md5('') like an empty doc, instead of a SQL-NULL fingerprint the
+    // oracle would never produce (the t7/mm1 rule; fixture corpora carry
+    // no NULLs, so this planted corpus is the only coverage)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dd7").toString
+    Seq((0L, null.asInstanceOf[String], "en", "s", 0L),
+      (1L, "", "en", "s", 0L),
+      (2L, "real text here", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.canonicalDedup(spark, tmp).collect()
+    val byFp = rows.map(r =>
+      r.getAs[String]("fp") -> r.getAs[Long]("n_copies")).toMap
+    assert(!byFp.contains(null), "NULL fingerprint leaked through the coalesce")
+    // NULL and empty text canonicalize identically → one group of 2
+    assert(rows.length == 2 && byFp.values.toSet == Set(1L, 2L),
+      s"expected {empty: 2 copies, real: 1}: ${rows.mkString(", ")}")
+  }
+
   test("dd17 canonical keep: per-cluster argmax by quality, sizes consistent") {
     val q = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
