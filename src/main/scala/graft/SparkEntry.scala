@@ -39,8 +39,8 @@ object SparkEntry {
     * lands the token-shard store) — the corpus-broadcast audit skips
     * these too, since "plan it at the ×64 corpus" would mean "run it". */
   val constructionRunsCorpusJobs: Set[String] = Set(
-    "dd8_dedup_clusters", "dd17_canonical_keep", "p1_pipeline_manifest",
-    "p11_landed_shards")
+    "dd8_dedup_clusters", "dd17_canonical_keep", "dd18_dedup_savings",
+    "p1_pipeline_manifest", "p11_landed_shards")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -988,6 +988,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd18: DEDUP SAVINGS REPORT — the accounting artifact every dedup
+    * pipeline emits beside its keep map: per source, how many documents
+    * and tokens the dd17 keep policy retains vs drops. "Kept" is
+    * doc_id == canonical_id (a cluster's canonical may live in a
+    * DIFFERENT source — cross-source near-dups charge their drop to the
+    * source that lost, which is exactly what a data-sourcing report
+    * needs to show). Token counts are t2's n_tokens (the shared
+    * tokenizer), so the report's totals reconcile with t1/t2 outputs.
+    *
+    * SCALE SHAPE: two doc_id equi-joins onto the keep map plus one
+    * groupBy on the |sources|-bounded key — map-side partials collapse
+    * the corpus before the exchange, so the shuffle is |sources| ×
+    * partitions rows. Rides the landed dd8 cluster memo like dd17. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val keep = canonicalKeep(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val meta = Catalog.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val toks = TextAnalysis.qualityScores0(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+    keep.join(meta, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .withColumn("kept", col("doc_id") === col("canonical_id"))
+      .groupBy(col("source"))
+      .agg(
+        asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(when(col("kept"), 1L).otherwise(0L))).as("n_kept"),
+        asLong(sum(col("n_tokens"))).as("tokens_total"),
+        asLong(sum(when(col("kept"), col("n_tokens")).otherwise(0L)))
+          .as("tokens_kept"))
+      .withColumn("tokens_dropped", col("tokens_total") - col("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** INCREMENTAL dedup: a batch of incoming documents (`doc_id % 5 == 0`,
     * a fixed 20% slice at any SF) deduplicated AGAINST the already-ingested
     * index (the other 80%) — the production shape for daily increments,
@@ -1263,6 +1296,7 @@ object Dedup {
     "dd5_embedding_neardup" -> embeddingNearDup,
     "dd16_semantic_dedup" -> semanticDedupBanded,
     "dd17_canonical_keep" -> canonicalKeep,
+    "dd18_dedup_savings" -> dedupSavings,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
@@ -1469,6 +1503,38 @@ object Dedup {
          |    ORDER BY quality DESC, doc_id) AS canonical_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM m ORDER BY doc_id""".stripMargin,
+    // dd17's keep policy, then the per-source docs/tokens accounting
+    "dd18_dedup_savings" ->
+      s"""WITH RECURSIVE $Dd6PairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.6),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |          least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |q AS (${TextAnalysis.QualityOracle}),
+         |m AS (SELECT l.doc_id, l.cluster_id, q.quality, q.n_tokens
+         |      FROM lab l JOIN q ON l.doc_id = q.doc_id),
+         |k AS (SELECT doc_id, n_tokens,
+         |        first_value(doc_id) OVER (PARTITION BY cluster_id
+         |          ORDER BY quality DESC, doc_id) AS canonical_id
+         |      FROM m)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k.doc_id = k.canonical_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(k.n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN k.doc_id = k.canonical_id THEN k.n_tokens
+         |           ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(k.n_tokens) AS BIGINT) -
+         |  CAST(sum(CASE WHEN k.doc_id = k.canonical_id THEN k.n_tokens
+         |           ELSE 0 END) AS BIGINT) AS tokens_dropped
+         |FROM k JOIN documents d ON d.doc_id = k.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // same cluster CTEs as dd8, then the pipeline stages: token gate,
     // exact digest dedup (min doc_id per md5), keep each cluster's minimum
     // surviving member

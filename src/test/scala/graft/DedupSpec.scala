@@ -246,6 +246,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd18 savings report reconciles with dd17's keep map and t2 tokens") {
+    val keep = Dedup.canonicalKeep(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val toks = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.dedupSavings(spark, sf).collect()
+    assert(got.nonEmpty)
+    // driver-side recompute per source
+    val bySource = keep.keys.groupBy(src)
+    got.foreach { r =>
+      val s = r.getAs[String]("source")
+      val ids = bySource(s).toSeq
+      assert(r.getAs[Long]("n_docs") == ids.length.toLong)
+      assert(r.getAs[Long]("n_kept") == ids.count(id => keep(id) == id).toLong)
+      assert(r.getAs[Long]("tokens_total") == ids.map(toks).sum)
+      assert(r.getAs[Long]("tokens_kept") ==
+        ids.filter(id => keep(id) == id).map(toks).sum)
+      assert(r.getAs[Long]("tokens_dropped") ==
+        r.getAs[Long]("tokens_total") - r.getAs[Long]("tokens_kept"))
+    }
+    assert(got.map(_.getAs[String]("source")).toSet == bySource.keySet,
+      "report must cover every source")
+    // the fixture must exercise a real drop somewhere
+    assert(got.map(_.getAs[Long]("tokens_dropped")).sum > 0L,
+      "no tokens dropped anywhere — near-dup fixture drifted")
+  }
+
   test("dd16 sign-LSH keep-rate traces the S-curve by cosine bucket") {
     // The MEASURED version of the scaladoc's derivation: bucket the full
     // within-cell pair space by exact cosine and compute the fraction of
