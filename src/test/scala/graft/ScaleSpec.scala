@@ -17,6 +17,26 @@ class ScaleSpec extends SparkSpec {
   private val baseDir = "/root/testdata/sf0.01"
   private lazy val outRoot = "/tmp/graft-scale-sf0.01"
 
+  test("spillBound: linear ops catch the r14 SMJ cliff, quad ops admit " +
+    "candidate-linear spill only") {
+    val MB = 1L << 20
+    // the r14 regression signature: zero spill at the base, ~213 MB per
+    // factor unit at x32 (6.8 GB total) on a LINEAR-model op — must fail
+    assert(6800L * MB > Scale.spillBound("prefix", 32, 0L, 0L),
+      "linear budget must reject the r14 SMJ candidate-sort spill")
+    // healthy linear growth (2x the base extrapolation) passes
+    assert(10L * MB * 32 * 2 <= Scale.spillBound("prefix", 32, 10L * MB, 0L))
+    // quad-by-spec: dd16 x32's measured shape — 110.3M candidates
+    // spilling ~39 B each through the collision distinct — passes...
+    val cand = 110332071L
+    assert(39L * cand <= Scale.spillBound("quadspec", 32, 0L, cand),
+      "quad budget must admit an external agg spilling each candidate once")
+    // ...but super-candidate-linear spill (a payload-attached pair list:
+    // the dd16 first-cut 34 GB class) still fails
+    assert(34L * 1024 * MB > Scale.spillBound("quadspec", 32, 0L, cand),
+      "quad budget must still reject payloads-through-the-fanout spill")
+  }
+
   test("copy bijections are pairwise DISTANT through ×65") {
     // distinctness is not enough: two maps agreeing on most of the
     // alphabet make their copies byte-level near-duplicates (r14 found
