@@ -737,7 +737,17 @@ object Dedup {
     * collisions re-verify a pair (~1.3× average, ~#bands for self-dup
     * pairs) — a few million extra 64-dim dots, orders cheaper than
     * shuffling pairs with arrays attached. The sig→array attaches ride
-    * the r15 shuffled-hash pin (PlanAuditSpec row). */
+    * the r15 shuffled-hash pin (PlanAuditSpec row).
+    *
+    * REGIME NOTE (the honest crossover): riding arrays in costs
+    * |corpus| × bands array copies through the exchange; the pair-attach
+    * alternative costs |candidate pairs| × 2. This operator's measured
+    * regime (dd5's low threshold → candidates ≈ 53% of all within-cell
+    * pairs ≫ corpus × bands) makes ride-in the 10×+ winner. At a
+    * production threshold with wide bands (incidental floor ~0.1%, so
+    * candidates ≈ true-dup rate × corpus ≪ corpus × bands) the slim
+    * collision join + post-distinct attach flips to cheaper — choose by
+    * comparing the two volume products, not by precedent. */
   def semanticDedupBanded(spark: SparkSession, dir: String): DataFrame = {
     val v = Similarity.emb(spark, dir)
     val sigs = dedupSignatures(spark, dir)
