@@ -246,6 +246,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd17 quality ties break on min doc_id (planted identical texts)") {
+    // two IDENTICAL texts have bit-identical quality — the argmax must
+    // fall through to the doc_id tiebreak. The sf fixtures never produce
+    // an exact tie (the driver-side recompute in the dd17 test would
+    // mask a wrong tiebreak as an equal-quality coin flip), so this
+    // planted two-doc cluster is the only coverage of the second sort key.
+    val base = ("the quick brown fox jumps over the lazy dog again and " +
+      "again today ") * 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dd17").toString
+    Seq((21L, base, "en", "s", base.length.toLong),
+      (20L, base, "en", "s", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.canonicalKeep(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(rows.keySet == Set(20L, 21L) &&
+      rows.values.map(_._2).toSet == Set(2L),
+      s"expected one 2-doc cluster: $rows")
+    assert(rows.values.map(_._1).toSet == Set(20L),
+      s"identical-quality tie must keep the MIN doc_id: $rows")
+  }
+
   test("dd18 savings report reconciles with dd17's keep map and t2 tokens") {
     val keep = Dedup.canonicalKeep(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
