@@ -65,11 +65,21 @@ def main():
     ratios = {q: qb[q] / qa[q] for q in common
               if qa[q] > 0 and qb[q] > 0}
     controls = [c for c in args.controls.split(",") if c]
-    missing = [c for c in controls if c not in ratios]
-    if missing:
-        sys.exit(f"controls not in both files: {missing}")
+    # distinguish "absent from a file" from "present but failed (-1.0)":
+    # both exclude a control from ratios, and a generic message sent the
+    # user hunting the wrong problem
+    absent = [c for c in controls if c not in qa or c not in qb]
+    if absent:
+        sys.exit(f"controls not in both files: {absent}")
+    failed_ctrl = [c for c in controls if c not in ratios]
+    if failed_ctrl:
+        sys.exit(f"controls failed (non-positive time) in at least one "
+                 f"file: {failed_ctrl} — pick healthy controls")
     ctrl = controls or common
     ctrl_ratios = sorted(ratios[c] for c in ctrl if c in ratios)
+    if not ctrl_ratios:
+        sys.exit("no usable ratios: the two files share no query with "
+                 "positive times in both")
     # host factor: geomean of controls when given; median of ALL ratios
     # otherwise (median is robust to the few genuinely-moved queries)
     if controls:

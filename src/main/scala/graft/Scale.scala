@@ -167,6 +167,79 @@ object Scale {
     dir
   }
 
+  /** Tables whose size scales WITH the corpus — a broadcast whose build
+    * subtree reaches one of these unbounded is the audit's defect class.
+    * nation/region are deliberately absent: 25/5 rows by schema at every
+    * scale factor (TPC-H holds them constant), so broadcasting them is
+    * the permanently-correct plan. customer/part/supplier DO scale in
+    * TPC-H (linear in SF) — at 100 TB customer is billions of rows and
+    * any unconditional broadcast of it is wrong. */
+  private[graft] val CorpusScaledTables = Seq(
+    "documents", "embeddings", "lineitem", "orders", "events",
+    "customer", "part", "supplier")
+
+  /** Relational blow-up for the corpus-broadcast audit (the r15 verdict's
+    * blind spot: 68 of 194 queries were "unplannable" because the xN dirs
+    * held only documents/embeddings, so the whole q/x relational family
+    * was never planned at realistic-at-scale file sizes). Row-stacking
+    * with per-copy key shifts: copy k of orders references copy k of
+    * customer (strides shared per key family), so join cardinalities per
+    * copy match the base exactly and the audit's plans see honest STATS.
+    * Values other than keys repeat verbatim — the audit needs sizes, not
+    * semantic novelty, and no text-similarity op runs on these tables.
+    *
+    * part and supplier get EXTRA unreferenced copies (×2 / ×16): their
+    * base files are so small (176 KB / 24 KB) that at ×64 they'd still
+    * sit under the 10 MB broadcast threshold and every hint-free dim join
+    * would legitimately broadcast — pushing them past the threshold makes
+    * the audit adjudicate the real question (does the plan ADAPT when the
+    * dim outgrows broadcastability?) instead of rubber-stamping
+    * small-input choices. Extra copies carry keys no fact row references;
+    * joins simply never match them, which leaves per-copy join outputs
+    * identical while the scan stats grow. */
+  private[graft] def ensureRelationalBlowup(spark: SparkSession,
+      baseDir: String, outRoot: String, n: Int): Unit = {
+    val dir = s"$outRoot/x$n"
+    val done = java.nio.file.Paths.get(s"$dir/_READY_REL_v1")
+    if (java.nio.file.Files.exists(done)) return
+    def maxKey(t: String, k: String): Long =
+      Catalog.table(spark, baseDir, t).agg(max(col(k))).head.getLong(0) + 1L
+    val strides = Map(
+      "custkey" -> maxKey("customer", "c_custkey"),
+      "orderkey" -> maxKey("orders", "o_orderkey"),
+      "partkey" -> maxKey("part", "p_partkey"),
+      "suppkey" -> maxKey("supplier", "s_suppkey"),
+      "event_id" -> maxKey("events", "event_id"),
+      "user_id" -> maxKey("events", "user_id"))
+    def strideFor(c: String): Option[Long] =
+      strides.collectFirst { case (suf, s) if c.endsWith(suf) => s }
+    def stack(table: String, copies: Int, parts: Int): Unit = {
+      val base = Catalog.table(spark, baseDir, table)
+      val projected = base.columns.map { c =>
+        strideFor(c) match {
+          case Some(s) => (col(c) + col("_k").cast("long") * lit(s)).as(c)
+          case None => col(c)
+        }
+      }
+      base.withColumn("_k", explode(sequence(lit(0), lit(copies - 1))))
+        .select(projected.toIndexedSeq: _*)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+    stack("customer", n, 8)
+    stack("orders", n, 8)
+    stack("lineitem", n, 32)
+    stack("part", n * 2, 8)
+    stack("supplier", n * 16, 4)
+    stack("events", n, 8)
+    // fixed dims: copied verbatim so every query resolves its reads
+    Seq("nation", "region").foreach { t =>
+      Catalog.table(spark, baseDir, t).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    java.nio.file.Files.createFile(done): Unit
+  }
+
   /** One measured operator: the registered query fn, its candidate-stage
     * counter, the candidate growth model ("linear" | "prefix" |
     * "banded16" = linear true pairs + 1/2^16 incidental term), a factor
@@ -327,11 +400,18 @@ object Scale {
     // column carries the dd6+CC pipeline it rides on (rows = every
     // quality-eligible doc, exactly N×)
     Op("dd17_keep", operators.Dedup.canonicalKeep,
-      (s, d) => Catalog.table(s, d, "documents").count(),
+      // dd17 has no candidate stage (the keep join's work IS the output
+      // rows) — report 0 rather than repurposing the candidate-pairs
+      // column for the corpus size (r15 ADVICE); the input volume lands
+      // as the named `docs_in` extra instead
+      (_, _) => 0L,
       "linear",
       stages = Seq("cluster_build" ->
         ((s: SparkSession, d: String) =>
-          operators.Dedup.dedupClusters(s, d).count(): Unit))),
+          operators.Dedup.dedupClusters(s, d).count(): Unit)),
+      extra = (s, d) =>
+        Map("docs_in" -> Catalog.table(s, d, "documents").count()),
+      extraTrack = (n, base, e) => e("docs_in") == base("docs_in") * n),
     // dd9: the incremental probe through the SHARED prefix rows — the
     // claim: per-batch cost = |incoming| × rare-token fan-in, never an
     // index self-join. The harness blows BOTH sides up N× (incoming is
@@ -577,8 +657,12 @@ object Scale {
     * query, so "flagged: []" can never silently mean "nothing audited"
     * (the r15 review's ask); the committed sweep writes both to
     * plan_audit.json — flagged expected empty. */
-  private[graft] def auditCorpusBroadcasts(spark: SparkSession,
-      dir: String): (Seq[(String, String)], Seq[(String, String)]) = {
+  /** Per-plan flag logic, split from the registry walk so the spec can
+    * exercise each rule (hint-pinned relational broadcast, strict cache
+    * reach, bounded aggregates) on constructed plans — nothing in the
+    * committed flagged:[] otherwise proves the detector can fire. */
+  private[graft] def corpusBroadcastFlags(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -596,36 +680,114 @@ object Scale {
     // groups on here (lang, source, cell, band, month, 16-bit sigs) has
     // corpus-independent cardinality.
     def corpusKeyed(name: String): Boolean =
-      name.endsWith("_id") || Set("doc_a", "doc_b", "h", "fp", "tok",
-        "g", "shingle")(name)
+      name.endsWith("_id") ||
+        // relational per-row keys (orderkey/custkey/partkey/suppkey):
+        // |orders|/|customer|/... groups — corpus-scale. nation/region
+        // keys deliberately NOT here (≤25 groups at any SF).
+        Seq("orderkey", "custkey", "partkey", "suppkey")
+          .exists(name.endsWith) ||
+        Set("doc_a", "doc_b", "h", "fp", "tok", "g", "shingle")(name)
 
-    def unbounded(p: SparkPlan): Boolean = p match {
-      // hard cardinality bounds: k rows no matter what lies below
-      case _: TakeOrderedAndProjectExec | _: LocalLimitExec |
-           _: GlobalLimitExec | _: CollectLimitExec =>
-        false
-      // an aggregate bounds the build side ONLY when its groups are
-      // corpus-independent: a pure distinct() preserves its input's
-      // cardinality class, and grouping on an id/digest/vocab key yields
-      // corpus-scale groups — both masked the dd9-class regression under
-      // the r15 audit's first any-aggregate-bounds rule (review finding)
-      case a: BaseAggregateExec =>
-        val pureDistinct = a.aggregateExpressions.isEmpty
-        val idKeyed = a.groupingExpressions.exists(ne => corpusKeyed(ne.name))
-        if (pureDistinct || idKeyed) a.children.exists(unbounded) else false
+    // Two leaf classes with DIFFERENT flag rules (r16):
+    //
+    //   STRICT — documents/embeddings scans, landed block-store scans,
+    //   and any cached frame whose plan reaches a corpus-scaled leaf.
+    //   These are the dedup/similarity family's corpus BY CONTRACT (the
+    //   op's input is "the corpus", K ∝ corpus posture), so ANY broadcast
+    //   that scales with them is a scale defect no matter what today's
+    //   stats say — and cached frames carry the dd6-class estimator trap
+    //   (pre-materialization sizeInBytes lies). Unchanged from r15; every
+    //   r15 catch (dd9/sim17/sim18) stays a flag under this rule.
+    //
+    //   RELATIONAL — plain parquet scans of the corpus-scaled relational
+    //   tables (lineitem/orders/events/customer/part/supplier). Their
+    //   file-granularity stats are ACCURATE and grow linearly with the
+    //   data, so a stats-driven broadcast of an 11 MB projected dim at
+    //   ×64 is the plan a cluster SHOULD run and flips to a shuffled join
+    //   by itself when the dim outgrows the threshold. The defect class
+    //   here is the decision that CANNOT flip: a user broadcast() hint
+    //   pinning the strategy at any size (r16 removed five of them:
+    //   q3/q5/q17/q29/q30/q31 customer/supplier/part), or a build whose
+    //   stats are opaque (cache/DSv2) — the latter already lands in
+    //   STRICT via the leaf walk.
+    def reaches(p: SparkPlan, leaf: SparkPlan => Option[Boolean]): Boolean =
+      leaf(p).getOrElse(p match {
+        // hard cardinality bounds: k rows no matter what lies below
+        case _: TakeOrderedAndProjectExec | _: LocalLimitExec |
+             _: GlobalLimitExec | _: CollectLimitExec =>
+          false
+        // an aggregate bounds the build side ONLY when its groups are
+        // corpus-independent: a pure distinct() preserves its input's
+        // cardinality class, and grouping on an id/digest/vocab key yields
+        // corpus-scale groups — both masked the dd9-class regression under
+        // the r15 audit's first any-aggregate-bounds rule (review finding)
+        case a: BaseAggregateExec =>
+          val pureDistinct = a.aggregateExpressions.isEmpty
+          val idKeyed = a.groupingExpressions.exists(ne => corpusKeyed(ne.name))
+          if (pureDistinct || idKeyed) a.children.exists(reaches(_, leaf))
+          else false
+        case other => other.children.exists(reaches(_, leaf))
+      })
+    def scansTable(f: FileSourceScanExec, tables: Seq[String]): Boolean =
+      // rootPaths, NOT the display metadata string — metadata's
+      // "Location" is truncated at maxMetadataStringLength (100 chars)
+      // and a deep dir silently un-flags the scan (review finding)
+      f.relation.location.rootPaths.exists { rp =>
+        val s = rp.toString
+        tables.exists(t => s.contains(s"$t.parquet"))
+      }
+    lazy val strictLeaf: SparkPlan => Option[Boolean] = {
       case f: FileSourceScanExec =>
-        // rootPaths, NOT the display metadata string — metadata's
-        // "Location" is truncated at maxMetadataStringLength (100 chars)
-        // and a deep dir silently un-flags the scan (review finding)
-        f.relation.location.rootPaths.exists { rp =>
-          val s = rp.toString
-          s.contains("documents.parquet") || s.contains("embeddings.parquet")
-        }
-      case i: InMemoryTableScanExec => unbounded(i.relation.cachedPlan)
+        Some(scansTable(f, Seq("documents", "embeddings")))
+      // cached stats can lie (dd6 class): a cache over ANY corpus-scaled
+      // leaf — relational included — is strict
+      case i: InMemoryTableScanExec =>
+        Some(reaches(i.relation.cachedPlan, strictLeaf) ||
+          reaches(i.relation.cachedPlan, relationalLeaf))
       // a landed block-store scan is the corpus by construction
-      case _: BatchScanExec => true
-      case other => other.children.exists(unbounded)
+      case _: BatchScanExec => Some(true)
+      case _ => None
     }
+    lazy val relationalLeaf: SparkPlan => Option[Boolean] = {
+      case f: FileSourceScanExec =>
+        Some(scansTable(f,
+          CorpusScaledTables.filterNot(Seq("documents", "embeddings").contains)))
+      case _: InMemoryTableScanExec | _: BatchScanExec => Some(false)
+      case _ => None
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LogicalJoin, BROADCAST}
+    // a user hint pins the broadcast at ANY size — the non-adaptive
+    // defect class for accurate-stats relational builds
+    def hintPinned(b: SparkPlan, buildLeft: Boolean): Boolean =
+      b.logicalLink.exists {
+        case j: LogicalJoin =>
+          (if (buildLeft) j.hint.leftHint else j.hint.rightHint)
+            .exists(_.strategy.contains(BROADCAST))
+        case _ => false
+      }
+    def unbounded(join: SparkPlan, build: SparkPlan, buildLeft: Boolean): Boolean =
+      reaches(build, strictLeaf) ||
+        (reaches(build, relationalLeaf) && hintPinned(join, buildLeft))
+    plan.collect {
+      case b: BroadcastHashJoinExec if unbounded(b,
+          if (b.buildSide == BuildLeft) b.left else b.right,
+          b.buildSide == BuildLeft) =>
+        s"BroadcastHashJoin(${b.leftKeys.mkString(",")}) builds an unbounded corpus side"
+      case b: BroadcastNestedLoopJoinExec if unbounded(b,
+          if (b.buildSide == BuildLeft) b.left else b.right,
+          b.buildSide == BuildLeft) =>
+        "BroadcastNestedLoopJoin builds an unbounded corpus side"
+    }
+  }
+
+  /** Walks the registry, planning every auditable query at `dir` (the
+    * largest blown-up factor) and collecting [[corpusBroadcastFlags]].
+    * Returns (flagged, skipped) — skipped carries the reason per query,
+    * so "flagged: []" can never silently mean "nothing audited" (the r15
+    * review's ask); the committed sweep writes both to plan_audit.json —
+    * flagged expected empty. */
+  private[graft] def auditCorpusBroadcasts(spark: SparkSession,
+      dir: String): (Seq[(String, String)], Seq[(String, String)]) = {
     // deliberate corpus-DERIVED broadcasts, each with its rationale —
     // the analogue of PlanAuditSpec.allowCross for this audit
     val allowed = Set(
@@ -654,15 +816,8 @@ object Scale {
         skipped += name -> "allow-listed deliberate broadcast (see audit source)"
       else {
         try {
-          val plan = fn(spark, dir).queryExecution.sparkPlan
-          flagged ++= plan.collect {
-            case b: BroadcastHashJoinExec
-                if unbounded(if (b.buildSide == BuildLeft) b.left else b.right) =>
-              name -> s"BroadcastHashJoin(${b.leftKeys.mkString(",")}) builds an unbounded corpus side"
-            case b: BroadcastNestedLoopJoinExec
-                if unbounded(if (b.buildSide == BuildLeft) b.left else b.right) =>
-              name -> "BroadcastNestedLoopJoin builds an unbounded corpus side"
-          }
+          flagged ++= corpusBroadcastFlags(
+            fn(spark, dir).queryExecution.sparkPlan).map(name -> _)
         } catch {
           case scala.util.control.NonFatal(e) =>
             // almost always "reads a table the docs/embeddings-only
@@ -772,22 +927,29 @@ object Scale {
     // guard the artifact: an ops-filtered iteration run (or an
     // audit-only invocation with a filter matching nothing) must never
     // clobber the committed full sweep with a subset/empty array — the
-    // r15 review caught exactly that committed once
-    if (opFilter.isEmpty && lines.nonEmpty) {
+    // r15 review caught exactly that committed once. The factors guard
+    // (r15 ADVICE): an UNFILTERED run with a reduced factors list
+    // ("1,8") would clobber the committed 62-row sweep with a partial
+    // table — require the run to reach the committed sweep's depth,
+    // mirroring the plan_audit.json ≥×32 guard.
+    if (opFilter.isEmpty && lines.nonEmpty && factors.max >= 32) {
       val out = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", ".") + "/scale.json").toAbsolutePath
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       System.err.println(s"[scale] wrote $out")
     } else System.err.println(
-      "[scale] no op rows (filtered run) — scale.json left untouched")
+      "[scale] filtered or shallow run — scale.json left untouched")
     // plan-shape audit at the LARGEST factor's file sizes (see
     // auditCorpusBroadcasts): a broadcast decision that survives GB-scale
     // inputs is an estimator defect, not a small-input optimization. The
     // artifact is only written from a ≥×32 run — at small factors benign
     // small-input broadcasts are the CORRECT planner choice and would
     // spuriously overwrite the committed flagged:[] (review finding).
+    // The relational family is synthesized only here (no sweep op reads
+    // it) so the whole q/x relational surface plans at blown-up stats too.
     val biggest = dirs(factors.max)
+    ensureRelationalBlowup(spark, baseDir, outRoot, factors.max)
     val (flagged, skipped) = auditCorpusBroadcasts(spark, biggest)
     def arr(xs: Seq[(String, String)], k: String) = xs.map { case (q, d) =>
       s"""{"query":"$q","$k":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""

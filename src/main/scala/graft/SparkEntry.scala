@@ -36,11 +36,14 @@ object SparkEntry {
 
   /** Queries whose returned frame is LAZY but whose CONSTRUCTION runs
     * corpus-scale jobs (dd8's iterative CC loop; p1 consumes it; p11
-    * lands the token-shard store) — the corpus-broadcast audit skips
+    * lands the token-shard store; x44 ingests the FULL fact table into
+    * the in-memory block store — at the audit's ×64 lineitem that's an
+    * OOM that takes the local executors and every later query's
+    * construction down with it, r16) — the corpus-broadcast audit skips
     * these too, since "plan it at the ×64 corpus" would mean "run it". */
   val constructionRunsCorpusJobs: Set[String] = Set(
     "dd8_dedup_clusters", "dd17_canonical_keep", "dd18_dedup_savings",
-    "p1_pipeline_manifest", "p11_landed_shards")
+    "p1_pipeline_manifest", "p11_landed_shards", "x44_columnar_scan")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -330,16 +330,18 @@ object Coverage {
 
   /** Widest plan in the registry (TPC-DS-style star): fact ⋈ orders ⋈ 5
     * dimensions with a rollup — the multi-join shape the reference was
-    * benchmarked on (TPC-DS, `README.md:56-58`). The five true dimensions
-    * carry explicit broadcast hints; lineitem ⋈ orders is fact-to-fact and
-    * correctly shuffles on the order key at scale (locally AQE may
-    * broadcast it — either plan is right for its size). */
+    * benchmarked on (TPC-DS, `README.md:56-58`). Only the FIXED dims
+    * (nation/region, 25/5 rows at any SF) carry broadcast hints; the
+    * scaling dims (customer/supplier/part) are left to stats so the plan
+    * adapts when they outgrow the threshold. lineitem ⋈ orders is
+    * fact-to-fact and correctly shuffles on the order key at scale
+    * (locally AQE may broadcast it — either plan is right for its size). */
   def q29WideStar(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") >= ts("1996-01-01"))
     li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
@@ -358,7 +360,9 @@ object Coverage {
   /** Two-nation volume shipping (TPC-H Q7 shape): supplier nation and
     * customer nation must form one of two ordered pairs — a disjunctive
     * CROSS-table predicate over a 4-way join, grouped by year. Both nation
-    * dims broadcast; the fact-side joins shuffle on their keys. */
+    * dims broadcast (fixed 25 rows); customer/supplier scale with SF so
+    * their join strategy is left to stats; the fact-side joins shuffle on
+    * their keys. */
   def q31VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val sn = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"),
       col("n_name").as("supp_nation"))
@@ -366,8 +370,8 @@ object Coverage {
       col("n_name").as("cust_nation"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
       .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
       .filter(
@@ -388,7 +392,8 @@ object Coverage {
   def q30Disjunctive(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val p = t(spark, dir, "part")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+    // part scales with SF — no broadcast pin; stats pick the strategy
+    li.join(p, col("l_partkey") === col("p_partkey") && (
       (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
         col("l_quantity").between(1, 15)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&

@@ -57,11 +57,13 @@ object Relational {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1999-01-01"))
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1999-01-01"))
-    // customer is a dimension (1.5k rows/SF unit): broadcast it so the only
-    // shuffle is orders⋈lineitem on the join key; at 100 TB that join is the
-    // dominant exchange and AQE picks SMJ/SHJ from runtime sizes.
+    // customer is a SCALING dimension (1.5k rows/SF unit — billions at
+    // 100 TB): no broadcast hint. Accurate file stats broadcast it while
+    // small and flip to a shuffled join when it outgrows the threshold; a
+    // hint would pin the broadcast at any size (the r16 corpus-broadcast
+    // audit's defect class). orders⋈lineitem stays the dominant exchange.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -88,12 +90,14 @@ object Relational {
     val ord = t(spark, dir, "orders")
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1999-01-01"))
     val li = t(spark, dir, "lineitem")
-    // All four dims broadcast; the plan's only real shuffles are
-    // orders⋈lineitem and the final aggregation. supplier⋈nation⋈region is
-    // resolved entirely map-side.
+    // nation/region are FIXED dims (25/5 rows at any SF): hinted broadcast
+    // is permanently right. customer/supplier SCALE with SF — no hint, so
+    // stats broadcast them while small and shuffle them once they outgrow
+    // the threshold. The plan's only unavoidable shuffles are
+    // orders⋈lineitem and the final aggregation.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -242,7 +246,8 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
     val part = t(spark, dir, "part")
     val rev = revenue(col("l_extendedprice"), col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // part scales with SF — stats-driven join strategy, no broadcast pin
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
       .agg(
         sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Money)))

@@ -77,6 +77,62 @@ class ScaleSpec extends SparkSpec {
       "copy 0 must be the identity (the ×1 run is the registered query)")
   }
 
+  test("corpus-broadcast detector: each flag rule fires on a constructed " +
+    "plan and stays silent on adaptive ones") {
+    // Nothing in the committed plan_audit.json's flagged:[] proves the
+    // detector CAN fire — these constructed plans pin each rule.
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val cust = Catalog.table(spark, sf, "customer")
+    val ord = Catalog.table(spark, sf, "orders")
+    def flags(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Scale.corpusBroadcastFlags(df.queryExecution.sparkPlan)
+
+    // 1. stats-driven broadcast of a corpus-scaled relational table: the
+    //    planner's accurate file stats picked it at THIS size and flip it
+    //    at scale — adaptive, must NOT flag
+    val stats = ord.join(cust, col("o_custkey") === col("c_custkey"))
+    assert(stats.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+      "precondition: tiny files must plan a broadcast join")
+    assert(flags(stats).isEmpty,
+      "stats-adaptive relational broadcast must not flag")
+
+    // 2. the SAME join hint-PINNED: cannot flip at any size — must flag
+    val pinned = ord.join(broadcast(cust),
+      col("o_custkey") === col("c_custkey"))
+    assert(flags(pinned).nonEmpty,
+      "hint-pinned relational broadcast must flag (the q3/q5/q17/q29/" +
+        "q30/q31 class r16 removed)")
+
+    // 3. STRICT leaf through a cache: a persisted corpus-derived frame's
+    //    pre-materialization stats lie (the dd6 class) — must flag even
+    //    though the underlying leaf is a plain scan
+    val docsIds = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id")).persist()
+    try {
+      val viaCache = Catalog.table(spark, sf, "documents")
+        .join(broadcast(docsIds), Seq("doc_id"))
+      assert(flags(viaCache).nonEmpty,
+        "cached corpus-derived broadcast build must flag (dd6 class)")
+    } finally { docsIds.unpersist(): Unit }
+
+    // 4. a corpus-INDEPENDENT aggregate bounds the build (5 segments):
+    //    broadcasting it is permanently right — silent even when pinned
+    val seg = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+    assert(flags(ord.join(broadcast(seg),
+        col("o_orderpriority") === col("c_mktsegment"), "left")).isEmpty,
+      "bounded-group aggregate broadcast must not flag")
+
+    // 5. an ID-KEYED aggregate does NOT bound (|customer| groups): the
+    //    r15 dd9-class rule, extended to the relational key families
+    val perKey = cust.groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_rows"))
+    assert(flags(ord.join(broadcast(perKey),
+        col("o_custkey") === col("c_custkey"))).nonEmpty,
+      "custkey-grouped aggregate must stay corpus-scale under the walk")
+  }
+
   test("×8 blow-up: rows and candidates track each operator's banding model") {
     val d1 = Scale.ensureBlowup(spark, baseDir, outRoot, 1)
     val d8 = Scale.ensureBlowup(spark, baseDir, outRoot, 8)
