@@ -58,8 +58,15 @@ object RandomHyperplanes {
     * consecutive planes are the same stride sequence shifted by
     * [[Dim]], and that cross-plane correlation collapsed the measured
     * 48-band recall to ~62% where the independent-planes math predicts
-    * ~93% (sim3/sim12 keep the legacy family: their top-k contracts
-    * never depended on the recall constant). With the mixed components
+    * ~93%. sim3/sim12 keep the legacy family — a decision r16 MEASURED
+    * rather than assumed ([[graft.Sim12RecallAb]], pinned in
+    * SimilaritySpec): the correlation is present at sim12's shape (the
+    * 3-band OR multiplies recall ×1.75 where independent bands deliver
+    * ×2.6), but the legacy planes' component bias makes ~2× larger
+    * buckets, so at the served 3 bands legacy's ABSOLUTE recall@10 is
+    * strictly higher (0.21 vs 0.13 at sf0.1) with recall-per-candidate
+    * within ~15% — migrating would reduce what the top-k contract
+    * prices. With the mixed components
     * the measured sf0.1 recall is 94% overall and 100% at cos ≥ 0.45.
     * No cross-engine hash parity is required: the components are
     * embedded as LITERALS in both the Spark plan and the oracle SQL. */

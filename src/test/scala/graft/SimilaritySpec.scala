@@ -402,4 +402,42 @@ class SimilaritySpec extends SparkSpec {
       s"MMR picks must be more diverse than relevance top-k " +
         s"(avg max pairwise cos: MMR $dMmr vs top-k $dRel)")
   }
+
+  test("sim12 band family: the legacy planes' multi-band degeneracy is " +
+    "priced, and the keep-legacy decision holds at the served shape") {
+    // r16 VERDICT ask #4 — sim12 has exactly the multi-band OR shape
+    // dd16 measured degenerate under the correlated LCG plane family
+    // (consecutive planes are one stride sequence shifted by Dim). This
+    // pins the measurement that adjudicated keep-vs-migrate; everything
+    // here is DETERMINISTIC (fixed corpus, fixed plane literals), so the
+    // bounds are tight to the committed sf0.1 fixture — a regenerated
+    // corpus re-rolls the constants and should re-run the decision via
+    // graft.Sim12RecallAb. Full numbers in Sim12RecallAb's scaladoc.
+    val dir = "/root/testdata/sf0.1"
+    import graft.expr.RandomHyperplanes.{planeVal, dedupPlaneVal, NumBands}
+    val (lc1, lr1) = Sim12RecallAb.profile(spark, dir, planeVal, 1, 10)
+    val (lc3, lr3) = Sim12RecallAb.profile(spark, dir, planeVal, NumBands, 10)
+    val (sc1, sr1) = Sim12RecallAb.profile(spark, dir, dedupPlaneVal, 1, 10)
+    val (sc3, sr3) = Sim12RecallAb.profile(spark, dir, dedupPlaneVal, NumBands, 10)
+    // independent bands: the 3-band OR serves ~exactly 3x the candidates
+    // (disjoint equal-rate bands; measured 344 -> 1032)
+    assert(sc3 >= sc1 * 27 / 10 && sc3 <= sc1 * 33 / 10,
+      s"splitmix 3-band candidates off the independence line: $sc1 -> $sc3")
+    // correlated bands overlap in what they catch: measured 868 -> 1930
+    // (x2.22) — the degeneracy made visible in candidate volume
+    assert(lc3 <= lc1 * 5 / 2,
+      s"legacy 3-band candidates no longer show the correlation: $lc1 -> $lc3")
+    // ...and in the recall MULTIPLIER: independent bands multiply recall
+    // x2.6, correlated only x1.75 (the dd16 class, at sim12's shape)
+    assert(sr3 / sr1 > lr3 / lr1 + 0.3,
+      s"multi-band recall multiplier: splitmix ${sr3 / sr1} must beat " +
+        s"legacy ${lr3 / lr1} — the correlation cost the pin documents")
+    // the KEEP decision: at the served 3-band shape the legacy family's
+    // larger buckets deliver strictly more absolute recall (0.21 vs
+    // 0.13) at ~2x candidates with recall-per-candidate within ~15% —
+    // migrating sim12 would reduce what its top-k contract prices
+    assert(lr3 > sr3,
+      s"legacy absolute recall@10 ($lr3) no longer beats splitmix ($sr3) " +
+        "at 3 bands — re-run the Sim12RecallAb keep-vs-migrate decision")
+  }
 }
