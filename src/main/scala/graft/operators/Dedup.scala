@@ -538,7 +538,27 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .select(col("doc_a"), col("doc_b"))
-      .distinct() // a pair may share several prefix tokens — verify once
+      // a pair may share several prefix tokens — verify once. The dedup
+      // runs over an EXPLICIT wide pair-keyed repartition rather than a
+      // bare distinct(): the pair rows are byte-SMALL (16 B) but
+      // hash-HEAVY, so AQE's byte-based coalesce collapsed the distinct's
+      // exchange to a handful of tasks at blow-up and the upstream
+      // partial aggregate built multi-million-entry maps per join task —
+      // the 4.6 GB external-agg spill in the r15 scale table's dd6 ×64
+      // row (the dd15 ×32 lesson, reappearing in an aggregate). The
+      // user-specified partition count is exempt from AQE coalescing, the
+      // repartition exchange ships raw pairs with no map-side agg state,
+      // and the partial+final aggregate pair runs IN-STAGE after the
+      // exchange on |candidates|/partitions rows. Measured at ×64
+      // (same-host A/B): spill 4.6 GB → 0 at runtime parity (36.9 vs
+      // 37.2 s), shuffle +0.2 GB (the prefix join's duplicate factor is
+      // small, so the lost map-side combine ships almost nothing extra);
+      // a ×4-wider repartition bought nothing further. ×1 pays ~2 s of
+      // extra-stage overhead in the overhead-dominated regime — absorbed
+      // by the bench's untimed cluster-labels land.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+      .distinct()
     // Array-attach via SHUFFLED HASH JOIN, pinned by hint. Unhinted, the
     // join strategy is UNSTABLE in exactly the way that hid the r14 scale
     // table's ×32 step: before the persisted base MATERIALIZES, its
