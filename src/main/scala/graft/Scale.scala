@@ -350,6 +350,39 @@ object Scale {
         "found_rows" -> operators.Dedup.semanticDedupBanded(s, d).count()),
       extraTrack = (n, base, e) => dd5RowsOk(n, base("found_rows"),
         base("corpus_vectors"), e("found_rows"))),
+    // dd19: the PRODUCTION-threshold regime the dd16 crossover analysis
+    // derived but r15 never measured — cos ≥ 0.9 over 45 × 16-bit bands,
+    // where the incidental floor is 45/2^16 ≈ 0.069% and candidates ≈
+    // true pairs ≪ corpus × bands. Measured A/B of the two verify shapes
+    // (same host, back-to-back; graft.Dd19Ab):
+    //
+    //   factor  cand       corpus×bands  pair-attach        ride-in
+    //   ×1      244        90,000        3.6 s / 0.01 GB    2.5 s / 0.07 GB
+    //   ×8      72,448     720,000       4.6 s / 0.21 GB    3.2 s / 0.96 GB
+    //   ×16     305,707    1,440,000     4.7 s / 0.66 GB    5.3 s / 2.07 GB
+    //   ×32     1,255,439  2,880,000     6.1 s / 2.29 GB    7.4 s / 4.58 GB + 2.17 GB SPILL
+    //
+    // The slim PAIR-ATTACH shape (the opposite of dd16's ride-in) wins
+    // from ×16 on — 3-5× less shuffle at every factor and spill-free
+    // where ride-in starts spilling — confirming the volume-product rule
+    // (2·|pairs| vs |corpus|·bands); ride-in's small-factor edge is
+    // stage-count overhead, not data. The registered shape is
+    // pair-attach; the loser is kept as semanticDedupProdRideIn.
+    // Candidates are two-term like dd5 (incidental·N² + V·C(N,2)
+    // fixture self-pairs — the copy mass IS near-dup mass at cos 0.99),
+    // hence the prodspec model; found rows are the self-pairs exactly
+    // (recall ≈ 1 at cos 0.99: per-band keep 0.48, miss ≈ 0.52^45).
+    Op("dd19_banded_prod", operators.Dedup.semanticDedupProd,
+      (s, d) => operators.Dedup.semanticDedupProdCandidates(s, d).count(),
+      "prodspec", maxFactor = 32,
+      extra = (s, d) => {
+        val vecs = operators.Similarity.emb(s, d).count()
+        Map("corpus_vectors" -> vecs,
+          "corpus_x_bands" -> vecs * graft.expr.RandomHyperplanes.ProdBands,
+          "found_rows" -> operators.Dedup.semanticDedupProd(s, d).count())
+      },
+      extraTrack = (n, base, e) => dd5RowsOk(n, base("found_rows"),
+        base("corpus_vectors"), e("found_rows"))),
     Op("mm6_phash", operators.Multimodal.perceptualNearDup,
       (s, d) => operators.Multimodal.perceptualPieces(s, d)._2.count(),
       "banded16"),
@@ -544,10 +577,12 @@ object Scale {
       rows >= base * factor - math.round(tol * base * factor) - 10 &&
         rows <= base * factor + math.round(tol * base * factor) +
           22L * factor * factor / 10 + 10
-    else if (model == "quadspec")
-      // dd5: found rows are genuinely quadratic (see the Op comment —
-      // the embedding copies are semantic near-dups, so both the
-      // replicated base pairs AND the cross-copy SELF-pairs qualify).
+    else if (model == "quadspec" || model == "prodspec")
+      // dd5 (and dd19's found rows): genuinely quadratic (see the Op
+      // comments — the embedding copies are semantic near-dups, so both
+      // the replicated base pairs AND the cross-copy SELF-pairs qualify;
+      // for dd19 the base term is ~0 — the raw corpus has no cos ≥ 0.9
+      // mass — and the self-pair term is the whole output).
       // This coarse band proves "quadratic, not worse" from (base, N)
       // alone; the PRECISE two-term model (base·N² + V·C(N,2)) is
       // [[dd5RowsOk]], pinned through the op's extras where the vector
@@ -593,6 +628,15 @@ object Scale {
       // would mean the candidate stage silently lost pairs = lost recall)
       case "quadspec" =>
         cand >= base * n * n && cand <= base * n * n * 13 / 10 + 50
+      // dd19: candidates = incidental collisions (exactly N²-scaled: the
+      // within-cell pair space at the 45/2^16 floor) PLUS the fixture's
+      // V·C(N,2) self-pairs, which the 16-bit bands keep at recall ≈ 1
+      // (cos ≈ 0.99) — bounded by the same two-term shape as rowsTrack's
+      // quadspec branch, with the self-pair ceiling term
+      case "prodspec" =>
+        cand >= base * n * n / 3 - 50 &&
+          cand <= base * n * n * 13 / 10 +
+            Dd5SelfPairCeiling * n * n * 11 / 20 + 50
       case _ => cand <= base * n * n * 13 / 10 + 50
     }
   }

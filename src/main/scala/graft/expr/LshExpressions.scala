@@ -80,6 +80,25 @@ object RandomHyperplanes {
   val DedupPlanes: Seq[Array[Double]] =
     (0 until DedupBands * BandBits).map(j =>
       Array.tabulate(Dim)(i => dedupPlaneVal(j, i).toDouble))
+
+  /** PRODUCTION-threshold dedup band family (dd19): [[ProdBands]] bands
+    * of [[ProdBandBits]] planes from the same splitmix generator, global
+    * index running past the dd16 family (disjoint planes). WIDE bands
+    * are what a cos ≥ 0.9 near-dup contract wants: per-band keep
+    * (1 − acos(c)/π)^16 ≈ 0.084 at c = 0.9 and 0.48 at c = 0.99, so 45
+    * bands give recall ≈ 98% at the threshold and ≈ 1 on true copy
+    * mass, while the incidental collision floor drops to 45/2^16 ≈
+    * 0.069% of the within-cell pair space — the regime where candidates
+    * ≈ true pairs ≪ corpus × bands (dd16's 6-bit family instead keeps
+    * ~53% of all pairs: sized for recall at dd5's 0.35 floor, where no
+    * sign-LSH resolution separates cheaply). */
+  val ProdBands = 45
+  val ProdBandBits = 16
+  def prodPlaneVal(j: Int, i: Int): Long =
+    dedupPlaneVal(DedupBands * BandBits + j, i)
+  val ProdPlanes: Seq[Array[Double]] =
+    (0 until ProdBands * ProdBandBits).map(j =>
+      Array.tabulate(Dim)(i => prodPlaneVal(j, i).toDouble))
 }
 
 /** Opt-in LSH candidate-generation MARKER: `lsh_candidates(a, b)` in a join

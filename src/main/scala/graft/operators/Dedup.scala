@@ -790,6 +790,107 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- dd19: PRODUCTION-threshold banded semantic dedup -----------------
+
+  /** The production band family as a literal (band, bit-weight, plane)
+    * frame — same cross-join + per-(vec, band) SUM shape as
+    * [[dedupPlaneFrame]] (the r11 narrow-codegen rule). */
+  private def prodPlaneFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bb = graft.expr.RandomHyperplanes.ProdBandBits
+    graft.expr.RandomHyperplanes.ProdPlanes.zipWithIndex.map { case (p, j) =>
+      (j / bb, 1L << (j % bb), p.toSeq)
+    }.toDF("band", "w", "r")
+  }
+
+  /** (vec_id, label, band, sig) over the 45 × 16-bit production family. */
+  private def prodSignatures(spark: SparkSession, dir: String): DataFrame =
+    Similarity.emb(spark, dir)
+      .crossJoin(broadcast(prodPlaneFrame(spark)))
+      .select(col("vec_id"), col("label"), col("band"),
+        when(call_function("vec_dot", col("e"), col("r")) >= 0, col("w"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("vec_id"), col("label"), col("band"))
+      .agg(sum(col("bitval")).as("sig"))
+
+  private[graft] val ProdCosThreshold = 0.9
+
+  /** dd19's candidate pairs: within-(label, band, sig) collisions of the
+    * production family — the SLIM join (ids only, no payloads). */
+  private[graft] def semanticDedupProdCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sigs = prodSignatures(spark, dir)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("label"),
+      col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("label"),
+      col("band"), col("sig"))
+    a.join(b, Seq("label", "band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** dd19: banded semantic dedup at a PRODUCTION threshold (cos ≥ 0.9,
+    * 45 × 16-bit bands) — the regime the r15 crossover analysis derived
+    * but never measured: the 16-bit bands drop the incidental collision
+    * floor to 45/2^16 ≈ 0.069% of the within-cell pair space, so
+    * |candidate pairs| ≪ |corpus| × bands and the PAIR-ATTACH verify
+    * shape (slim collision join → distinct pairs → shuffled-hash array
+    * attach → exact cosine) wins over dd16's ride-arrays-in shape —
+    * the opposite decision from dd16, each measured in its own regime
+    * (numbers in the scale sweep scaladoc + SCALE.md; the losing
+    * ride-in variant is [[semanticDedupProdRideIn]], kept for the A/B).
+    *
+    * No oracle query: the RAW corpus has no cos ≥ 0.9 mass (dd16's
+    * measured S-curve tops out at the [0.35, 0.45) bucket), so a
+    * registry entry would verify an empty result at every base SF.
+    * Correctness is spec-pinned instead (DedupSpec): on the ×8 blown
+    * corpus — whose jittered copies ARE near-dup mass at cos ≈ 0.99 —
+    * the output must equal the exact within-cell cos ≥ 0.9 pair set
+    * computed brute-force (recall ≈ 1 on copy mass: per-band keep at
+    * cos 0.99 is ~0.48, so 45-band miss probability ≈ 0.52^45). */
+  private[graft] def semanticDedupProd(spark: SparkSession,
+      dir: String): DataFrame = {
+    val v = Similarity.emb(spark, dir)
+    semanticDedupProdCandidates(spark, dir)
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
+        col("nrm").as("na")).hint("shuffle_hash"), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
+        col("nrm").as("nb")).hint("shuffle_hash"), Seq("vec_b"))
+      .withColumn("cos",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= ProdCosThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The LOSING shape at the production threshold (kept for the measured
+    * A/B): arrays ride into the 45-band collision join exactly as dd16's
+    * verify does — |corpus| × 45 array copies through the exchange for a
+    * candidate set that is orders smaller. */
+  private[graft] def semanticDedupProdRideIn(spark: SparkSession,
+      dir: String): DataFrame = {
+    val v = Similarity.emb(spark, dir)
+    val sigs = prodSignatures(spark, dir)
+    val a = sigs
+      .join(v.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("label"), col("band"),
+        col("sig"), col("ea"), col("na"))
+    val b = sigs
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("nrm").as("nb"))
+        .hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id").as("vec_b"), col("label"), col("band"),
+        col("sig"), col("eb"), col("nb"))
+    a.join(b, Seq("label", "band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= ProdCosThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
     * lowercased, whitespace runs collapsed to single spaces, trimmed — so
     * case- and spacing-only variants collapse to one canonical doc. The

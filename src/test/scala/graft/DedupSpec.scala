@@ -373,4 +373,37 @@ class DedupSpec extends SparkSpec {
     assert(top(5)._2 == 1.0,
       s"cos>=0.9 keep-rate ${top(5)._2} — the screen dropped a true near-dup")
   }
+
+  test("dd19 production-threshold banded dedup equals the exact " +
+    "cos>=0.9 pair set on the blown corpus, in the slim-candidate regime") {
+    import org.apache.spark.sql.functions.col
+    // the RAW corpus has no cos >= 0.9 mass (the S-curve test above tops
+    // out at [0.35, 0.45)), so dd19 has no oracle row — this equality on
+    // the ×8 blown corpus (jittered copies ARE near-dup mass at cos ≈
+    // 0.99) is its correctness contract. Exact ground truth = dd5's
+    // exact within-cell verify filtered to the production threshold;
+    // dd19 ⊆ exact by construction (same exact cosine verify), and at
+    // cos 0.99 a 16-bit band keeps a pair with prob ≈ 0.48, so the
+    // 45-band screen misses with prob ≈ 0.52^45 ≈ 2e-13 — equality, not
+    // a recall score.
+    val d8 = Scale.ensureBlowup(spark, "/root/testdata/sf0.01",
+      "/tmp/graft-scale-sf0.01", 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(operators.Dedup.embeddingNearDup(spark, d8)
+      .filter(col("cos_sim") >= operators.Dedup.ProdCosThreshold))
+    val got = pairSet(operators.Dedup.semanticDedupProd(spark, d8))
+    assert(exact.nonEmpty, "blown corpus lost its cos>=0.9 copy mass")
+    assert(got == exact,
+      s"dd19 output diverged from the exact production-threshold set: " +
+        s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+    // the REGIME claim that picked the pair-attach verify shape: slim
+    // candidates stay far under the ride-in shape's corpus×bands volume
+    val cand = operators.Dedup.semanticDedupProdCandidates(spark, d8).count()
+    val vecs = operators.Similarity.emb(spark, d8).count()
+    assert(cand * 2 < vecs * graft.expr.RandomHyperplanes.ProdBands / 2,
+      s"slim-candidate regime violated: 2x$cand pairs vs " +
+        s"${vecs}x${graft.expr.RandomHyperplanes.ProdBands} ride-in rows")
+  }
 }
