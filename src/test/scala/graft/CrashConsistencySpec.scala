@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.{Catalog, SparkSpec}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -209,6 +209,94 @@ class CrashConsistencySpec extends SparkSpec {
     assert(ids(name) == before, "failed overwrite mutated the store")
     assert(BlockStore.stagedOrphans(name, 0).isEmpty,
       "aborted job left staging residue")
+    BlockStore.dropStore(name)
+  }
+
+  /** Stage (task-commit) `rows` ids into `store`'s epoch staging under
+    * `epoch`, spread over `nPartitions`, through the REAL streaming write
+    * components — and do NOT call the epoch commit: exactly what a query
+    * killed between task staging and the sink's commit(epochId) leaves
+    * behind. Returns the commit messages a restart-or-commit would use. */
+  private def stageEpoch(store: String, epoch: Long, idLo: Long,
+      nPartitions: Int, rowsPerPartition: Int): Seq[WriterCommitMessage] = {
+    val sw = new BlockWrite(store, Catalog.documents, doTruncate = false)
+      .toStreaming
+    val factory = sw.createStreamingWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = nPartitions
+    })
+    (0 until nPartitions).map { pid =>
+      val w = factory.createWriter(pid, pid.toLong, epoch)
+      (0 until rowsPerPartition).foreach(i =>
+        w.write(docRow(idLo + pid * rowsPerPartition + i)))
+      val msg = w.commit()
+      w.close()
+      msg
+    }
+  }
+
+  test("streaming epoch killed between stage and commit: replay commits " +
+      "exactly-once, watermark discards re-commits, dead staging vacuums") {
+    val name = "crash-stream"
+    BlockStore.dropStore(name)
+    Catalog.table(spark, sf, "documents").limit(20)
+      .write.format("graft.sources.BlockStoreSource")
+      .option("store", name).mode("overwrite").save()
+    val before = ids(name)
+    val epochKey5 = BlockStore.epochKey(name, 5)
+
+    // epoch 5 stages over 4 partitions... and the query dies before the
+    // sink's commit(5) — streaming epochs carry NO lease (the epoch id
+    // first surfaces executor-side), so this staging is immediately the
+    // age-distinguished kind
+    stageEpoch(name, epoch = 5, idLo = 2000000L,
+      nPartitions = 4, rowsPerPartition = 5)
+    assert(ids(name) == before, "uncommitted epoch leaked into reads")
+    assert(BlockStore.stagedCount(epochKey5) == 4)
+
+    // RESTART from the checkpoint: the offset log replays the same epoch
+    // id, recomputing the batch — here under a DIFFERENT partitioning
+    // (2 tasks), the realistic post-restart shape. The commit must
+    // promote exactly the replaying attempt's partitions: per-partition
+    // staging is last-write-wins, and promote drains the whole epoch key
+    // (the dead attempt's pids 2-3 must neither append nor linger).
+    val replayMsgs = stageEpoch(name, epoch = 5, idLo = 2000000L,
+      nPartitions = 2, rowsPerPartition = 5)
+    val sw = new BlockWrite(name, Catalog.documents, doTruncate = false)
+      .toStreaming
+    sw.commit(5, replayMsgs.toArray)
+    val replayIds = (0 until 10).map(2000000L + _)
+    assert(ids(name) == (before ++ replayIds).sorted,
+      "epoch replay after a stage-window kill must append exactly once")
+    assert(BlockStore.stagedCount(epochKey5) == 0,
+      "promote left staging residue under the epoch key")
+    assert(BlockStore.stagedOrphans(name, 0).isEmpty)
+
+    // the s24 idempotence watermark: a SECOND commit of epoch 5 (the
+    // crash-after-commit-before-commit-log case — the engine re-runs the
+    // epoch even though the sink already applied it) re-stages and is
+    // DISCARDED, not double-appended
+    val dupMsgs = stageEpoch(name, epoch = 5, idLo = 2000000L,
+      nPartitions = 2, rowsPerPartition = 5)
+    sw.commit(5, dupMsgs.toArray)
+    assert(ids(name) == (before ++ replayIds).sorted,
+      "watermark failed: replayed epoch double-appended")
+    assert(BlockStore.stagedCount(epochKey5) == 0,
+      "discarded replay left staging residue")
+
+    // an ABANDONED epoch (killed stream, checkpoint never resumed): its
+    // staging ages into the orphan report and vacuums away with zero
+    // effect on the served store
+    val epochKey6 = BlockStore.epochKey(name, 6)
+    stageEpoch(name, epoch = 6, idLo = 3000000L,
+      nPartitions = 3, rowsPerPartition = 4)
+    assert(BlockStore.stagedOrphans(name, 0).toMap.get(epochKey6).contains(3),
+      "abandoned epoch staging not reported as orphaned")
+    assert(BlockStore.stagedOrphans(name, Long.MaxValue).isEmpty,
+      "young staging must be invisible under the retention window")
+    assert(BlockStore.vacuumStagedOrphans(name, 0) == 3)
+    assert(BlockStore.stagedCount(epochKey6) == 0)
+    assert(ids(name) == (before ++ replayIds).sorted,
+      "vacuum of an abandoned epoch touched served data")
     BlockStore.dropStore(name)
   }
 }
