@@ -813,6 +813,10 @@ object PipelineOps {
         |FROM c ORDER BY source""".stripMargin)
   }
 
+  // NOTE on numbering: there is no p4 and never was — the id was skipped
+  // when the family was first laid out (r16 audit of the registry against
+  // SURVEY's lists; renumbering now would churn every oracle/spec/bench
+  // artifact for zero information). The family is p1-p3, p5-p19.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p18_temperature_mix" -> temperatureMix,
     "p19_stratified_sample" -> stratifiedSample,
