@@ -23,6 +23,10 @@ for d in rows:
     if "blocks_opened" in d:
         extras.append(f"{d['blocks_opened']} opened of "
                       f"{d['index_blocks']} idx blocks")
+    if "docs_in" in d:
+        extras.append(f"docs_in={d['docs_in']:,}")
+    if "corpus_x_bands" in d:
+        extras.append(f"corpus×bands={d['corpus_x_bands']:,}")
     model = d["model"] + (f" ({', '.join(extras)})" if extras else "")
     bad = [f for f in FLAGS if not d.get(f, True)]
     if bad:
@@ -34,3 +38,13 @@ for d in rows:
 
 n_ok = sum(all(d.get(f, True) for f in FLAGS) for d in rows)
 print(f"\n{n_ok}/{len(rows)} rows with all flags true.")
+
+# the audit summary the prose quotes — printed from the artifact so the
+# committed counts can never drift from plan_audit.json (r15 ADVICE)
+try:
+    audit = json.load(open("plan_audit.json"))
+    print(f"audit: {audit['audited']} audited, "
+          f"{len(audit['flagged'])} flagged, "
+          f"{len(audit['skipped'])} skipped (at {audit['dir']})")
+except FileNotFoundError:
+    print("audit: plan_audit.json missing")
