@@ -46,5 +46,6 @@ try:
     print(f"audit: {audit['audited']} audited, "
           f"{len(audit['flagged'])} flagged, "
           f"{len(audit['skipped'])} skipped (at {audit['dir']})")
-except FileNotFoundError:
-    print("audit: plan_audit.json missing")
+except (FileNotFoundError, KeyError, ValueError) as e:
+    # a pre-r16 or truncated artifact must not kill the table render
+    print(f"audit: plan_audit.json missing/stale/unreadable ({e!r})")

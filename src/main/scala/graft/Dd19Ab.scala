@@ -24,13 +24,20 @@ object Dd19Ab {
     def timed(fn: (SparkSession, String) => DataFrame, dir: String): Unit = {
       org.apache.spark.GraftListenerBridge.drainListenerEvents(spark.sparkContext)
       val (sr0, sw0, sp0) = (tm.shuffleRead.get, tm.shuffleWrite.get, tm.spill.get)
+      // row count via observe() on the SAME execution — a second
+      // fn(...).count() would re-run the whole verify pipeline and
+      // double the sweep's wall clock (review finding)
+      val obs = org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
-      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      fn(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBridge.drainListenerEvents(spark.sparkContext)
       val sh = tm.shuffleRead.get - sr0 + tm.shuffleWrite.get - sw0
       val sp = tm.spill.get - sp0
-      val rows = fn(spark, dir).count()
+      val rows = obs.get("n").asInstanceOf[Long]
       println(f"[dd19-ab] dir=$dir rows=$rows sec=$sec%.1f " +
         f"shuffleGB=${sh / 1e9}%.2f spillGB=${sp / 1e9}%.2f")
       try spark.catalog.clearCache() catch { case _: Throwable => }
@@ -39,7 +46,8 @@ object Dd19Ab {
       val dir = Scale.ensureBlowup(spark, baseDir, outRoot, n)
       val cand = operators.Dedup.semanticDedupProdCandidates(spark, dir).count()
       val vecs = operators.Similarity.emb(spark, dir).count()
-      println(s"[dd19-ab] x$n candidates=$cand corpus_x_bands=${vecs * 45}")
+      println(s"[dd19-ab] x$n candidates=$cand corpus_x_bands=" +
+        s"${vecs * graft.expr.RandomHyperplanes.ProdBands}")
       println(s"[dd19-ab] x$n PAIR-ATTACH:")
       timed(operators.Dedup.semanticDedupProd, dir)
       println(s"[dd19-ab] x$n RIDE-IN:")
