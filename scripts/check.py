@@ -21,6 +21,24 @@ def load_spark(out_dir, name):
         return None
     return pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
 
+def _cell(v):
+    # representation-INSENSITIVE canonical string for object cells: Spark
+    # parquet -> pandas gives np.ndarray/bytes where DuckDB fetchdf gives
+    # list/bytearray for value-identical data, and astype(str) renders
+    # those differently ('[1 2 3]' vs '[1, 2, 3]'); NULL also needs a
+    # sentinel distinct from the literal string 'None' (r16 review)
+    if v is None:
+        return "\\N"
+    if isinstance(v, float) and v != v:  # NaN in an object column
+        return "\\N"
+    if isinstance(v, (bytes, bytearray)):
+        return "hex:" + bytes(v).hex()
+    if hasattr(v, "tolist") and not isinstance(v, str):  # np.ndarray/scalar
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return str(v)
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamp columns to naive UTC for cross-engine compare
@@ -31,7 +49,7 @@ def canon(df):
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_cell)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

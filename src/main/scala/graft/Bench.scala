@@ -111,10 +111,21 @@ object Bench {
     // lands in the next query's window
     val tm = new BenchTaskMetricsListener
     spark.sparkContext.addSparkListener(tm)
+    // one WARNING on first drain failure (then silent): a broken bridge
+    // degrades every per-query shuffle/spill window to cross-query bleed,
+    // and that must be visible in the log, not discovered from confusing
+    // triage maps a round later (r16 review)
+    var drainWarned = false
     def drain(): Unit =
       try org.apache.spark.GraftListenerBridge
         .drainListenerEvents(spark.sparkContext)
-      catch { case _: Throwable => }
+      catch { case t: Throwable =>
+        if (!drainWarned) {
+          drainWarned = true
+          System.err.println("[bench] WARNING listener drain failed — " +
+            s"per-query shuffle/spill attribution degraded: $t")
+        }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -134,7 +145,8 @@ object Bench {
       // (fast) success
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // GC delta over the SAME window as elapsed (before the untimed
-      // clearCache + forced collection below)
+      // forced collection below — there is no blanket clearCache: see
+      // the cache-lifecycle note under it)
       val gcSec = (gcMillis() - gc0) / 1e3
       drain()
       val shuffle = (tm.shuffleRead.get - sr0, tm.shuffleWrite.get - sw0,
@@ -210,5 +222,13 @@ object Bench {
       System.err.println(s"[bench] $benchPath write failed: $e")
     }
     spark.stop()
+    // the gate must be loud even for a caller that only checks the exit
+    // code (Verify's rule, applied here too — r16 review): the JSON line
+    // and artifact are already out, so a failure exit loses nothing
+    if (failures > 0) {
+      System.err.println(s"[bench] $failures quer${
+        if (failures == 1) "y" else "ies"} FAILED — exiting non-zero")
+      sys.exit(1)
+    }
   }
 }

@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev only): comma-separated query-name filter, so a
     // new operator can be oracle-checked without a ~110-query full pass
-    val Array(sfDir, outDir) = args.take(2)
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+    val (sfDir, outDir) = (args(0), args(1))
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    // a typo'd subset name would otherwise run NOTHING, exit 0, and leave
+    // the previous run's parquet in place for check.py to compare green —
+    // the r14 silent-green hole, re-opened on subset runs (r16 review)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s) in subset filter: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.configure(
       SparkSession.builder()
@@ -53,10 +61,7 @@ object Verify {
       // stale parquet in place — check.py would compare it against the
       // oracle and report PASS for a currently-broken query (r14 review:
       // the gate's one silent-green hole)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(s"$outDir/$name"))
+      rmAll(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
