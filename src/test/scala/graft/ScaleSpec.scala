@@ -133,6 +133,41 @@ class ScaleSpec extends SparkSpec {
       "custkey-grouped aggregate must stay corpus-scale under the walk")
   }
 
+  test("q5's dim joins are stats-ADAPTIVE after the hint removal: scaling " +
+    "dims flip past the threshold, fixed dims stay hinted-broadcast") {
+    // the r16 hint-removal's empirical half: at the default threshold the
+    // planner broadcasts customer/supplier from accurate stats (today's
+    // fast plan); when the dims outgrow the threshold — emulated by
+    // shrinking it, which is what growing data does to a fixed threshold
+    // — the SAME query flips those joins to shuffled strategies, while
+    // nation/region (fixed 25/5 rows, explicitly hinted) stay broadcast
+    // at ANY threshold. A pinned broadcast(customer) would fail the
+    // second half — exactly the 100 TB defect class the audit flags.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def bhjKeys(threshold: String): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try operators.Relational.q5LocalSupplier(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case b: BroadcastHashJoinExec => b.leftKeys.mkString(",")
+        }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    val atDefault = bhjKeys("10MB")
+    assert(atDefault.exists(_.contains("custkey")) &&
+        atDefault.exists(_.contains("suppkey")),
+      s"at test SF the scaling dims should broadcast from stats: $atDefault")
+    val pastThreshold = bhjKeys("1KB")
+    assert(!pastThreshold.exists(k =>
+        k.contains("custkey") || k.contains("suppkey")),
+      s"scaling-dim joins must FLIP once the dim outgrows the threshold " +
+        s"(a pinned broadcast cannot): $pastThreshold")
+    assert(pastThreshold.exists(k =>
+        k.contains("nationkey") || k.contains("regionkey")),
+      s"hinted fixed dims (nation/region) must stay broadcast at any " +
+        s"threshold: $pastThreshold")
+  }
+
   test("×8 blow-up: rows and candidates track each operator's banding model") {
     val d1 = Scale.ensureBlowup(spark, baseDir, outRoot, 1)
     val d8 = Scale.ensureBlowup(spark, baseDir, outRoot, 8)
