@@ -314,6 +314,21 @@ object Scale {
       stages = Seq("bigram_base_build" -> operators.Dedup.ensureNgramBase)),
     Op("dd15_edit", operators.Dedup.editDistanceNearDup,
       (s, d) => operators.Dedup.editCandidateFrame(s, d).count(), "banded16"),
+    // q29: the sweep's first RELATIONAL row (r16 — the audit now PLANS
+    // the q/x family at blown stats; this MEASURES one). The registry's
+    // widest plan: filtered lineitem ⋈ orders fact-to-fact plus five
+    // dims under a rollup. "Candidates" = the filtered fact rows feeding
+    // the join (exactly N× by fixture construction); output rows are the
+    // rollup's (r_name, n_name) group space — factor-INDEPENDENT (copies
+    // repeat the same dims), so rows == base like the serve-family ops.
+    // What the row prices at blow-up: the fact⋈fact exchange + SMJ/SHJ
+    // growth and the rollup's Expand over the widest joined stream —
+    // the shapes the r16 hint removal and audit extension reason about.
+    Op("q29_wide_star", operators.Coverage.q29WideStar,
+      (s, d) => Catalog.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .count(),
+      "linear"),
     // dd5: the ONE op whose growth is QUADRATIC BY SPEC — within-cell
     // all-pairs at fixed cell count (Σ C(c·N, 2) candidates), and the
     // fixture's embedding copies are ±2.4%-perturbed SEMANTIC near-dups
@@ -563,7 +578,9 @@ object Scale {
     // a copy's rehash redistributes them) — measured ±18% at sf0.1 ×8
     val tol = if (model.startsWith("banded16")) 0.25 else 0.15
     // factor-independent outputs: |probes|×k serves (sim11/sim15/s25)
-    if (Set("sim11_ivf", "sim15_serve", "s25_ingest")(name)) rows == base
+    // and q29's rollup group space (copies repeat the same dims)
+    if (Set("sim11_ivf", "sim15_serve", "s25_ingest",
+        "q29_wide_star")(name)) rows == base
     // dd6's prefix generator has EXACT recall (hash-free semantics: the
     // feature-block + 0.6 verify replicates per copy verbatim), so found
     // rows — unlike the hash-banded ops — must track N× exactly
@@ -917,6 +934,9 @@ object Scale {
     // untimed setup: synthesize every factor's corpus, then the bench's
     // standard JVM/codegen warmups
     val dirs = factors.map(n => n -> ensureBlowup(spark, baseDir, outRoot, n)).toMap
+    // relational tables at EVERY factor (r16): q29's sweep row reads them,
+    // and the broadcast audit plans the q/x family at the largest one
+    factors.foreach(n => ensureRelationalBlowup(spark, baseDir, outRoot, n))
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       functions.Text.withTokens(
@@ -1008,10 +1028,7 @@ object Scale {
     // artifact is only written from a ≥×32 run — at small factors benign
     // small-input broadcasts are the CORRECT planner choice and would
     // spuriously overwrite the committed flagged:[] (review finding).
-    // The relational family is synthesized only here (no sweep op reads
-    // it) so the whole q/x relational surface plans at blown-up stats too.
     val biggest = dirs(factors.max)
-    ensureRelationalBlowup(spark, baseDir, outRoot, factors.max)
     val (flagged, skipped) = auditCorpusBroadcasts(spark, biggest)
     def arr(xs: Seq[(String, String)], k: String) = xs.map { case (q, d) =>
       s"""{"query":"$q","$k":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""

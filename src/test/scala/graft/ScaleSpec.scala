@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 /** Growth-ratio bounds for the scale blow-up harness ([[Scale]]): at ×8
   * the five bucketed operators' found rows and candidate-pair counts must
@@ -204,6 +204,16 @@ class ScaleSpec extends SparkSpec {
     check("mm6_phash", "banded16",
       d => operators.Multimodal.perceptualNearDup(spark, d).count(),
       d => operators.Multimodal.perceptualPieces(spark, d)._2.count())
+    // q29: the sweep's relational row — output rows are the rollup's
+    // group space (factor-independent: copies repeat the same dims);
+    // "candidates" = the filtered fact rows, exactly N× by construction
+    Scale.ensureRelationalBlowup(spark, baseDir, outRoot, 1)
+    Scale.ensureRelationalBlowup(spark, baseDir, outRoot, 8)
+    check("q29_wide_star", "linear",
+      d => operators.Coverage.q29WideStar(spark, d).count(),
+      d => Catalog.table(spark, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .count())
     // dd5: QUADRATIC BY SPEC — candidates are the exact within-cell pair
     // count Σ C(c·N, 2) (copies keep their label), and found rows are ~N²
     // because the embedding copies are ±2.4%-perturbed semantic near-dups
