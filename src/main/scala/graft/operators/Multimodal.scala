@@ -382,6 +382,20 @@ object Multimodal {
     * is served exactly once against the FIXED index, so the union over
     * any batch partitioning equals the one-shot serve (the s23
     * argument, image modality). */
+  /** The one declared shape of [[phashServeFor]]'s output — shared with
+    * s26's parquet append + empty-drain fallback (the s23 ServeSchema
+    * discipline): the live path lands rows by name, but the fallback
+    * otherwise hand-builds the shape and silently drifts when the serve's
+    * columns change (r16 review). */
+  private[graft] val PhashServeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("match_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   private[graft] def phashServeFor(spark: SparkSession, dir: String,
       arriving: DataFrame): DataFrame = {
     val idx = ensurePhashIndex(spark, dir)

@@ -50,8 +50,15 @@ class BlockStoreSource extends TableProvider {
     Catalog.documents
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new BlockStoreTable(properties.get("store"), schema)
+      properties: util.Map[String, String]): Table = {
+    // a forgotten option otherwise flows a null store name into every
+    // downstream map lookup and surfaces as an NPE far from the mistake
+    val store = properties.get("store")
+    require(store != null && store.nonEmpty,
+      "graft.sources.BlockStoreSource requires the 'store' option " +
+        "(.option(\"store\", <name>))")
+    new BlockStoreTable(store, schema)
+  }
 }
 
 private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
@@ -183,12 +190,16 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
+      // strict bounds clamp at the Long extremes instead of v±1: raw
+      // arithmetic WRAPS (doc_id < Long.MinValue would set hi to
+      // Long.MaxValue — a prune-everything bound read back as
+      // prune-nothing, and statsExact would see "no bounds pushed")
       case f @ GreaterThan("doc_id", v: Long) =>
-        lo = math.max(lo, v + 1); accepted :+= f
+        lo = math.max(lo, if (v == Long.MaxValue) v else v + 1); accepted :+= f
       case f @ GreaterThanOrEqual("doc_id", v: Long) =>
         lo = math.max(lo, v); accepted :+= f
       case f @ LessThan("doc_id", v: Long) =>
-        hi = math.min(hi, v - 1); accepted :+= f
+        hi = math.min(hi, if (v == Long.MinValue) v else v - 1); accepted :+= f
       case f @ LessThanOrEqual("doc_id", v: Long) =>
         hi = math.min(hi, v); accepted :+= f
       case f @ EqualTo("doc_id", v: Long) =>
@@ -669,11 +680,26 @@ private[sources] class BlockMicroBatchStream(store: String,
     ensureFence()
     checkGen(start.asInstanceOf[BlockStreamOffset])
     checkGen(end.asInstanceOf[BlockStreamOffset])
-    val s = start.asInstanceOf[BlockStreamOffset].n
+    val startOff = start.asInstanceOf[BlockStreamOffset]
+    val s = startOff.n
     val e = end.asInstanceOf[BlockStreamOffset].n
-    // gen before the array read — the pinnedOrCurrent fallback contract
-    // (checkGen above already proved it equals the offsets' generation)
+    // gen before the array read — the pinnedOrCurrent fallback contract.
+    // checkGen above proved the offsets' generation was current WHEN IT
+    // RAN, but a dropStore+re-land can complete between that check and
+    // this read (dropStore deliberately bypasses the live-reader fence);
+    // pgen and the array below would then be internally consistent
+    // post-rewrite and the batch would silently serve the NEW store's
+    // blocks [s, e) against offsets minted on the old one — the
+    // silently-renumbered replay checkGen exists to prevent. Requiring
+    // pgen to STILL equal the offsets' generation closes the window
+    // (r16 review).
     val pgen = gen
+    if (pgen != startOff.gen)
+      throw new IllegalStateException(
+        s"store '$store' layout generation moved (${startOff.gen} -> $pgen) " +
+          "between offset validation and partition planning — the stream's " +
+          "positional offsets no longer describe this layout; restart the " +
+          "query from a fresh checkpoint")
     val blocks = BlockStore.get(store)
     val snap = BlockStore.pinSnapshot(store, blocks)
     (s until math.min(e, blocks.length)).collect {
@@ -872,9 +898,19 @@ private[sources] class BlockDataWriter(stagingKey: String, partitionId: Int,
   private val buf = scala.collection.mutable.ArrayBuffer.empty[BlockStore.DocRow]
 
   override def write(row: InternalRow): Unit = {
-    buf += ((row.getLong(srcIdx(0)), row.getUTF8String(srcIdx(1)).toString,
-      row.getUTF8String(srcIdx(2)).toString,
-      row.getUTF8String(srcIdx(3)).toString, row.getLong(srcIdx(4))))
+    // loud contract check, not a bare NPE three frames deep: the store's
+    // row tuple is non-nullable by design, but Catalog.documents declares
+    // the string fields nullable, so a caller CAN hand this writer null
+    // text/lang/source and deserves an error naming the violation
+    def str(i: Int, field: String): String = {
+      val v = row.getUTF8String(srcIdx(i))
+      require(v != null,
+        s"block store rows are non-nullable: NULL $field at doc_id=" +
+          s"${row.getLong(srcIdx(0))}")
+      v.toString
+    }
+    buf += ((row.getLong(srcIdx(0)), str(1, "text"), str(2, "lang"),
+      str(3, "source"), row.getLong(srcIdx(4))))
   }
 
   override def commit(): WriterCommitMessage = {
@@ -933,20 +969,34 @@ private[sources] class BlockReaderFactory(fields: Array[String])
     * same rows-per-batch economics behind parquet's vectorized-reader
     * batch size. Decided from block METADATA (numRows), no payload read;
     * Spark goes columnar only if every partition agrees. */
+  // snapshot-constant decision, memoized per snapshot key: Spark calls
+  // supportColumnarReads once PER PARTITION on the driver, and the
+  // uniform-answer walk below is O(|snapshot blocks|) — unmemoized
+  // that's O(blocks²) metadata scans per planned query on a
+  // production-sized store (r16 review). Single-entry memo suffices:
+  // one scan's partitions share one snapshot.
+  @transient private var colMemoKey: Any = null
+  @transient private var colMemoVal = false
+
   override def supportColumnarReads(p: InputPartition): Boolean = {
     // decided from the SNAPSHOT's whole block set, not this partition's:
     // Spark refuses mixed row/columnar partitions, and a pruned-empty
     // shard partition must answer exactly like its populated siblings —
     // all of a scan's partitions share one snapshot, so this is uniform
-    val blocks = p match {
-      case BlockPartition(s, _, store, gen) =>
-        BlockStore.pinnedOrCurrent(s, store, gen)
-      case ShardBlockPartition(s, _, _, store, gen) =>
-        BlockStore.pinnedOrCurrent(s, store, gen)
+    val (snap, store, gen) = p match {
+      case BlockPartition(s, _, st, g) => (s, st, g)
+      case ShardBlockPartition(s, _, _, st, g) => (s, st, g)
       case _ => return false
     }
-    blocks.nonEmpty &&
-      blocks.forall(_.numRows >= BlockReaderFactory.ColumnarMinRows)
+    this.synchronized {
+      if (colMemoKey != ((snap, gen))) {
+        val blocks = BlockStore.pinnedOrCurrent(snap, store, gen)
+        colMemoVal = blocks.nonEmpty &&
+          blocks.forall(_.numRows >= BlockReaderFactory.ColumnarMinRows)
+        colMemoKey = (snap, gen)
+      }
+      colMemoVal
+    }
   }
 
   override def createColumnarReader(p: InputPartition)
@@ -964,6 +1014,11 @@ private[sources] class BlockReaderFactory(fields: Array[String])
       private var seg = -1
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = null
       override def next(): Boolean = {
+        // close the previous batch before allocating the next vector set:
+        // the ColumnarBatch lifecycle contract — close() at the end only
+        // released the LAST batch, abandoning N-1 per multi-block
+        // partition (survivable for on-heap vectors only by GC luck)
+        if (batch != null) { batch.close(); batch = null }
         seg += 1
         if (seg >= segs.length) false
         else {
