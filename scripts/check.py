@@ -29,8 +29,13 @@ def _cell(v):
     # sentinel distinct from the literal string 'None' (r16 review)
     if v is None:
         return "\\N"
-    if isinstance(v, float) and v != v:  # NaN in an object column
-        return "\\N"
+    if isinstance(v, float) and v != v:
+        # NaN in an object/array cell gets its OWN sentinel, distinct from
+        # NULL's '\N' (r17 advice): conflating them would let a Spark-NULL
+        # vs DuckDB-NaN divergence pass the gate. No registry query emits
+        # NaN by design (doubles round-trip through DECIMAL — Sql.scala),
+        # so a 'nan' appearing in a diff is itself a finding.
+        return "nan"
     if isinstance(v, (bytes, bytearray)):
         return "hex:" + bytes(v).hex()
     if hasattr(v, "tolist") and not isinstance(v, str):  # np.ndarray/scalar

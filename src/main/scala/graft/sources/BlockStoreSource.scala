@@ -683,16 +683,19 @@ private[sources] class BlockMicroBatchStream(store: String,
     val startOff = start.asInstanceOf[BlockStreamOffset]
     val s = startOff.n
     val e = end.asInstanceOf[BlockStreamOffset].n
-    // gen before the array read — the pinnedOrCurrent fallback contract.
-    // checkGen above proved the offsets' generation was current WHEN IT
-    // RAN, but a dropStore+re-land can complete between that check and
-    // this read (dropStore deliberately bypasses the live-reader fence);
-    // pgen and the array below would then be internally consistent
-    // post-rewrite and the batch would silently serve the NEW store's
-    // blocks [s, e) against offsets minted on the old one — the
-    // silently-renumbered replay checkGen exists to prevent. Requiring
-    // pgen to STILL equal the offsets' generation closes the window
-    // (r16 review).
+    // Seqlock read protocol: read the block array FIRST, then validate
+    // the generation. checkGen above proved the offsets' generation was
+    // current WHEN IT RAN, but a dropStore+re-land can complete between
+    // any pre-read check and the array read (dropStore deliberately
+    // bypasses the live-reader fence) — a gen read BEFORE BlockStore.get
+    // only narrows that window (r17 advice). Because every rewrite goes
+    // odd before the swap and even after (BlockStore.bumpLayoutGen) and
+    // stableLayoutGeneration spins past odd, observing
+    // gen == startOff.gen AFTER the read proves no rewrite started
+    // before or during it: the array below is the exact layout the
+    // offsets were minted on, so the batch can never silently serve a
+    // re-landed store's blocks [s, e) against old positional offsets.
+    val blocks = BlockStore.get(store)
     val pgen = gen
     if (pgen != startOff.gen)
       throw new IllegalStateException(
@@ -700,7 +703,6 @@ private[sources] class BlockMicroBatchStream(store: String,
           "between offset validation and partition planning — the stream's " +
           "positional offsets no longer describe this layout; restart the " +
           "query from a fresh checkpoint")
-    val blocks = BlockStore.get(store)
     val snap = BlockStore.pinSnapshot(store, blocks)
     (s until math.min(e, blocks.length)).collect {
       case i if blocks(i).maxId >= lo && blocks(i).minId <= hi &&
