@@ -91,6 +91,9 @@ object Bench {
     land("dedup cluster labels")(
       operators.Dedup.dedupClusters(spark, sfDir).count(): Unit)
     land("ANN index")(operators.Similarity.ensureLandedIndex(spark, sfDir): Unit)
+    // dd19's jittered-copy fixture (r17): a landed artifact like the rest —
+    // the registered query times the banded dedup, not the one-time land
+    land("dd19 fixture")(operators.Dedup.dd19FixtureDir(spark, sfDir): Unit)
     land("phash index")(operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit)
     land("columnar store")(operators.Extended.ensureColumnarStore(spark, sfDir): Unit)
     // optional comma-separated name filter for isolating one query's

@@ -805,8 +805,10 @@ object Dedup {
 
   /** (vec_id, label, band, sig) over the 45 × 16-bit production family. */
   private def prodSignatures(spark: SparkSession, dir: String): DataFrame =
-    Similarity.emb(spark, dir)
-      .crossJoin(broadcast(prodPlaneFrame(spark)))
+    prodSignaturesOver(spark, Similarity.emb(spark, dir))
+
+  private def prodSignaturesOver(spark: SparkSession, v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(prodPlaneFrame(spark)))
       .select(col("vec_id"), col("label"), col("band"),
         when(call_function("vec_dot", col("e"), col("r")) >= 0, col("w"))
           .otherwise(lit(0L)).as("bitval"))
@@ -818,8 +820,10 @@ object Dedup {
   /** dd19's candidate pairs: within-(label, band, sig) collisions of the
     * production family — the SLIM join (ids only, no payloads). */
   private[graft] def semanticDedupProdCandidates(spark: SparkSession,
-      dir: String): DataFrame = {
-    val sigs = prodSignatures(spark, dir)
+      dir: String): DataFrame =
+    semanticDedupProdCandidatesOver(prodSignatures(spark, dir))
+
+  private def semanticDedupProdCandidatesOver(sigs: DataFrame): DataFrame = {
     val a = sigs.select(col("vec_id").as("vec_a"), col("label"),
       col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("label"),
@@ -849,9 +853,12 @@ object Dedup {
     * computed brute-force (recall ≈ 1 on copy mass: per-band keep at
     * cos 0.99 is ~0.48, so 45-band miss probability ≈ 0.52^45). */
   private[graft] def semanticDedupProd(spark: SparkSession,
-      dir: String): DataFrame = {
-    val v = Similarity.emb(spark, dir)
-    semanticDedupProdCandidates(spark, dir)
+      dir: String): DataFrame =
+    semanticDedupProdOver(spark, Similarity.emb(spark, dir))
+
+  private def semanticDedupProdOver(spark: SparkSession,
+      v: DataFrame): DataFrame = {
+    semanticDedupProdCandidatesOver(prodSignaturesOver(spark, v))
       .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
         col("nrm").as("na")).hint("shuffle_hash"), Seq("vec_a"))
       .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"),
@@ -889,6 +896,71 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Copy ids in the dd19 fixture sit this far above every base vec_id. */
+  private[graft] val Dd19CopyIdOffset = 10000000L
+
+  /** landed fixture parquet per sf dir (land-once; values are a pure
+    * function of the dir's embeddings, so any session may reuse it) */
+  private val dd19FixturePaths =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lands the dd19 NEAR-DUP FIXTURE once per dir (the serve family's
+    * landed-artifact pattern): base embeddings plus ONE deterministic
+    * jittered copy of every `vec_id % 7 == 3` vector, copy id = base id +
+    * [[Dd19CopyIdOffset]], same label. Jitter is MULTIPLICATIVE and
+    * IEEE-exact — element d scales by `0.75 + 0.25·((vec_id + d) % 3)`
+    * (factors 0.75 / 1.0 / 1.25, all exactly representable), so DuckDB
+    * recomputes the landed values bit-identically from the same
+    * embeddings parquet and the oracle needs no cross-engine float
+    * tolerance. A ±25% three-class perturbation puts every (base, copy)
+    * pair at cos ∈ [0.970, 1.0] (worst case: mass split evenly between
+    * the 0.75 and 1.25 classes → 1/√1.0625), comfortably above the 0.9
+    * production threshold with per-pair 45-band miss probability ≤
+    * ~1e-5 — and the fixed planes make the outcome DETERMINISTIC, so the
+    * gate's green is permanent, not probabilistic. Raw base pairs stay
+    * below cos 0.9 (the corpus S-curve tops at [0.35, 0.45)), and
+    * copies of DIFFERENT bases inherit their bases' low cosine, so the
+    * qualifying set is exactly the (base, copy) pairs: recall = 1 is
+    * what the hash oracle verifies (r17 verdict ask 3 — dd19 was the
+    * one component verified by spec-equality instead of DuckDB). */
+  private[graft] def dd19FixtureDir(spark: SparkSession,
+      dir: String): String = synchronized {
+    dd19FixturePaths.getOrElseUpdate(dir, {
+      val out = Catalog.tempDirWithCleanup("graft-dd19fx").toString + "/emb"
+      val base = Similarity.emb(spark, dir)
+      val copies = base.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + lit(Dd19CopyIdOffset)).as("vec_id"),
+          col("label"),
+          // vec_id inside the lambda resolves against the INPUT row (the
+          // base id) — the same id the oracle's SQL twin uses
+          expr("transform(e, (x, i) -> " +
+            "x * (0.75D + 0.25D * CAST((vec_id + i) % 3 AS DOUBLE)))")
+            .as("e"))
+      base.select(col("vec_id"), col("label"), col("e"))
+        .unionByName(copies)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
+  /** dd19's REGISTERED query: the production-threshold banded dedup served
+    * over the landed near-dup fixture (the raw corpus has no cos ≥ 0.9
+    * mass — dd19 over it would verify empty at every SF; the scale sweep
+    * keeps measuring the raw-corpus shape via [[semanticDedupProd]]). */
+  def bandedProdNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    // single-file landed fixture → round-robin spread before the 720-plane
+    // signature stage (the Catalog.tableSpread discipline: one tiny
+    // shuffle buys 32-way parallel signature compute)
+    val fx = spark.read.parquet(dd19FixtureDir(spark, dir))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nrm",
+        sqrt(call_function("vec_dot", col("e"), col("e"))))
+      .filter(col("nrm") > 0)
+    semanticDedupProdOver(spark, fx)
   }
 
   /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
@@ -957,13 +1029,23 @@ object Dedup {
     // bench's untimed land left dd8 itself still billing ~3 s of CC).
     // lastCcRounds stays valid on a hit: the landed run's rounds ARE this
     // dir's rounds (deterministic fixpoint).
-    val live = synchronized {
+    // The hit path builds its output plan INSIDE the lock so the frame it
+    // references can't be swapped out between check and use; but a
+    // DataFrame is lazy, so a concurrent slow-path entrant can still
+    // unpersist the frame before the caller EXECUTES it, and
+    // Dataset.storageLevel reports the requested level, not block
+    // residency (a budget-demoted cache passes the check with zero
+    // resident blocks). Both cases degrade to a deterministic lineage
+    // recompute — correct results, just a "memo hit" that quietly bills
+    // like a miss (r17 advice; accepted, not fixed: the memo is a bench
+    // attribution device, not a correctness device).
+    val hit = synchronized {
       if (lastLabelsKey.contains((spark, dir)) &&
           lastLabelsCache.exists(_.storageLevel != StorageLevel.NONE))
-        lastLabelsCache
+        lastLabelsCache.map(clusterOutput)
       else None
     }
-    if (live.isDefined) return clusterOutput(live.get)
+    hit.foreach(out => return out)
     synchronized {
       lastLabelsCache.foreach { prev =>
         try prev.unpersist(blocking = false) catch { case _: Exception => }
@@ -1448,6 +1530,7 @@ object Dedup {
     "dd16_semantic_dedup" -> semanticDedupBanded,
     "dd17_canonical_keep" -> canonicalKeep,
     "dd18_dedup_savings" -> dedupSavings,
+    "dd19_banded_prod" -> bandedProdNearDup,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
@@ -1573,6 +1656,34 @@ object Dedup {
          |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
          |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
     },
+    // dd19: EXACT brute force over the jittered-copy fixture at the
+    // production threshold — deliberately NOT a SQL twin of the 45-band
+    // candidate stage: the banded output must EQUAL the exact cos ≥ 0.9
+    // pair set (recall = 1 on the fixture's copy mass is the claim the
+    // hash gate verifies). The fixture CTE recomputes the landed copies
+    // with the same IEEE-exact multiplicative jitter (factors 0.75/1.0/
+    // 1.25; DuckDB's list index is 1-based, hence `vec_id + i - 1` where
+    // Spark's 0-based transform uses `vec_id + i`).
+    "dd19_banded_prod" ->
+      s"""WITH v0 AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
+         |fx AS (
+         |  SELECT vec_id, label, ae FROM v0
+         |  UNION ALL
+         |  SELECT vec_id + ${Dd19CopyIdOffset}, label,
+         |    list_transform(generate_series(1, len(ae)),
+         |      i -> ae[i] * (0.75 + 0.25 * CAST((vec_id + i - 1) % 3 AS DOUBLE))) AS ae
+         |  FROM v0 WHERE vec_id % 7 = 3),
+         |n0 AS (SELECT vec_id, label, ae,
+         |    sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |  FROM fx),
+         |n AS (SELECT * FROM n0 WHERE nrm > 0),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
+         |      / (a.nrm * b.nrm) AS c
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
+         |WHERE c >= ${ProdCosThreshold} ORDER BY vec_a, vec_b""".stripMargin,
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

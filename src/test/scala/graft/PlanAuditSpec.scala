@@ -33,11 +33,13 @@ class PlanAuditSpec extends SparkSpec {
   // sim20: JL projected brute-force over the bounded probe broadcast
   // dd16: corpus × the 288-row broadcast LITERAL plane table (the
   // signature build — bounded constant side, the t11 shape)
+  // dd19: the same signature-build shape over the 720-row production
+  // plane literal (fixture ∪ copies × broadcast planes)
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
     "sim20_random_projection",
     "sim6_kmeans_assign", "sim7_kmeans_update",
     "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords",
-    "dd16_semantic_dedup")
+    "dd16_semantic_dedup", "dd19_banded_prod")
 
   private def streaming(n: String): Boolean = n.matches("s\\d+_.*")
 
