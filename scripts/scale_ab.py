@@ -50,4 +50,23 @@ for k in shared:
               f"  norm {norm:.2f}{sp}")
 print("(runtime rows above are OUTSIDE the 2x band after host normalization;"
       " everything else is within the documented disk-variance envelope)")
+
+# r17: control-normalized comparison — the per-row shuffle control cancels
+# host disk state, so a control_ratio moving >1.5x IS plan signal even on
+# the disk-bound rows where wall-clock swings 3x on identical code.
+ctl = [k for k in shared
+       if old[k].get("control_ratio", -1) > 0
+       and new[k].get("control_ratio", -1) > 0]
+if ctl:
+    print(f"\ncontrol-normalized ({len(ctl)} rows with control_ratio):")
+    flagged = 0
+    for k in ctl:
+        rr = new[k]["control_ratio"] / old[k]["control_ratio"]
+        if rr > 1.5 or rr < 1 / 1.5:
+            print(f"  RATIO MOVED {k[0]:22s} x{k[1]:<3d} "
+                  f"{old[k]['control_ratio']:.2f} -> "
+                  f"{new[k]['control_ratio']:.2f}  (x{rr:.2f})")
+            flagged += 1
+    if not flagged:
+        print("  all control ratios within 1.5x of the old sweep")
 sys.exit(1 if count_deltas else 0)

@@ -9,9 +9,9 @@ rows = json.load(open("scale.json"))
 FLAGS = ["rows_track_xN", "cand_track_model", "runtime_within_bound",
          "spill_within_bound", "extra_within_bound"]
 
-print("| operator | factor | found rows | candidate pairs | sec | gc s |"
-      " shuffle MB | spill MB | stage split | model |")
-print("|---|---|---|---|---|---|---|---|---|---|")
+print("| operator | factor | found rows | candidate pairs | sec | ctl ratio |"
+      " gc s | shuffle MB | spill MB | stage split | model |")
+print("|---|---|---|---|---|---|---|---|---|---|---|")
 for d in rows:
     stage = "; ".join(f"{k[:-3]} {v / 1000:.1f}s"
                       for k, v in d.items() if k.endswith("_ms")) or "—"
@@ -31,8 +31,12 @@ for d in rows:
     bad = [f for f in FLAGS if not d.get(f, True)]
     if bad:
         model += " **FLAGS: " + ",".join(bad) + "**"
+    # sec is the median repeat; the spread and the control live in the
+    # artifact (sec_runs / control_runs / control_sec)
+    cr = d.get("control_ratio", -1)
+    ctl = f"{cr:.1f}" if cr > 0 else "—"
     print(f"| {d['op']} | ×{d['factor']} | {d['rows']:,} |"
-          f" {d['candidates']:,} | {d['sec']:.2f} | {d['gc_sec']:.2f} |"
+          f" {d['candidates']:,} | {d['sec']:.2f} | {ctl} | {d['gc_sec']:.2f} |"
           f" {d['shuffle_bytes'] / 1e6:,.0f} | {d['spill_bytes'] / 1e6:,.0f} |"
           f" {stage} | {model} |")
 
@@ -43,8 +47,15 @@ print(f"\n{n_ok}/{len(rows)} rows with all flags true.")
 # committed counts can never drift from plan_audit.json (r15 ADVICE)
 try:
     audit = json.load(open("plan_audit.json"))
+    cons = audit.get("construction_audited", [])
+    cons_s = ""
+    if cons:
+        nflags = sum(len(c["flags"]) for c in cons)
+        ats = ", ".join(f"{c['query']}@x{c['factor']}" for c in cons)
+        cons_s = (f", {len(cons)} construction-audited"
+                  f" ({nflags} flags: {ats})")
     print(f"audit: {audit['audited']} audited, "
-          f"{len(audit['flagged'])} flagged, "
+          f"{len(audit['flagged'])} flagged{cons_s}, "
           f"{len(audit['skipped'])} skipped (at {audit['dir']})")
 except (FileNotFoundError, KeyError, ValueError) as e:
     # a pre-r16 or truncated artifact must not kill the table render

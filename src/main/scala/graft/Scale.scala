@@ -292,10 +292,17 @@ object Scale {
     * at a factor paid the per-dir memo rebuild invisibly (r14: the 20.3 s
     * dd8 ×32 row was mostly dd6's candidate pipeline) — now the rebuild
     * is its own column and `sec` is attributable. */
+  /** `ioBoundFrom`: the factor from which this op's runtime is judged on
+    * its CONTROL-NORMALIZED ratio (sec / control_sec) instead of raw
+    * wall-clock — for rows whose cost is dominated by multi-GB
+    * shuffle/spill disk traffic, where identical code measured a 3.3×
+    * wall-clock band across sweeps (dd6 ×64: 26.9-87.7 s) and a raw-seconds
+    * budget prices host disk state, not the plan (r17 verdict ask 1). */
   private case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
       candidates: (SparkSession, String) => Long,
       model: String, maxFactor: Int = Int.MaxValue,
+      ioBoundFrom: Int = Int.MaxValue,
       setup: (SparkSession, String) => Unit = (_, _) => (),
       stages: Seq[(String, (SparkSession, String) => Unit)] = Seq.empty,
       extra: (SparkSession, String) => Map[String, Long] = (_, _) => Map.empty,
@@ -308,6 +315,9 @@ object Scale {
     Op("dd6_ngram", operators.Dedup.ngramJaccard,
       (s, d) => operators.Dedup.ngramCandidateFrame(s, d).count(),
       "prefix",
+      // ×16 on: 13-26 GB through the candidate exchanges — the sweep's
+      // one documented disk-variance row; runtime judged on control ratio
+      ioBoundFrom = 16,
       // split: the shared bigram frame (tokenize→shingle→hash→persist)
       // builds untimed-separately, so `sec` prices dd6's own prefix
       // generator + candidate join + verify
@@ -523,7 +533,65 @@ object Scale {
     // O(batch) contract summed over batches), never the landed corpus.
     Op("s25_ingest", streaming.StreamingOps.streamAnnIngest,
       (s, d) => operators.Similarity.ingestFeedIds(s, d).count(),
-      "linear"))
+      "linear"),
+    // s20: the sweep's first STATEFUL streaming row (r17 verdict ask 5 —
+    // the 27 streaming queries are legitimately plan-audit-skipped, so
+    // state-STORE growth had no measured scale story). TWS digest dedup
+    // under RocksDB: the claim is state = ONE entry per distinct
+    // fingerprint (≈ linear in corpus — the text-bijection copies are
+    // distinct bags), never per stream row or per batch, and per-run cost
+    // tracks the incoming feed. Candidates = the incoming 20% slice
+    // (doc_id % 5 membership re-rolls per copy under the id shift ⇒
+    // linearRR); extras carry the state-store columns off the final
+    // progress (state_rows is the contract; state_bytes and batches are
+    // telemetry).
+    Op("s20_stream_dedup", streaming.StreamingOps.streamDedupBootstrap,
+      (s, d) => Catalog.table(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0).count(),
+      "linearRR", maxFactor = 32,
+      extra = (_, _) => Map(
+        "state_rows" -> streaming.StreamingOps.lastStateRows,
+        "state_bytes" -> streaming.StreamingOps.lastStateBytes,
+        "batches" -> streaming.StreamingOps.lastNumBatches),
+      extraTrack = (n, base, e) =>
+        // one state entry per distinct fingerprint: linear in the corpus
+        // with a re-roll band (digest collisions, per-copy % 5 re-roll)
+        e("state_rows") >= base("state_rows") * n * 7 / 10 &&
+          e("state_rows") <= base("state_rows") * n * 13 / 10 + 50))
+
+  /** Fixed-size pure-shuffle I/O CONTROL (r17 verdict ask 1): ~1.1 GB of
+    * incompressible-ish rows (md5 hex ×4) through one full exchange plus a
+    * small aggregation, identical at every factor. Its wall-clock prices
+    * the HOST's shuffle-disk throughput at that moment, so a row's
+    * `control_ratio` (sec / control_sec) is comparable across sweeps where
+    * absolute seconds are not: dd6 ×64 measured 26.9-87.7 s on identical
+    * code (SCALE.md) — a 3.3× band that was all disk state. Run adjacent
+    * to every timed row; deterministic (range + md5, no entropy source). */
+  private[graft] def controlShuffleSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .select(col("id"),
+        concat(col("h"), col("h"), col("h"), col("h")).as("p"))
+      .repartition(32, col("id"))
+      .groupBy(pmod(col("id"), lit(9973L)).as("k"))
+      .agg(sum(length(col("p"))).as("s"), count(lit(1)).as("n"))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The runtime flag's decision rule, shared with ScaleSpec so the two
+    * cannot diverge: I/O-bound rows (factor ≥ the op's `ioBoundFrom`) are
+    * budgeted on the CONTROL-NORMALIZED ratio — a host whose disk is N×
+    * slower slows the control N× too, so the ratio isolates the plan —
+    * while everything else keeps the wall-clock bound (the control has
+    * its own jitter; dragging CPU-bound sub-second rows through a ratio
+    * would ADD noise, not remove it). */
+  private[graft] def runtimeOk(model: String, factor: Int, ioBound: Boolean,
+      baseSec: Double, baseCtl: Double, sec: Double, ctl: Double): Boolean =
+    if (ioBound && baseCtl > 0 && ctl > 0)
+      sec / ctl <= runtimeBound(model, factor, baseSec / baseCtl)
+    else sec <= runtimeBound(model, factor, baseSec)
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -860,8 +928,30 @@ object Scale {
     * so "flagged: []" can never silently mean "nothing audited" (the r15
     * review's ask); the committed sweep writes both to plan_audit.json —
     * flagged expected empty. */
-  private[graft] def auditCorpusBroadcasts(spark: SparkSession,
-      dir: String): (Seq[(String, String)], Seq[(String, String)]) = {
+  /** The six construction-runs-corpus-jobs queries, each with the largest
+    * factor its construction survives (r17 verdict ask 2 — they used to be
+    * skipped outright, leaving their plans-at-scale unaudited). dd8/dd17/
+    * dd18 run dd6's verified-pairs pipeline + CC at the audit dir; p1/p11
+    * rank and land the blown corpus; all five are minutes-bounded at ×32.
+    * x44's construction ingests the full blown lineitem into the in-memory
+    * block store — at ×64 that OOM'd the audit JVM and killed four later
+    * constructions (r16), so it audits at ×16 (~10M rows, comfortably
+    * inside the 8 GB heap). A query is audited at its factor only when the
+    * sweep actually synthesized that factor's dir; otherwise it keeps the
+    * skip reason (an audit-only `1,64` run must not silently downgrade the
+    * committed construction audit to ×1 plans). */
+  private[graft] val ConstructionAuditFactors: Map[String, Int] = Map(
+    "dd8_dedup_clusters" -> 32, "dd17_canonical_keep" -> 32,
+    "dd18_dedup_savings" -> 32, "p1_pipeline_manifest" -> 32,
+    "p11_landed_shards" -> 32, "x44_columnar_scan" -> 16)
+
+  /** Full audit: (flagged, skipped) at `dir` plus the construction-query
+    * audit at the per-query factors of [[ConstructionAuditFactors]] whose
+    * dirs are present in `factorDirs` — returned as
+    * (query, factor, flags-at-that-factor). */
+  private[graft] def auditCorpusBroadcasts(spark: SparkSession, dir: String,
+      factorDirs: Map[Int, String]): ((Seq[(String, String)],
+        Seq[(String, String)]), Seq[(String, Int, Seq[String])]) = {
     // deliberate corpus-DERIVED broadcasts, each with its rationale —
     // the analogue of PlanAuditSpec.allowCross for this audit
     val allowed = Set(
@@ -874,12 +964,32 @@ object Scale {
     val streaming = "s\\d+_.*".r
     val flagged = Seq.newBuilder[(String, String)]
     val skipped = Seq.newBuilder[(String, String)]
+    val construction = Seq.newBuilder[(String, Int, Seq[String])]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (streaming.matches(name)) skipped += name -> "streaming harness"
       else if (SparkEntry.eagerQueries(name))
         skipped += name -> "eager (executes at construction)"
-      else if (SparkEntry.constructionRunsCorpusJobs(name))
-        skipped += name -> "construction runs corpus-scale jobs"
+      else if (SparkEntry.constructionRunsCorpusJobs(name)) {
+        // audit at the largest factor the construction survives instead
+        // of skipping outright (r17) — these queries' plans at scale are
+        // exactly the audit's target class
+        val at = ConstructionAuditFactors.get(name).flatMap(f =>
+          factorDirs.get(f).map(f -> _))
+        at match {
+          case Some((f, fdir)) =>
+            try construction += ((name, f, corpusBroadcastFlags(
+              fn(spark, fdir).queryExecution.sparkPlan)))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                skipped += name -> (s"construction failed at x$f: " +
+                  String.valueOf(e.getMessage).linesIterator.nextOption
+                    .getOrElse("").take(120))
+            }
+          case None =>
+            skipped += name -> ("construction runs corpus-scale jobs " +
+              "(audit factor's dir not in this run)")
+        }
+      }
       // NOTE: serve/store-family queries whose construction LANDS an
       // index or store (sim15-22, mm7, x27/x31/x33) are audited on
       // purpose despite that build cost at ×64 — sim18's tombstone
@@ -904,13 +1014,17 @@ object Scale {
         }
       }
     }
-    (flagged.result(), skipped.result())
+    ((flagged.result(), skipped.result()), construction.result())
   }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // no-arg default IS the committed recipe (r17 advice): a default that
+    // fell short of it ran the whole multi-hour sweep, then refused to
+    // write scale.json while still rewriting plan_audit.json from a
+    // smaller-factor dir — the committed-artifact-clobber class again
     val factors = args.lift(1)
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 8, 16, 32))
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(CommittedSweepFactors)
     // every growth check is relative to the ×1 base — without it the
     // artifact would print all-green flags that no check actually ran
     require(factors.headOption.contains(1) && factors == factors.sorted,
@@ -946,10 +1060,23 @@ object Scale {
     } catch { case _: Throwable => }
 
     val opFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // MEDIAN-OF-N (r17): the committed sweep runs every row's
+    // [stages → control → timed] block N times and commits the median-sec
+    // repeat with all runs recorded (`sec_runs`/`control_runs`) — the old
+    // "best of three full sweeps" both biased low and hid the per-row
+    // spread. Repeats are honest re-measurements: timed() ends with
+    // clearCache(), which also invalidates every operator-level memo
+    // (they gate on Dataset.storageLevel), so each repeat rebuilds its
+    // pipeline. Iteration runs default to 1 repeat; override with
+    // SPARK_GRAFT_SCALE_RUNS.
+    val repeats = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt)
+      .getOrElse(if (opFilter.isEmpty && factors == CommittedSweepFactors) 3
+                 else 1)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     ops.filter(op => opFilter.forall(_.contains(op.name))).foreach { op =>
-      // rows, cand, sec, spill, extras @ ×1
-      var base: Option[(Long, Long, Double, Long, Map[String, Long])] = None
+      // rows, cand, sec, spill, extras, controlSec @ ×1
+      var base: Option[(Long, Long, Double, Long, Map[String, Long], Double)] =
+        None
       factors.filter(_ <= op.maxFactor).foreach { n =>
         val dir = dirs(n)
         // NOTE on partitions: factor-scaled AQE initialPartitionNum (the
@@ -966,22 +1093,34 @@ object Scale {
         // sim15's index land then billed into its timed serve window,
         // 0.67 → 2.30 s; caught by the second review pass)
         // named shared-artifact stages, each timed separately — `sec`
-        // below prices the op's OWN stage only (see Op scaladoc)
-        val stageMs: Seq[(String, Long)] = op.stages.map { case (nm, fn) =>
-          val t0 = System.nanoTime()
-          fn(spark, dir)
-          nm -> (System.nanoTime() - t0) / 1000000L
+        // below prices the op's OWN stage only (see Op scaladoc). The
+        // whole [stages → control → timed] block repeats `repeats` times;
+        // the committed row is the MEDIAN-sec repeat with every run's
+        // sec/control recorded alongside (r17).
+        val runs = (1 to repeats).map { _ =>
+          val stageMs: Seq[(String, Long)] = op.stages.map { case (nm, fn) =>
+            val t0 = System.nanoTime()
+            fn(spark, dir)
+            nm -> (System.nanoTime() - t0) / 1000000L
+          }
+          val ctl = controlShuffleSec(spark)
+          val m = timed(spark, op.query, dir)
+          (stageMs, ctl, m)
         }
-        val (rows, sec, gcSec, shuffle, spill) = timed(spark, op.query, dir)
+        val (stageMs, ctlSec, (rows, sec, gcSec, shuffle, spill)) =
+          runs.sortBy(_._3._2).apply(runs.size / 2)
+        val secRuns = runs.map(_._3._2)
+        val ctlRuns = runs.map(_._2)
+        val ctlRatio = if (ctlSec > 0) sec / ctlSec else -1.0
         val cand = op.candidates(spark, dir)
         val extras = op.extra(spark, dir)
         try spark.catalog.clearCache() catch { case _: Throwable => }
-        if (n == 1) base = Some((rows, cand, sec, spill, extras))
+        if (n == 1) base = Some((rows, cand, sec, spill, extras, ctlSec))
         val (rowsTrack, candTrack, withinBound, spillOk, extraOk) = base match {
-          case Some((r1, c1, s1, sp1, e1)) =>
+          case Some((r1, c1, s1, sp1, e1, ctl1)) =>
             (Scale.rowsTrack(op.name, op.model, n, r1, rows),
               Scale.candTrack(op.model, n, c1, cand),
-              sec <= runtimeBound(op.model, n, s1),
+              runtimeOk(op.model, n, n >= op.ioBoundFrom, s1, ctl1, sec, ctlSec),
               spill <= spillBound(op.model, n, sp1, cand),
               op.extraTrack(n, e1, extras))
           case None => (true, true, true, true, true)
@@ -994,7 +1133,10 @@ object Scale {
         }
         lines += s"""{"op":"${op.name}","factor":$n,"rows":$rows,""" +
           s""""candidates":$cand,"sec":$sec,"gc_sec":$gcSec,""" +
-          s""""shuffle_bytes":$shuffle,"spill_bytes":$spill""" +
+          s""""shuffle_bytes":$shuffle,"spill_bytes":$spill,""" +
+          s""""control_sec":$ctlSec,"control_ratio":$ctlRatio,""" +
+          s""""sec_runs":[${secRuns.mkString(",")}],""" +
+          s""""control_runs":[${ctlRuns.mkString(",")}]""" +
           extraJson +
           s""","model":"${op.model}","rows_track_xN":$rowsTrack,""" +
           s""""cand_track_model":$candTrack,""" +
@@ -1029,23 +1171,38 @@ object Scale {
     // small-input broadcasts are the CORRECT planner choice and would
     // spuriously overwrite the committed flagged:[] (review finding).
     val biggest = dirs(factors.max)
-    val (flagged, skipped) = auditCorpusBroadcasts(spark, biggest)
+    val ((flagged, skipped), construction) =
+      auditCorpusBroadcasts(spark, biggest, dirs)
     def arr(xs: Seq[(String, String)], k: String) = xs.map { case (q, d) =>
       s"""{"query":"$q","$k":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     }.mkString("[", ",", "]")
-    val nAudited = SparkEntry.queries.size - skipped.size
+    // main-factor count excludes the construction queries (they audit at
+    // their own factors, reported separately below)
+    val nAudited =
+      SparkEntry.queries.size - skipped.size - construction.size
+    val constructionJson = construction.map { case (q, f, fs) =>
+      s"""{"query":"$q","factor":$f,"flags":[${fs.map(d =>
+        "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString(",")}]}"""
+    }.mkString("[", ",", "]")
     val auditJson = "{\"dir\":\"" + biggest + "\"," +
       s""""audited":$nAudited,"flagged":${arr(flagged, "detail")},""" +
+      s""""construction_audited":$constructionJson,""" +
       s""""skipped":${arr(skipped, "reason")}}"""
-    if (factors.max >= 32) {
+    // ≥ the committed recipe's top factor (r17 advice — was ≥32, which
+    // let a ×32 run silently replace the committed ×64 audit)
+    if (factors.max >= CommittedSweepFactors.max) {
       val auditOut = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", ".") + "/plan_audit.json").toAbsolutePath
       java.nio.file.Files.write(auditOut,
         (auditJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       System.err.println(s"[scale] corpus-broadcast audit: $nAudited audited, " +
-        s"${flagged.size} flagged, ${skipped.size} skipped → $auditOut")
-    } else System.err.println(s"[scale] corpus-broadcast audit (factor < 32, " +
-      s"artifact NOT written): ${flagged.size} flagged of $nAudited")
+        s"${flagged.size} flagged, ${construction.size} construction-audited " +
+        s"(${construction.map(_._3.size).sum} flags), " +
+        s"${skipped.size} skipped → $auditOut")
+    } else System.err.println(s"[scale] corpus-broadcast audit (factor < " +
+      s"${CommittedSweepFactors.max}, artifact NOT written): " +
+      s"${flagged.size} flagged of $nAudited")
     flagged.foreach { case (q, d) => System.err.println(s"[scale]   $q: $d") }
     spark.stop()
   }

@@ -57,6 +57,17 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** State telemetry of the most recent [[runToTable]] run — the scale
+    * sweep's streaming columns (r17: the s-family's plan-audit skips are
+    * legitimate, but state-store growth needed a MEASURED story): total
+    * state rows / bytes from the last progress carrying state operators,
+    * and the micro-batch count. -1 = the last run was stateless (or none
+    * ran). Ops run sequentially under Verify/Bench/Scale, so plain
+    * volatile vars suffice (the sim15BlocksOpened stash pattern). */
+  @volatile private[graft] var lastStateRows: Long = -1L
+  @volatile private[graft] var lastStateBytes: Long = -1L
+  @volatile private[graft] var lastNumBatches: Long = -1L
+
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = nextName()
     val q = startClamped(spark) {
@@ -71,6 +82,17 @@ object StreamingOps {
     // (and the rows it pins) for the session lifetime.
     try {
       q.awaitTermination()
+      // stash state telemetry before the query object goes out of scope:
+      // the LAST progress with state operators carries the final state
+      // size (AvailableNow drains to completion, so this is the run's
+      // steady state, not a mid-drain sample)
+      val progs = q.recentProgress
+      lastNumBatches = progs.length.toLong
+      val withState = progs.reverseIterator.find(_.stateOperators.nonEmpty)
+      lastStateRows = withState
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      lastStateBytes = withState
+        .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
       val sink = spark.table(name)
       spark.createDataFrame(
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
@@ -517,9 +539,19 @@ object StreamingOps {
     val index = dig.filter(!isIncoming)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("canon"))
       .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
-    val incoming = Text.withTokens(
-        spark.readStream.schema(Catalog.documents)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    // two layouts stream here: the driver's testdata lands documents as a
+    // single FILE (glob-filter it out of the multi-table sf dir — the
+    // file-stream source needs a directory basePath), while the scale
+    // harness's blown dirs land it as a parquet DIRECTORY whose part
+    // files the file-name glob would exclude (r17: the sweep's first s20
+    // row silently streamed zero rows) — read the directory directly
+    val docsPath = s"$dir/documents.parquet"
+    val docsSrc =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(docsPath)))
+        spark.readStream.schema(Catalog.documents).parquet(docsPath)
+      else spark.readStream.schema(Catalog.documents)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val incoming = Text.withTokens(docsSrc)
       .filter(isIncoming)
       .select(Text.contentFingerprint(col("_toks")).as("fp"), col("doc_id"))
       .as[(String, Long)]

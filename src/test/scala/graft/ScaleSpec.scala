@@ -37,6 +37,56 @@ class ScaleSpec extends SparkSpec {
       "quad budget must still reject payloads-through-the-fanout spill")
   }
 
+  test("runtimeOk: I/O-bound rows are budgeted on the control ratio, " +
+    "everything else on wall-clock") {
+    // r17 verdict ask 1 — dd6 ×64 spans 26.9-87.7 s on identical code
+    // (pure disk state): a raw-seconds budget prices the host, not the
+    // plan. The decision rule: at factors ≥ the op's ioBoundFrom, the
+    // flag compares sec/control_sec against the bound seeded with the
+    // base row's ratio — a host whose disk is N× slower slows the
+    // control N× too, cancelling out.
+    // dd6-shaped numbers: base 8 s at control 2 s (ratio 4). A run on a
+    // collapsed-disk host — op 64× slower AND control 64× slower — keeps
+    // ratio 4 and must PASS the ioBound budget...
+    assert(Scale.runtimeOk("prefix", 64, ioBound = true,
+      baseSec = 8.0, baseCtl = 2.0, sec = 512.0, ctl = 128.0),
+      "a uniform host slowdown (flat ratio) must pass the ratio budget")
+    // ...while a blow-past-the-budget run on a HEALTHY host (flat
+    // control → ratio 600 vs the base-ratio-4 bound of ~425) must FAIL
+    assert(!Scale.runtimeOk("prefix", 64, ioBound = true,
+      baseSec = 8.0, baseCtl = 2.0, sec = 1200.0, ctl = 2.0),
+      "a real ratio regression at flat control must fail the ratio budget")
+    // non-ioBound rows keep the wall-clock bound exactly: 512 s at ×64
+    // off an 8 s base trips base×64×1.6+15
+    assert(!Scale.runtimeOk("prefix", 64, ioBound = false,
+      baseSec = 8.0, baseCtl = 2.0, sec = 900.0, ctl = 128.0),
+      "wall-clock rows must ignore the control entirely")
+    // degenerate controls (failed/zero) fall back to wall-clock rather
+    // than dividing by zero or passing vacuously
+    assert(!Scale.runtimeOk("prefix", 64, ioBound = true,
+      baseSec = 1.0, baseCtl = 0.0, sec = 900.0, ctl = 2.0),
+      "a zero base control must fall back to the wall-clock bound")
+  }
+
+  test("every construction-runs-corpus-jobs query has a construction-audit " +
+    "factor") {
+    // r17 verdict ask 2's drift guard: a query added to the construction
+    // skip list without an entry here would silently fall back to the
+    // pre-r17 skip-outright behavior — its plan at scale unaudited.
+    assert(Scale.ConstructionAuditFactors.keySet ==
+        SparkEntry.constructionRunsCorpusJobs,
+      s"ConstructionAuditFactors drifted from constructionRunsCorpusJobs: " +
+        s"missing=${SparkEntry.constructionRunsCorpusJobs --
+          Scale.ConstructionAuditFactors.keySet} " +
+        s"extra=${Scale.ConstructionAuditFactors.keySet --
+          SparkEntry.constructionRunsCorpusJobs}")
+    // audit factors must be real sweep factors (the committed recipe
+    // synthesizes exactly these dirs)
+    Scale.ConstructionAuditFactors.values.foreach(f =>
+      assert(Scale.CommittedSweepFactors.contains(f),
+        s"construction-audit factor $f is not in the committed recipe"))
+  }
+
   test("copy bijections are pairwise DISTANT through ×65") {
     // distinctness is not enough: two maps agreeing on most of the
     // alphabet make their copies byte-level near-duplicates (r14 found
@@ -133,39 +183,54 @@ class ScaleSpec extends SparkSpec {
       "custkey-grouped aggregate must stay corpus-scale under the walk")
   }
 
-  test("q5's dim joins are stats-ADAPTIVE after the hint removal: scaling " +
+  test("dim-join adaptivity across ALL SIX hint-removed queries: scaling " +
     "dims flip past the threshold, fixed dims stay hinted-broadcast") {
-    // the r16 hint-removal's empirical half: at the default threshold the
-    // planner broadcasts customer/supplier from accurate stats (today's
-    // fast plan); when the dims outgrow the threshold — emulated by
-    // shrinking it, which is what growing data does to a fixed threshold
-    // — the SAME query flips those joins to shuffled strategies, while
-    // nation/region (fixed 25/5 rows, explicitly hinted) stay broadcast
-    // at ANY threshold. A pinned broadcast(customer) would fail the
-    // second half — exactly the 100 TB defect class the audit flags.
+    // the r16 hint-removal's empirical half, parameterized over the whole
+    // class (r17 verdict ask 4 — previously only q5 had the flip proof):
+    // at the default threshold the planner broadcasts the scaling dims
+    // (customer/supplier/part) from accurate stats (today's fast plan);
+    // when the dims outgrow the threshold — emulated by shrinking it,
+    // which is what growing data does to a fixed threshold — the SAME
+    // query flips those joins to shuffled strategies, while nation/region
+    // (fixed 25/5 rows, explicitly hinted) stay broadcast at ANY
+    // threshold. A pinned broadcast(customer) would fail the second half
+    // — exactly the 100 TB defect class the audit flags.
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def bhjKeys(threshold: String): Seq[String] = {
+    val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, Seq[String], Boolean)] = Seq(
+      ("q3", operators.Relational.q3TopRevenue, Seq("custkey"), false),
+      ("q5", operators.Relational.q5LocalSupplier,
+        Seq("custkey", "suppkey"), true),
+      ("q17", operators.Relational.q17PromoRatio, Seq("partkey"), false),
+      ("q29", operators.Coverage.q29WideStar,
+        Seq("custkey", "suppkey", "partkey"), true),
+      ("q30", operators.Coverage.q30Disjunctive, Seq("partkey"), false),
+      ("q31", operators.Coverage.q31VolumeShipping,
+        Seq("custkey", "suppkey"), true))
+    def bhjKeys(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, threshold: String): Seq[String] = {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-      try operators.Relational.q5LocalSupplier(spark, sf)
-        .queryExecution.sparkPlan.collect {
-          case b: BroadcastHashJoinExec => b.leftKeys.mkString(",")
-        }
+      try fn(spark, sf).queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec => b.leftKeys.mkString(",")
+      }
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
-    val atDefault = bhjKeys("10MB")
-    assert(atDefault.exists(_.contains("custkey")) &&
-        atDefault.exists(_.contains("suppkey")),
-      s"at test SF the scaling dims should broadcast from stats: $atDefault")
-    val pastThreshold = bhjKeys("1KB")
-    assert(!pastThreshold.exists(k =>
-        k.contains("custkey") || k.contains("suppkey")),
-      s"scaling-dim joins must FLIP once the dim outgrows the threshold " +
-        s"(a pinned broadcast cannot): $pastThreshold")
-    assert(pastThreshold.exists(k =>
-        k.contains("nationkey") || k.contains("regionkey")),
-      s"hinted fixed dims (nation/region) must stay broadcast at any " +
-        s"threshold: $pastThreshold")
+    cases.foreach { case (name, fn, scalingKeys, hasFixedDims) =>
+      val atDefault = bhjKeys(fn, "10MB")
+      scalingKeys.foreach(k => assert(atDefault.exists(_.contains(k)),
+        s"$name: at test SF the scaling dim '$k' should broadcast from " +
+          s"stats: $atDefault"))
+      val pastThreshold = bhjKeys(fn, "1KB")
+      scalingKeys.foreach(k => assert(!pastThreshold.exists(_.contains(k)),
+        s"$name: the '$k' join must FLIP once the dim outgrows the " +
+          s"threshold (a pinned broadcast cannot): $pastThreshold"))
+      if (hasFixedDims)
+        assert(pastThreshold.exists(k =>
+            k.contains("nationkey") || k.contains("regionkey")),
+          s"$name: hinted fixed dims (nation/region) must stay broadcast " +
+            s"at any threshold: $pastThreshold")
+    }
   }
 
   test("×8 blow-up: rows and candidates track each operator's banding model") {

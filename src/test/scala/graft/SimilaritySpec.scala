@@ -439,5 +439,20 @@ class SimilaritySpec extends SparkSpec {
     assert(lr3 > sr3,
       s"legacy absolute recall@10 ($lr3) no longer beats splitmix ($sr3) " +
         "at 3 bands — re-run the Sim12RecallAb keep-vs-migrate decision")
+    // sim3 — the SINGLE-band user of the same legacy family — gets the
+    // same measured keep-decision (r17 verdict ask 6): at 1 band the
+    // legacy planes' component bias makes ~2.5× bigger buckets (measured
+    // 868 vs 344 candidates) and that bucket mass buys strictly higher
+    // absolute recall@10 (0.12 vs 0.05) at sim3's served shape, so the
+    // last LCG-plane user keeps its family as a measured choice, not an
+    // omission. Recall-contracted families (dd16/dd19) still must use
+    // splitmix — that rule is pinned above via the multiplier gap.
+    assert(lr1 > sr1,
+      s"sim3's 1-band keep-decision inverted: legacy recall@10 ($lr1) " +
+        s"must beat splitmix ($sr1) — re-run Sim12RecallAb and " +
+        "re-adjudicate the plane family")
+    assert(lc1 > sc1 * 2,
+      s"the mechanism behind sim3's keep-decision (legacy's ~2.5× bucket " +
+        s"mass) is gone: $lc1 vs $sc1 candidates — re-measure")
   }
 }
