@@ -401,7 +401,14 @@ object Scale {
     // fixture self-pairs — the copy mass IS near-dup mass at cos 0.99),
     // hence the prodspec model; found rows are the self-pairs exactly
     // (recall ≈ 1 at cos 0.99: per-band keep 0.48, miss ≈ 0.52^45).
-    Op("dd19_banded_prod", operators.Dedup.semanticDedupProd,
+    // NOTE the name: dd19_prod_RAW — the registry query dd19_banded_prod
+    // serves the landed jittered-copy fixture (guaranteed cos >= 0.9
+    // mass, hash-oracled); this sweep row measures the same operator
+    // over the RAW corpus, whose base output is empty by corpus
+    // construction. Distinct names keep cross-artifact triage honest
+    // (r17 review: one name for two pipelines conflated scale.json
+    // rows with bench/verify numbers).
+    Op("dd19_prod_raw", operators.Dedup.semanticDedupProd,
       (s, d) => operators.Dedup.semanticDedupProdCandidates(s, d).count(),
       "prodspec", maxFactor = 32,
       extra = (s, d) => {
@@ -995,11 +1002,11 @@ object Scale {
       // purpose despite that build cost at ×64 — sim18's tombstone
       // broadcast was found exactly there; the build is minutes-bounded
       // (embeddings stay small under blow-up; the docs store land is one
-      // pass) and the audit runs once per committed sweep. x44 is NOT
-      // among them (r16): its build ingests the full fact table
-      // in-memory, so it sits in constructionRunsCorpusJobs and its
-      // plan shape is UNAUDITED — covered by x32/x36-family scans of
-      // the same connector instead.
+      // pass) and the audit runs once per committed sweep. x44's build
+      // ingests the full fact table in-memory, so it sits in
+      // constructionRunsCorpusJobs and audits at ×16 via
+      // [[ConstructionAuditFactors]] (its ×64 ingest OOM'd the r16
+      // audit JVM).
       else if (allowed(name))
         skipped += name -> "allow-listed deliberate broadcast (see audit source)"
       else {
@@ -1190,8 +1197,14 @@ object Scale {
       s""""construction_audited":$constructionJson,""" +
       s""""skipped":${arr(skipped, "reason")}}"""
     // ≥ the committed recipe's top factor (r17 advice — was ≥32, which
-    // let a ×32 run silently replace the committed ×64 audit)
-    if (factors.max >= CommittedSweepFactors.max) {
+    // let a ×32 run silently replace the committed ×64 audit) AND every
+    // construction-audit factor's dir present (r17 review: an audit-only
+    // "1,64" run would otherwise overwrite the committed artifact with
+    // construction_audited:[] — the same clobber class again). The
+    // audit-only refresh recipe is therefore "1,16,32,64 none".
+    val constructionCovered =
+      ConstructionAuditFactors.values.forall(f => dirs.contains(f))
+    if (factors.max >= CommittedSweepFactors.max && constructionCovered) {
       val auditOut = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", ".") + "/plan_audit.json").toAbsolutePath
       java.nio.file.Files.write(auditOut,
@@ -1200,8 +1213,10 @@ object Scale {
         s"${flagged.size} flagged, ${construction.size} construction-audited " +
         s"(${construction.map(_._3.size).sum} flags), " +
         s"${skipped.size} skipped → $auditOut")
-    } else System.err.println(s"[scale] corpus-broadcast audit (factor < " +
-      s"${CommittedSweepFactors.max}, artifact NOT written): " +
+    } else System.err.println("[scale] corpus-broadcast audit (artifact " +
+      s"NOT written — needs factor ${CommittedSweepFactors.max} plus the " +
+      s"construction-audit dirs ${ConstructionAuditFactors.values.toSeq
+        .distinct.sorted.mkString("x", "/x", "")}): " +
       s"${flagged.size} flagged of $nAudited")
     flagged.foreach { case (q, d) => System.err.println(s"[scale]   $q: $d") }
     spark.stop()

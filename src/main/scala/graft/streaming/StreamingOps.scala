@@ -87,7 +87,10 @@ object StreamingOps {
       // size (AvailableNow drains to completion, so this is the run's
       // steady state, not a mid-drain sample)
       val progs = q.recentProgress
-      lastNumBatches = progs.length.toLong
+      // batch count from the last batchId, NOT the buffer length:
+      // recentProgress is capped (numRecentProgressUpdates, default 100)
+      // and includes no-data progress events (r17 review)
+      lastNumBatches = progs.lastOption.map(_.batchId + 1).getOrElse(-1L)
       val withState = progs.reverseIterator.find(_.stateOperators.nonEmpty)
       lastStateRows = withState
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)

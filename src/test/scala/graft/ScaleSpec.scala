@@ -56,8 +56,9 @@ class ScaleSpec extends SparkSpec {
     assert(!Scale.runtimeOk("prefix", 64, ioBound = true,
       baseSec = 8.0, baseCtl = 2.0, sec = 1200.0, ctl = 2.0),
       "a real ratio regression at flat control must fail the ratio budget")
-    // non-ioBound rows keep the wall-clock bound exactly: 512 s at ×64
-    // off an 8 s base trips base×64×1.6+15
+    // non-ioBound rows keep the wall-clock bound exactly: 900 s at ×64
+    // off an 8 s base trips base×64×1.6+15 = 834.2 (and would have
+    // PASSED the ratio budget at ctl 128 — the control must be ignored)
     assert(!Scale.runtimeOk("prefix", 64, ioBound = false,
       baseSec = 8.0, baseCtl = 2.0, sec = 900.0, ctl = 128.0),
       "wall-clock rows must ignore the control entirely")
