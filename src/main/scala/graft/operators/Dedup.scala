@@ -1241,7 +1241,15 @@ object Dedup {
       .select(col("doc_id"), col("source"))
     val toks = TextAnalysis.qualityScores0(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
-    keep.join(meta, Seq("doc_id")).join(toks, Seq("doc_id"))
+    // SHJ-pinned corpus-attach joins (the dd6/dd9/dd15 rule): keep rides
+    // the CACHED labels memo, whose pre-materialization sizeInBytes lies
+    // under the broadcast threshold, and keep/toks are ∝ corpus — at
+    // 100 TB either broadcast is a driver-sized corpus copy. Caught by
+    // the r17 construction audit's first ×32 run (two doc_id-keyed
+    // BroadcastHashJoins building the corpus side); per-task SHJ build =
+    // corpus/partitions, bounded when partitions scale with data.
+    keep.hint("shuffle_hash").join(meta, Seq("doc_id"))
+      .join(toks.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("kept", col("doc_id") === col("canonical_id"))
       .groupBy(col("source"))
       .agg(

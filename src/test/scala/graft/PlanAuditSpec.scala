@@ -165,7 +165,10 @@ class PlanAuditSpec extends SparkSpec {
       // post-prefilter; the unexploded b-side keeps its text)
       "mm6_perceptual_neardup" -> 2, // signature attaches
       "mm7_phash_serve" -> 2, // probe-batch + corpus index-sig attaches
-      "dd16_semantic_dedup" -> 2) // dd5-style embedding attaches
+      "dd16_semantic_dedup" -> 2, // dd5-style embedding attaches
+      // r17 construction-audit catch: keep rides the cached labels memo
+      // (pre-materialization stats lie) and keep/toks are ∝ corpus
+      "dd18_dedup_savings" -> 2) // keep + quality-token attaches
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
