@@ -491,6 +491,88 @@ object TextAnalysis {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
+  // ---- t19: iterative BPE trainer -----------------------------------------
+
+  private[graft] val BpeTrainMerges = 6
+
+  /** t19: the iterative BPE TRAINER — the full merge LIST a tokenizer ships,
+    * where t13 registers only the first decision. Standard word-frequency
+    * compression: the corpus is scanned ONCE into a (distinct word, tf)
+    * table; every merge round after that touches only the vocab — count
+    * adjacent symbol pairs weighted by tf, take the global argmax (ties to
+    * the lexicographically smallest pair), apply the merge, repeat.
+    * [[BpeTrainMerges]] rounds are registered so the DuckDB oracle (the
+    * identical loop unrolled into chained CTEs) stays tractable while the
+    * whole train shape — compress, count, choose, apply, iterate — is
+    * exercised for real.
+    *
+    * MERGE APPLICATION is the greedy left-to-right non-overlapping rule
+    * every BPE implementation uses, expressed as a plain string `replace`
+    * over a double-space symbol encoding ("  h  e  l  l  o  "): the search
+    * pattern " a  b " consumes one flanking space from each side and the
+    * replacement " ab " restores it, so DISJOINT adjacent occurrences all
+    * merge in one pass (the survivor space still leads the next match)
+    * while OVERLAPPING ones resolve leftmost-first — `replace`'s
+    * leftmost-non-overlapping forward scan IS the BPE application rule,
+    * and Spark (UTF8String.replace) and DuckDB share those semantics
+    * (spec'd against a driver-side reference trainer over adversarial
+    * repeat words in TextMultimodalSpec). Tokens are whitespace-split
+    * ([[graft.functions.Text.tokens]]) so the space separator can never
+    * collide with a symbol byte.
+    *
+    * SCALE SHAPE: the corpus-sized explode happens exactly once (the tf
+    * count — one shuffle keyed on the word, partial-aggregated map-side);
+    * each merge round is VOCAB-sized: one pair-count shuffle keyed on the
+    * pair plus a top-1 TakeOrderedAndProject collect (bound = 1 row/round,
+    * declared in PlanAuditSpec), and the merge application is a map-side
+    * `replace` layered lazily over the one persisted vocab scan. At 100 TB
+    * the vocab table is ~1e8 rows against a ~1e11-document corpus, so K
+    * rounds cost K vocab-sized jobs and never re-read the corpus; a
+    * production trainer batching thousands of merges would additionally
+    * hold the pair heap driver-side between rounds — the distributed step
+    * it repeats is exactly the round registered here. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir)
+      .select(explode(col("_toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .filter(length(col("tok")) >= 2)
+      .select(concat(lit("  "),
+        array_join(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))), "  "), lit("  ")).as("s"),
+        col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var vocab = base
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= BpeTrainMerges && !exhausted) {
+        val top = vocab
+          .select(col("tf"), split(trim(col("s")), "  ").as("y"))
+          .filter(size(col("y")) >= 2) // sequence(1, n<1) would count DOWN
+          .select(col("tf"), explode(transform(
+            sequence(lit(1), size(col("y")) - 1),
+            i => concat(element_at(col("y"), i), lit(" "),
+              element_at(col("y"), i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r.toLong, a, b, a + b, top(0).getLong(1)))
+          // one more lazy map-side replace over the single persisted scan
+          vocab = vocab.withColumn("s",
+            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+          r += 1
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    merges.result().toDF("rank", "lhs", "rhs", "merged", "n_pairs")
+  }
+
   // ---- t16: corpus diversity per source ----------------------------------
 
   /** t16: CORPUS DIVERSITY per source — the type-token ratio and word
@@ -698,6 +780,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_context_chunks" -> contextChunks,
     "t13_bpe_pairs" -> bpePairs,
+    "t19_bpe_train" -> bpeTrain,
     "t14_heavy_hitters" -> heavyHitters,
     "t15_lang_confusion" -> langConfusion,
     "t10_bigram_support" -> bigramSupport,
@@ -734,6 +817,44 @@ object TextAnalysis {
          |        / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
          |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
     }
+
+  /** t19's oracle: the trainer loop unrolled into [[BpeTrainMerges]] chained
+    * CTE stages, each mirroring one Spark round exactly — decode the
+    * double-space encoding (`str_split(trim(s), '  ')`), count weighted
+    * adjacent pairs, pick the argmax with the identical (n_pairs DESC, pair)
+    * tie-break, and apply the merge through the same one-flanking-space
+    * `replace` pattern, whose leftmost-non-overlapping scan DuckDB shares
+    * with Spark. Lazy: references [[Toks]], declared later in object init
+    * (the sim11/sim20 init-order trap). */
+  private lazy val T19Oracle: String = {
+    val stages = (1 to BpeTrainMerges).map { r =>
+      s"""y$r AS (SELECT str_split(trim(s), '  ') AS y, tf FROM v${r - 1}),
+         |p$r AS (SELECT unnest(list_transform(generate_series(1, len(y) - 1),
+         |          i -> y[i] || ' ' || y[i + 1])) AS pair, tf
+         |        FROM y$r WHERE len(y) >= 2),
+         |c$r AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n_pairs
+         |        FROM p$r GROUP BY pair),
+         |m$r AS (SELECT split_part(pair, ' ', 1) AS lhs,
+         |               split_part(pair, ' ', 2) AS rhs,
+         |               replace(pair, ' ', '') AS merged, n_pairs
+         |        FROM c$r ORDER BY n_pairs DESC, pair LIMIT 1),
+         |v$r AS (SELECT replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |                       ' ' || m.merged || ' ') AS s, v.tf
+         |        FROM v${r - 1} v, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeTrainMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, merged, n_pairs FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT unnest($Toks) AS tok FROM documents),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM e
+       |       WHERE length(tok) >= 2 GROUP BY tok),
+       |v0 AS (SELECT '  ' || array_to_string(list_transform(
+       |         generate_series(1, length(tok)), i -> substr(tok, i, 1)),
+       |         '  ') || '  ' AS s, tf FROM tf),
+       |$stages
+       |$union
+       |ORDER BY rank""".stripMargin
+  }
 
   // t6's oracle, factored so t15's confusion matrix embeds the identical
   // scoring text (lazy: references CharNgrams during object init)
@@ -798,6 +919,7 @@ object TextAnalysis {
          |      FROM s)
          |SELECT CAST(rank AS BIGINT) AS rank, pair, n_pairs
          |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
+    "t19_bpe_train" -> T19Oracle,
     "t10_bigram_support" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
          |b0 AS (SELECT doc_id,

@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim23_mmr_topk" -> ("10 probes × k=4 diversified picks", 10L * 4),
     "t13_bpe_pairs" ->
       ("top BpeTopPairs pairs", operators.TextAnalysis.BpeTopPairs.toLong),
+    "t19_bpe_train" ->
+      ("one merge row per train round",
+        operators.TextAnalysis.BpeTrainMerges.toLong),
     "t14_heavy_hitters" ->
       ("≤ MgCounters survivors", operators.TextAnalysis.MgCounters.toLong),
     // x36 returns the per-(source, lang) aggregate eagerly (the catalog

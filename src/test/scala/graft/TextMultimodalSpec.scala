@@ -280,6 +280,86 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == want, "distributed BPE pair counts diverge from driver truth")
   }
 
+  /** Canonical greedy left-to-right non-overlapping BPE merge on a symbol
+    * array — the reference semantics t19's replace-encoding must match. */
+  private def refMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refBpeTrain(tf: Map[String, Long], k: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab = tf.toSeq.filter(_._1.length >= 2)
+      .map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1L
+    var done = false
+    while (r <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a + " " + b) }
+        out += ((r, a, b, a + b, n))
+        vocab = vocab.map { case (syms, m) => (refMerge(syms, a, b), m) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("t19 BPE train matches a driver-side reference trainer") {
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val toks = graft.functions.Text
+      .withTokens(Catalog.table(spark, sf, "documents"))
+      .select(explode(col("_toks")).as("t")).collect().map(_.getString(0))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = refBpeTrain(tf, TextAnalysis.BpeTrainMerges)
+    assert(got == want, "distributed BPE merge list diverges from driver truth")
+    assert(got.size == TextAnalysis.BpeTrainMerges)
+    // merge counts are non-increasing: every pair involving a freshly merged
+    // symbol is bounded by the count of the pair that produced it
+    got.map(_._5).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1), s"merge counts rose: $got")
+    }
+    got.foreach { case (_, a, b, m, _) => assert(m == a + b) }
+  }
+
+  test("t19 replace-encoding merge equals canonical greedy on repeat words") {
+    // overlapping runs, disjoint adjacencies, and partial-overlap traps:
+    // the double-space encoding with one-flanking-space patterns must
+    // resolve each exactly as the canonical left-to-right rule does
+    val words = Seq("aaaa", "aaa", "aaaaa", "abab", "aab", "baaab",
+      "xaaay", "abba", "aabb")
+    val enc = (w: String) => "  " + w.map(_.toString).mkString("  ") + "  "
+    val out = words.map { w =>
+      val s = enc(w)
+      // same expression t19 applies, evaluated through Spark
+      val df = spark.range(1).select(
+        replace(lit(s), lit(" a  a "), lit(" aa ")).as("m"))
+      df.head().getString(0)
+    }
+    words.zip(out).foreach { case (w, m) =>
+      val wantSyms = refMerge(w.map(_.toString).toVector, "a", "a")
+      val gotSyms = m.trim.split("  ").toVector
+      assert(gotSyms == wantSyms,
+        s"word $w: replace-encoding gave $gotSyms, canonical greedy $wantSyms")
+    }
+  }
+
   test("t17 repetition signals match a driver-side recompute") {
     val got = TextAnalysis.repetitionSignals(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
