@@ -950,7 +950,8 @@ object Scale {
   private[graft] val ConstructionAuditFactors: Map[String, Int] = Map(
     "dd8_dedup_clusters" -> 32, "dd17_canonical_keep" -> 32,
     "dd18_dedup_savings" -> 32, "p1_pipeline_manifest" -> 32,
-    "p11_landed_shards" -> 32, "x44_columnar_scan" -> 16)
+    "p11_landed_shards" -> 32, "x44_columnar_scan" -> 16,
+    "t20_bpe_fertility" -> 32)
 
   /** Full audit: (flagged, skipped) at `dir` plus the construction-query
     * audit at the per-query factors of [[ConstructionAuditFactors]] whose

@@ -44,7 +44,8 @@ object SparkEntry {
     * these too, since "plan it at the ×64 corpus" would mean "run it". */
   val constructionRunsCorpusJobs: Set[String] = Set(
     "dd8_dedup_clusters", "dd17_canonical_keep", "dd18_dedup_savings",
-    "p1_pipeline_manifest", "p11_landed_shards", "x44_columnar_scan")
+    "p1_pipeline_manifest", "p11_landed_shards", "x44_columnar_scan",
+    "t20_bpe_fertility")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -533,11 +533,26 @@ object TextAnalysis {
     * it repeats is exactly the round registered here. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainMerges(spark, dir)._1
+      .toDF("rank", "lhs", "rhs", "merged", "n_pairs")
+  }
+
+  /** The shared train loop behind t19 (the merge list) and t20 (fertility
+    * of the trained tokenizer). Returns the collected merges plus the final
+    * (tok, s, tf) vocab frame with every merge applied. The loop's rounds
+    * run against a persisted vocab scan that is unpersisted (non-blocking)
+    * before returning, so a caller that EXECUTES the returned frame (t20)
+    * recomputes it from lineage — one corpus scan plus K map-side replaces,
+    * the same cost class as any single t-query — instead of holding a
+    * session-lifetime cache the verify harness would leak across 190+
+    * queries. */
+  private def trainMerges(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val base = docs(spark, dir)
       .select(explode(col("_toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .filter(length(col("tok")) >= 2)
-      .select(concat(lit("  "),
+      .select(col("tok"), concat(lit("  "),
         array_join(transform(sequence(lit(1), length(col("tok"))),
           i => col("tok").substr(i, lit(1))), "  "), lit("  ")).as("s"),
         col("tf"))
@@ -570,7 +585,51 @@ object TextAnalysis {
         }
       }
     } finally base.unpersist(blocking = false)
-    merges.result().toDF("rank", "lhs", "rhs", "merged", "n_pairs")
+    (merges.result(), vocab)
+  }
+
+  /** t20: FERTILITY of the trained tokenizer — evaluate t19's merge list on
+    * the corpus it was trained on, per source: words, characters, post-merge
+    * symbols, fertility (symbols per word — the number a tokenizer team
+    * tracks across corpora before shipping a vocab) and compression
+    * (characters per symbol). This is the evaluation step that makes a
+    * trained merge list a decision: a source whose fertility stays near its
+    * word length is one the vocabulary doesn't cover.
+    *
+    * SCALE SHAPE: the corpus collapses to a (source, tok) count in its one
+    * explode (vocab-sized per source, partial-aggregated); the symbol
+    * counts come from the trained vocab frame (also tok-keyed, vocab-sized),
+    * so the only join runs vocab-sized × vocab-sized on `tok` — Catalyst
+    * picks the strategy from stats, unhinted: at test SFs the symbol side
+    * broadcasts, at 100 TB (vocab ~1e8 rows) it flips to a shuffled join on
+    * the shared tok key. The corpus-broadcast audit passes tok-keyed
+    * aggregates by rule — their cardinality is vocabulary, not corpus.
+    * Length-1 words train no merges and are filtered from the vocab, so the
+    * join is LEFT and their symbol count coalesces to 1 (a single-char word
+    * is always exactly one symbol). Fertility/compression are ratios of
+    * exact BIGINTs — both engines IEEE-divide the same integers, so plain
+    * DOUBLE division is deterministic (the t16 ttr rule). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val syms = trainMerges(spark, dir)._2
+      .select(col("tok"),
+        asLong(size(split(trim(col("s")), "  "))).as("n_syms"))
+    val occ = docs(spark, dir)
+      .select(col("source"), explode(col("_toks")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    occ.join(syms, Seq("tok"), "left")
+      .select(col("source"), col("c"),
+        coalesce(col("n_syms"), lit(1L)).as("n_syms"),
+        length(col("tok")).cast(org.apache.spark.sql.types.LongType)
+          .as("len"))
+      .groupBy(col("source")).agg(
+        asLong(sum(col("c"))).as("n_words"),
+        asLong(sum(col("c") * col("len"))).as("n_chars"),
+        asLong(sum(col("c") * col("n_syms"))).as("n_symbols"),
+        (sum(col("c") * col("n_syms")).cast(DoubleType) /
+          sum(col("c")).cast(DoubleType)).as("fertility"),
+        (sum(col("c") * col("len")).cast(DoubleType) /
+          sum(col("c") * col("n_syms")).cast(DoubleType)).as("compression"))
+      .orderBy("source")
   }
 
   // ---- t16: corpus diversity per source ----------------------------------
@@ -781,6 +840,7 @@ object TextAnalysis {
     "t12_context_chunks" -> contextChunks,
     "t13_bpe_pairs" -> bpePairs,
     "t19_bpe_train" -> bpeTrain,
+    "t20_bpe_fertility" -> bpeFertility,
     "t14_heavy_hitters" -> heavyHitters,
     "t15_lang_confusion" -> langConfusion,
     "t10_bigram_support" -> bigramSupport,
@@ -826,7 +886,7 @@ object TextAnalysis {
     * `replace` pattern, whose leftmost-non-overlapping scan DuckDB shares
     * with Spark. Lazy: references [[Toks]], declared later in object init
     * (the sim11/sim20 init-order trap). */
-  private lazy val T19Oracle: String = {
+  private lazy val T19Stages: String = {
     val stages = (1 to BpeTrainMerges).map { r =>
       s"""y$r AS (SELECT str_split(trim(s), '  ') AS y, tf FROM v${r - 1}),
          |p$r AS (SELECT unnest(list_transform(generate_series(1, len(y) - 1),
@@ -838,23 +898,53 @@ object TextAnalysis {
          |               split_part(pair, ' ', 2) AS rhs,
          |               replace(pair, ' ', '') AS merged, n_pairs
          |        FROM c$r ORDER BY n_pairs DESC, pair LIMIT 1),
-         |v$r AS (SELECT replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |v$r AS (SELECT v.tok,
+         |               replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
          |                       ' ' || m.merged || ' ') AS s, v.tf
          |        FROM v${r - 1} v, m$r m)""".stripMargin
     }.mkString(",\n")
+    s"""e AS (SELECT unnest($Toks) AS tok FROM documents),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM e
+       |       WHERE length(tok) >= 2 GROUP BY tok),
+       |v0 AS (SELECT tok, '  ' || array_to_string(list_transform(
+       |         generate_series(1, length(tok)), i -> substr(tok, i, 1)),
+       |         '  ') || '  ' AS s, tf FROM tf),
+       |$stages""".stripMargin
+  }
+
+  private lazy val T19Oracle: String = {
     val union = (1 to BpeTrainMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, merged, n_pairs FROM m$r")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT unnest($Toks) AS tok FROM documents),
-       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM e
-       |       WHERE length(tok) >= 2 GROUP BY tok),
-       |v0 AS (SELECT '  ' || array_to_string(list_transform(
-       |         generate_series(1, length(tok)), i -> substr(tok, i, 1)),
-       |         '  ') || '  ' AS s, tf FROM tf),
-       |$stages
+    s"""WITH $T19Stages
        |$union
        |ORDER BY rank""".stripMargin
   }
+
+  /** t20's oracle: the shared train chain's final vocab (v$K) supplies the
+    * per-word symbol count; the corpus supplies a (source, tok) count; the
+    * fertility/compression ratios divide the identical exact BIGINTs both
+    * engines computed (plain DOUBLE division — the t16 ttr rule). */
+  private lazy val T20Oracle: String =
+    s"""WITH $T19Stages,
+       |occ AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT source, unnest($Toks) AS tok FROM documents)
+       |        GROUP BY source, tok),
+       |sy AS (SELECT tok,
+       |         CAST(len(str_split(trim(s), '  ')) AS BIGINT) AS n_syms
+       |       FROM v$BpeTrainMerges),
+       |j AS (SELECT source, c, coalesce(sy.n_syms, 1) AS n_syms,
+       |        CAST(length(occ.tok) AS BIGINT) AS len
+       |      FROM occ LEFT JOIN sy ON occ.tok = sy.tok)
+       |SELECT source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * len) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * n_syms) AS BIGINT) AS n_symbols,
+       |  CAST(CAST(sum(c * n_syms) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS fertility,
+       |  CAST(CAST(sum(c * len) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(c * n_syms) AS BIGINT) AS DOUBLE) AS compression
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   // t6's oracle, factored so t15's confusion matrix embeds the identical
   // scoring text (lazy: references CharNgrams during object init)
@@ -920,6 +1010,7 @@ object TextAnalysis {
          |SELECT CAST(rank AS BIGINT) AS rank, pair, n_pairs
          |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
     "t19_bpe_train" -> T19Oracle,
+    "t20_bpe_fertility" -> T20Oracle,
     "t10_bigram_support" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
          |b0 AS (SELECT doc_id,

@@ -360,6 +360,37 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("t20 fertility of the trained tokenizer matches a driver-side recompute") {
+    val got = TextAnalysis.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val docs = Catalog.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+    // the corpus fixture is lowercase/single-spaced; mirror Text.tokens
+    val tokensOf = (t: String) =>
+      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    val tf = docs.flatMap(r => tokensOf(r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val merges = refBpeTrain(tf, TextAnalysis.BpeTrainMerges)
+    val nSyms = tf.keysIterator.filter(_.length >= 2).map { w =>
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (_, a, b, _, _) => syms = refMerge(syms, a, b) }
+      w -> syms.length.toLong
+    }.toMap
+    val bySource = docs.groupBy(_.getString(0))
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val toks = rows.flatMap(r => tokensOf(r.getString(1)))
+      val words = toks.length.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val symbols = toks.map(t => nSyms.getOrElse(t, 1L)).sum
+      val (gw, gc, gs, gf, gcomp) = got(src)
+      assert((gw, gc, gs) == ((words, chars, symbols)), s"source $src counts")
+      assert(gf == symbols.toDouble / words, s"source $src fertility")
+      assert(gcomp == chars.toDouble / symbols, s"source $src compression")
+    }
+  }
+
   test("t17 repetition signals match a driver-side recompute") {
     val got = TextAnalysis.repetitionSignals(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
