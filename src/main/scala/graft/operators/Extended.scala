@@ -916,6 +916,54 @@ object Extended {
       .orderBy("source")
   }
 
+  /** x46: MERGE INTO — the lakehouse UPSERT, closing the row-level half of
+    * the store's table format (x39 gave it metadata DELETE, x41 time
+    * travel, x45 OPTIMIZE; updates previously required rewriting the store
+    * by hand). The statement runs Spark's GROUP-BASED copy-on-write
+    * rewrite against the connector's `SupportsRowLevelOperations` surface
+    * ([[graft.sources.GraftRowLevelOperation]]): matched rows update,
+    * unmatched source rows insert, blocks whose min/max stats the runtime
+    * group filter exonerates are never read or rewritten (spec-asserted by
+    * block REFERENCE identity across the merge), and the commit is an
+    * optimistic validate-and-swap on the store's layout generation.
+    *
+    * The registered query lands documents as a catalog table, MERGEs an
+    * update set (every doc_id % 10 == 3 reclassified lang 'xx', n_chars
+    * recounted +7) plus an insert set (offset copies of doc_id % 10 == 7
+    * tagged lang 'new'), and returns the post-merge per-lang inventory;
+    * the oracle computes the same post-merge state declaratively from
+    * parquet (LEFT JOIN for the updates, UNION ALL for the inserts). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    withBlockTable(spark, dir, "graft_merge_table", s"merge:$dir",
+      "x46_docs") {
+      spark.sql(
+        """CREATE OR REPLACE TEMP VIEW x46_updates AS
+          |SELECT doc_id, text, 'xx' AS lang, source, n_chars + 7 AS n_chars
+          |FROM x46_docs WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 100000000 AS doc_id, text, 'new' AS lang, source,
+          |       n_chars
+          |FROM x46_docs WHERE doc_id % 10 = 7""".stripMargin)
+      try {
+        spark.sql(
+          """MERGE INTO graft_merge_table t USING x46_updates s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET
+            |  lang = s.lang, n_chars = s.n_chars
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        eager(spark, spark.sql(
+          """SELECT lang,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM graft_merge_table
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+      } finally {
+        try spark.catalog.dropTempView("x46_updates")
+        catch { case _: Exception => }
+      }
+    }
+
   /** x44: an aggregate whose scan PLANS COLUMNAR — the connector hands
     * Spark ColumnarBatches (one per block) and the plan runs the
     * vectorized ColumnarToRow transition, the execution shape parquet
@@ -995,6 +1043,7 @@ object Extended {
     "x43_width_bucket" -> widthBucketHistogram,
     "x44_columnar_scan" -> columnarStoreAgg,
     "x45_store_optimize" -> blockStoreOptimize,
+    "x46_merge_upsert" -> mergeUpsert,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -1043,6 +1092,21 @@ object Extended {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     // fragmented-ingest + DELETE + OPTIMIZE must preserve content exactly:
+    // the post-merge state, declaratively: LEFT JOIN applies the updates,
+    // UNION ALL the inserts — what the store must hold after MERGE INTO
+    "x46_merge_upsert" ->
+      """WITH up AS (SELECT doc_id, 'xx' AS lang, n_chars + 7 AS n_chars
+        |            FROM documents WHERE doc_id % 10 = 3),
+        |ins AS (SELECT doc_id + 100000000 AS doc_id, 'new' AS lang, n_chars
+        |        FROM documents WHERE doc_id % 10 = 7),
+        |m AS (SELECT d.doc_id, coalesce(u.lang, d.lang) AS lang,
+        |             coalesce(u.n_chars, d.n_chars) AS n_chars
+        |      FROM documents d LEFT JOIN up u ON d.doc_id = u.doc_id
+        |      UNION ALL SELECT doc_id, lang, n_chars FROM ins)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // the oracle is the same aggregate straight over parquet
     "x45_store_optimize" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -599,11 +599,12 @@ object TextAnalysis {
     * SCALE SHAPE: the corpus collapses to a (source, tok) count in its one
     * explode (vocab-sized per source, partial-aggregated); the symbol
     * counts come from the trained vocab frame (also tok-keyed, vocab-sized),
-    * so the only join runs vocab-sized × vocab-sized on `tok` — Catalyst
-    * picks the strategy from stats, unhinted: at test SFs the symbol side
-    * broadcasts, at 100 TB (vocab ~1e8 rows) it flips to a shuffled join on
-    * the shared tok key. The corpus-broadcast audit passes tok-keyed
-    * aggregates by rule — their cardinality is vocabulary, not corpus.
+    * so the only join runs vocab-sized × vocab-sized on `tok`. The vocab
+    * attach is PINNED shuffle-hash: a tok-keyed distinct is VOCABULARY-
+    * sized, which grows with the corpus (~1e8 rows at 100 TB — unlike a
+    * fixed dim), and the ×32 construction audit caught exactly this build
+    * planning as a broadcast from file-size stats (the dd18 adjudication
+    * class: corpus-derived build sides get SHJ pins, never broadcast).
     * Length-1 words train no merges and are filtered from the vocab, so the
     * join is LEFT and their symbol count coalesces to 1 (a single-char word
     * is always exactly one symbol). Fertility/compression are ratios of
@@ -616,7 +617,7 @@ object TextAnalysis {
     val occ = docs(spark, dir)
       .select(col("source"), explode(col("_toks")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-    occ.join(syms, Seq("tok"), "left")
+    occ.join(syms.hint("shuffle_hash"), Seq("tok"), "left")
       .select(col("source"), col("c"),
         coalesce(col("n_syms"), lit(1L)).as("n_syms"),
         length(col("tok")).cast(org.apache.spark.sql.types.LongType)

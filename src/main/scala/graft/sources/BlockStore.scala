@@ -814,6 +814,70 @@ object BlockStore {
     enforceBudget()
   }
 
+  /** Copy-on-write GROUP REPLACEMENT — the commit of a row-level MERGE /
+    * UPDATE / rewrite-DELETE (x46): atomically remove `victims` (the exact
+    * blocks the rewrite's copy-on-write scan planned, identified by
+    * REFERENCE — blocks are immutable, so a reference names one block
+    * forever) and promote the staged blocks of `stagingKey` in their
+    * place. Optimistic concurrency in the Iceberg/Delta validate-and-swap
+    * style: refuses if the layout generation moved since the scan planned
+    * (a concurrent DELETE/OPTIMIZE/merge rewrote the store — retrying
+    * re-reads current groups), while APPENDS between plan and commit don't
+    * bump the generation and survive untouched (snapshot semantics: rows
+    * appended after the merge's scan were not part of its snapshot and are
+    * not merged — exactly a lakehouse table's serializable-snapshot
+    * contract). `expectedGen` = -1 marks a rewrite whose scan planned zero
+    * groups (a pure-insert MERGE): victims must be empty and the commit is
+    * an ordinary append. Like every rewrite path, refused while a
+    * streaming reader holds positional offsets, parity-bumped around the
+    * swap, and recorded as a time-travel version. */
+  private[sources] def replaceBlocks(stagingKey: String, target: String,
+      partitionIds: Seq[Int], victims: Array[Block],
+      expectedGen: Long): Unit = fenceLock.synchronized {
+    require(liveStreamReaders(target) == 0,
+      s"cannot rewrite store '$target': ${liveStreamReaders(target)} live " +
+        "streaming reader(s) hold positional offsets into it — stop the " +
+        "stream(s) first")
+    require(shardingOf(target).isEmpty,
+      s"cannot rewrite SPJ-sharded store '$target': rewritten blocks " +
+        "carry no shard assignment and would be invisible to its " +
+        "key-grouped scans")
+    require(expectedGen >= 0 || victims.isEmpty,
+      "row-level rewrite commit carries victims but no planned generation")
+    // assemble BEFORE the opening bump: any throw between the bumps would
+    // strand the generation at odd parity (the promoteInto rule)
+    val s = staged.remove(stagingKey)
+    stagedSince.remove(stagingKey): Unit
+    expireWriteLease(stagingKey)
+    val fresh: Array[Block] =
+      if (s == null) Array.empty
+      else partitionIds.sorted.flatMap(pid => Option(s.get(pid))).toArray
+    require(expectedGen < 0 || stableLayoutGeneration(target) == expectedGen,
+      s"concurrent layout rewrite on '$target' since the row-level scan " +
+        s"planned (generation $expectedGen -> " +
+        s"${stableLayoutGeneration(target)}) — retry the statement")
+    bumpLayoutGen(target)
+    try {
+      val victimSet = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Block, java.lang.Boolean]())
+      victims.foreach(victimSet.add)
+      val after = stores.compute(target, (_, v) => {
+        val cur = if (v == null) Array.empty[Block] else v
+        val present = cur.count(victimSet.contains)
+        // the generation check above already rules a rewrite out; this
+        // names the defect loudly if a new rewrite path ever forgets to
+        // bump (the CLAUDE.md parity-seqlock rule)
+        require(present == victimSet.size,
+          s"${victimSet.size - present} scanned block(s) vanished from " +
+            s"'$target' before the row-level commit without a generation " +
+            "bump — a rewrite path is missing bumpLayoutGen")
+        cur.filterNot(victimSet.contains) ++ fresh
+      })
+      recordVersion(target, after)
+    } finally completeLayoutRewrite(target)
+    enforceBudget()
+  }
+
   // ---- time travel (versionAsOf) -----------------------------------------
   //
   // Every TRANSACTIONAL commit — batch promote, streaming epoch, DELETE —

@@ -64,7 +64,24 @@ class BlockStoreSource extends TableProvider {
 private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Row-level operations (x46): MERGE / UPDATE / non-metadata DELETE plan
+    * as group-based copy-on-write rewrites over block-granular groups (see
+    * [[GraftRowLevelOperation]]). Metadata-translatable DELETEs keep the
+    * [[deleteWhere]] fast path — Spark's OptimizeMetadataOnlyDeleteFromTable
+    * restores it when every conjunct translates — so declaring row-level
+    * support upgrades the previously-refused statements (MERGE, UPDATE,
+    * residual-predicate DELETE) without touching the x39 path. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(store, tableSchema, info.command())
+    }
 
   /** Hidden METADATA columns (x40 — parquet's `_metadata` contract on the
     * block store): each row can expose its enclosing block's placement
@@ -166,7 +183,8 @@ private[sources] class BlockStoreTable(store: String, tableSchema: StructType)
 }
 
 private[sources] class BlockScanBuilder(store: String, full: StructType,
-    maxBlocksPerTrigger: Int = Int.MaxValue)
+    maxBlocksPerTrigger: Int = Int.MaxValue,
+    cowSink: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -298,6 +316,11 @@ private[sources] class BlockScanBuilder(store: String, full: StructType,
     }
 
   override def build(): Scan = (aggSpec, groupedCol) match {
+    // a COW scan never meets agg pushdown (rewrite plans carry no
+    // aggregates), but route it explicitly so the invariant is structural
+    case _ if cowSink.isDefined =>
+      new BlockScan(store, required, lo, hi, dict, maxBlocksPerTrigger,
+        cowSink)
     case (Some(specs), _) => new MetadataAggScan(store, specs)
     case (None, Some(c)) => new MetadataGroupedCountScan(store, c)
     case _ => new BlockScan(store, required, lo, hi, dict, maxBlocksPerTrigger)
@@ -403,7 +426,8 @@ private[sources] case class MetadataAggPartition(values: Array[Long])
 
 private[sources] class BlockScan(store: String, required: StructType,
     lo: Long, hi: Long, dict: Map[String, Set[String]] = Map.empty,
-    maxBlocksPerTrigger: Int = Int.MaxValue)
+    maxBlocksPerTrigger: Int = Int.MaxValue,
+    cowSink: Option[GraftRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -468,9 +492,15 @@ private[sources] class BlockScan(store: String, required: StructType,
 
   // only columns that SURVIVED column pruning may be offered: Spark
   // resolves these against the scan's (pruned) output and fails analysis
-  // on a name the projection dropped
+  // on a name the projection dropped. A COW rewrite scan offers doc_id
+  // ONLY: the row-level group-filtering rule packs ALL offered attributes
+  // into one named_struct(...) IN <subquery> — a shape the V1 filter
+  // conversion drops silently, so offering three columns means NO pruning
+  // reaches the scan at all; a single attribute arrives as the plain
+  // In(doc_id, values) the min/max stats prune on (static pushed dict
+  // filters still prune lang/source-conditioned rewrites).
   override def filterAttributes(): Array[NamedReference] =
-    Array("doc_id", "lang", "source")
+    (if (cowSink.isDefined) Array("doc_id") else Array("doc_id", "lang", "source"))
       .filter(required.fieldNames.contains)
       .map(Expressions.column)
 
@@ -552,9 +582,15 @@ private[sources] class BlockScan(store: String, required: StructType,
           else mine.map(i => ShardBlockPartition(snap, s, Array(i), store, gen))
         }.toArray[InputPartition]
       case None =>
-        arr.zipWithIndex.collect {
-          case (b, i) if survives(b) =>
-            BlockPartition(snap, i, store, gen): InputPartition
+        val survivors = arr.zipWithIndex.filter { case (b, _) => survives(b) }
+        // COW rewrite scan (x46): the surviving blocks ARE the groups the
+        // row-level commit replaces — record them with the generation they
+        // were planned under (the optimistic-commit token). Runtime group
+        // filtering has already narrowed the list by now, so blocks whose
+        // stats exonerate them are never recorded and never rewritten.
+        cowSink.foreach(_.recordPlan(survivors.map(_._1), gen))
+        survivors.map { case (_, i) =>
+          BlockPartition(snap, i, store, gen): InputPartition
         }
     }
   }
@@ -883,6 +919,110 @@ private[sources] class BlockBatchWrite(store: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     BlockStore.discardStaged(jobKey)
+}
+
+/** Row-level operation (x46): one MERGE / UPDATE / rewrite-DELETE
+  * statement's shared state between its copy-on-write scan and its
+  * replacement write — Spark's DSv2 GROUP-BASED rewrite contract
+  * (`RewriteMergeIntoTable` and friends plan it for tables declaring
+  * `SupportsRowLevelOperations` without `SupportsDelta`).
+  *
+  * GROUP GRANULARITY IS THE BLOCK. Spark's runtime group filtering
+  * (`spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled`,
+  * on by default) first joins the source onto the target to collect the
+  * MATCHED rows' join-key values and hands them to the COW scan as an
+  * `In(doc_id|lang|source, …)` runtime filter — the same
+  * SupportsRuntimeFiltering surface x35's DPP uses — so the scan plans
+  * only blocks whose min/max or dictionary stats intersect the matched
+  * keys. Those survivors are recorded here ([[recordPlan]]) together
+  * with the layout generation they were planned under; the write stages
+  * replacement blocks (untouched-row copies + updated + inserted rows)
+  * and the commit atomically swaps victims for replacements
+  * ([[BlockStore.replaceBlocks]]), re-validating the generation — the
+  * Iceberg/Delta optimistic validate-and-swap. Blocks the filter
+  * exonerates are never read and never rewritten (spec: untouched block
+  * REFERENCES survive a merge identically).
+  *
+  * 100 TB note: the handed key values are row-granular (a large IN list
+  * at scale); the upgrade path is a block-id metadata column as the
+  * filter attribute (Iceberg's `_file` discipline) so the matched-group
+  * set itself rides the broadcast. Block min/max pruning gives the same
+  * block-granular outcome at the registered scales, so the extra
+  * metadata column is documented, not implemented. */
+private[sources] class GraftRowLevelOperation(store: String,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Set by the COW scan at planInputPartitions (latest plan wins — AQE
+    * may re-plan): the exact blocks whose rows the rewrite read, and the
+    * stable layout generation they were planned under. Volatile pair read
+    * by the write's commit; a torn read across the two fields is ruled
+    * out because Spark plans the scan strictly before committing the
+    * write of the same statement. */
+  @volatile private[sources] var plannedVictims: Array[BlockStore.Block] =
+    Array.empty
+  @volatile private[sources] var plannedGen: Long = -1L
+
+  private[sources] def recordPlan(victims: Array[BlockStore.Block],
+      gen: Long): Unit = {
+    plannedVictims = victims
+    plannedGen = gen
+  }
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BlockScanBuilder(store, tableSchema, cowSink = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new ReplaceDataWrite(store, info.schema(), GraftRowLevelOperation.this)
+    }
+
+  override def description(): String = s"graft-cow-$cmd store=$store"
+}
+
+/** The replacement write of a row-level rewrite: stages blocks through the
+  * ordinary leased staging path (a crashed rewrite's staging is vacuumed
+  * like any other), then commits by swapping the operation's recorded
+  * victim blocks for the staged replacements. A rewrite whose scan planned
+  * zero groups (pure-insert MERGE) commits as a plain append. */
+private[sources] class ReplaceDataWrite(store: String, schema: StructType,
+    op: GraftRowLevelOperation) extends Write with BatchWrite {
+
+  private[sources] val jobKey =
+    store + "##cow-" + java.util.UUID.randomUUID()
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    BlockStore.beginWriteLease(jobKey)
+    // The physical rows are [__row_operation] ++ info.schema(): every
+    // group-based rewrite (RewriteDeleteFromTable/UpdateTable/MergeIntoTable)
+    // prepends RowDeltaUtils.OPERATION_COLUMN to the replacement query, and
+    // with no metadataProjection ReplaceDataExec takes the plain
+    // DataWritingSparkTask path that hands the writer the RAW row — the
+    // LogicalWriteInfo schema does NOT mention the column (debugged the
+    // hard way: field 0 read as doc_id turned the lang column into text
+    // and n_chars into a string pointer). Hence the +1 offset; the
+    // RowLevelOpsSpec content assertions pin this layout.
+    new BlockWriterFactory(jobKey,
+      Catalog.documents.fieldNames.map(schema.fieldIndex(_) + 1))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.replaceBlocks(jobKey, store,
+      messages.collect { case BlockWriteCommit(pid, _) => pid }.toSeq,
+      op.plannedVictims, op.plannedGen)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    BlockStore.discardStaged(jobKey)
+
+  override def description(): String = s"graft-cow-write store=$store"
 }
 
 private[sources] class BlockWriterFactory(stagingKey: String, srcIdx: Array[Int])

@@ -393,7 +393,8 @@ class BlockStoreSpec extends SparkSpec {
       s"required columns missing from the scan:\n$colsLine")
   }
 
-  test("SQL DELETE: copy-on-write rewrite, stats-pruned; unsupported predicate refused") {
+  test("SQL DELETE: metadata fast path stats-pruned; residual predicate " +
+    "falls back to the row-level copy-on-write rewrite") {
     // a THROWAWAY lang-clustered store (DELETE mutates it — the shared
     // ensureLangClustered fixture must stay pristine for other tests)
     val name = s"delete-spec:$sf"
@@ -422,14 +423,18 @@ class BlockStoreSpec extends SparkSpec {
       val want = Catalog.table(spark, sf, "documents")
         .filter(col("lang") =!= "de").count()
       assert(got == want, "post-delete row count diverged from filter truth")
-      // an un-translatable predicate must be REFUSED at analysis, store intact
-      val ex = intercept[Exception] {
-        spark.sql("DELETE FROM spec_del_table WHERE text LIKE '%table%'")
-      }
-      assert(ex.getMessage.toLowerCase.contains("delete"),
-        s"refusal should name the delete: ${ex.getMessage}")
+      // an un-translatable predicate used to be REFUSED at analysis; since
+      // the table declares row-level operations (x46) it plans a group-based
+      // copy-on-write rewrite instead — assert the UPGRADED behavior, with
+      // correctness through the connector read-back (the refusal-path
+      // coverage lives on in RowLevelOpsSpec's sharded/stale-gen refusals)
+      spark.sql("DELETE FROM spec_del_table WHERE text LIKE '%table%'")
       val after = spark.sql("SELECT count(*) FROM spec_del_table").collect()(0).getLong(0)
-      assert(after == want, "a refused DELETE must not change the store")
+      val wantAfter = Catalog.table(spark, sf, "documents")
+        .filter(col("lang") =!= "de")
+        .filter(!col("text").like("%table%")).count()
+      assert(after == wantAfter,
+        "residual-predicate DELETE (COW rewrite) diverged from filter truth")
     } finally {
       try spark.sql("DROP TABLE IF EXISTS spec_del_table")
       catch { case _: Exception => }

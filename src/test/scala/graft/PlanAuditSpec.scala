@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     // catalog table is dropped (the x36 lifecycle)
     "x39_blockstore_delete" -> ("|sources| × |langs| groups", nSources * nLangs),
     // x41 collects its two-snapshot per-lang comparison (x36 lifecycle)
-    "x41_time_travel" -> ("2 snapshots × |langs|", 2 * nLangs))
+    "x41_time_travel" -> ("2 snapshots × |langs|", 2 * nLangs),
+    // x46 collects the post-merge per-lang inventory before DROP TABLE
+    // (x36 lifecycle); the merge adds the 'xx' and 'new' classes
+    "x46_merge_upsert" -> ("|langs| + 2 merged classes", nLangs + 2))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {
@@ -171,7 +174,10 @@ class PlanAuditSpec extends SparkSpec {
       "dd16_semantic_dedup" -> 2, // dd5-style embedding attaches
       // r17 construction-audit catch: keep rides the cached labels memo
       // (pre-materialization stats lie) and keep/toks are ∝ corpus
-      "dd18_dedup_savings" -> 2) // keep + quality-token attaches
+      "dd18_dedup_savings" -> 2, // keep + quality-token attaches
+      // r17 construction-audit catch #2: the trained-vocab attach is
+      // VOCABULARY-sized (grows with corpus) yet file stats broadcast it
+      "t20_bpe_fertility" -> 1) // trained-vocab symbol-count attach
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
