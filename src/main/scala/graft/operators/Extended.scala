@@ -1091,7 +1091,6 @@ object Extended {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
-    // fragmented-ingest + DELETE + OPTIMIZE must preserve content exactly:
     // the post-merge state, declaratively: LEFT JOIN applies the updates,
     // UNION ALL the inserts — what the store must hold after MERGE INTO
     "x46_merge_upsert" ->
@@ -1107,6 +1106,7 @@ object Extended {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // fragmented-ingest + DELETE + OPTIMIZE must preserve content exactly:
     // the oracle is the same aggregate straight over parquet
     "x45_store_optimize" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -533,22 +533,16 @@ object TextAnalysis {
     * it repeats is exactly the round registered here. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trainMerges(spark, dir)._1
+    trainedMerges(spark, dir)
       .toDF("rank", "lhs", "rhs", "merged", "n_pairs")
   }
 
-  /** The shared train loop behind t19 (the merge list) and t20 (fertility
-    * of the trained tokenizer). Returns the collected merges plus the final
-    * (tok, s, tf) vocab frame with every merge applied. The loop's rounds
-    * run against a persisted vocab scan that is unpersisted (non-blocking)
-    * before returning, so a caller that EXECUTES the returned frame (t20)
-    * recomputes it from lineage — one corpus scan plus K map-side replaces,
-    * the same cost class as any single t-query — instead of holding a
-    * session-lifetime cache the verify harness would leak across 190+
-    * queries. */
-  private def trainMerges(spark: SparkSession, dir: String)
-      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    val base = docs(spark, dir)
+  /** The tf-compressed, double-space-encoded vocabulary — LAZY (never
+    * persisted here): the train loop persists its own copy for the K
+    * rounds, and t20 rebuilds the trained vocab from this frame plus the
+    * memoized merge list with zero construction jobs. */
+  private def encodedVocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(explode(col("_toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .filter(length(col("tok")) >= 2)
@@ -556,37 +550,57 @@ object TextAnalysis {
         array_join(transform(sequence(lit(1), length(col("tok"))),
           i => col("tok").substr(i, lit(1))), "  "), lit("  ")).as("s"),
         col("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    var vocab = base
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= BpeTrainMerges && !exhausted) {
-        val top = vocab
-          .select(col("tf"), split(trim(col("s")), "  ").as("y"))
-          .filter(size(col("y")) >= 2) // sequence(1, n<1) would count DOWN
-          .select(col("tf"), explode(transform(
-            sequence(lit(1), size(col("y")) - 1),
-            i => concat(element_at(col("y"), i), lit(" "),
-              element_at(col("y"), i + 1)))).as("pair"))
-          .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
-          .orderBy(col("n_pairs").desc, col("pair"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          val Array(a, b) = pair.split(" ", 2)
-          merges += ((r.toLong, a, b, a + b, top(0).getLong(1)))
-          // one more lazy map-side replace over the single persisted scan
-          vocab = vocab.withColumn("s",
-            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
-          r += 1
+
+  private def applyMerge(s: Column, a: String, b: String): Column =
+    replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** Per-dir memo of the trained merge list, shared by t19 and t20 (the
+    * dd6 verified-pairs memo discipline, keyed by dir): the merges are a
+    * [[BpeTrainMerges]]-row driver-side Seq — no Spark state, so unlike
+    * the frame memos it cannot leak cache or be invalidated by
+    * clearCache; one training run per corpus dir per session. */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long)]]()
+
+  /** The train loop behind t19 (the merge list) and t20 (fertility of the
+    * trained tokenizer). The loop's rounds run against a persisted vocab
+    * scan that is unpersisted (non-blocking) before returning — holding a
+    * session-lifetime frame cache would leak across the harness's 190+
+    * queries; the memoized RESULT is driver-side only. */
+  private def trainedMerges(spark: SparkSession, dir: String)
+      : Seq[(Long, String, String, String, Long)] =
+    mergeMemo.computeIfAbsent(dir, _ => {
+      val base = encodedVocab(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      var vocab: DataFrame = base
+      try {
+        var r = 1
+        var exhausted = false
+        while (r <= BpeTrainMerges && !exhausted) {
+          val top = vocab
+            .select(col("tf"), split(trim(col("s")), "  ").as("y"))
+            .filter(size(col("y")) >= 2) // sequence(1, n<1) would count DOWN
+            .select(col("tf"), explode(transform(
+              sequence(lit(1), size(col("y")) - 1),
+              i => concat(element_at(col("y"), i), lit(" "),
+                element_at(col("y"), i + 1)))).as("pair"))
+            .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
+            .orderBy(col("n_pairs").desc, col("pair"))
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val pair = top(0).getString(0)
+            val Array(a, b) = pair.split(" ", 2)
+            merges += ((r.toLong, a, b, a + b, top(0).getLong(1)))
+            // one more lazy map-side replace over the single persisted scan
+            vocab = vocab.withColumn("s", applyMerge(col("s"), a, b))
+            r += 1
+          }
         }
-      }
-    } finally base.unpersist(blocking = false)
-    (merges.result(), vocab)
-  }
+      } finally base.unpersist(blocking = false)
+      merges.result()
+    })
 
   /** t20: FERTILITY of the trained tokenizer — evaluate t19's merge list on
     * the corpus it was trained on, per source: words, characters, post-merge
@@ -611,7 +625,10 @@ object TextAnalysis {
     * exact BIGINTs — both engines IEEE-divide the same integers, so plain
     * DOUBLE division is deterministic (the t16 ttr rule). */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val syms = trainMerges(spark, dir)._2
+    val trained = trainedMerges(spark, dir).foldLeft(encodedVocab(spark, dir)) {
+      case (v, (_, a, b, _, _)) => v.withColumn("s", applyMerge(col("s"), a, b))
+    }
+    val syms = trained
       .select(col("tok"),
         asLong(size(split(trim(col("s")), "  "))).as("n_syms"))
     val occ = docs(spark, dir)

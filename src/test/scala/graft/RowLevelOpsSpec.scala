@@ -201,6 +201,18 @@ class RowLevelOpsSpec extends SparkSpec {
           BlockStore.blocks(store).toArray, -1L)
       }
       assert(ex2.getMessage.contains("no planned generation"))
+      // SPJ-sharded stores refuse rewrites outright: rewritten blocks carry
+      // no shard assignment, so they'd be invisible to key-grouped scans —
+      // and the sharded scan branch never records a plan, so without this
+      // require the commit would take the pure-append path and DUPLICATE
+      // every matched row (refusal checked before any staging mutation; the
+      // shared x37 fixture stays pristine)
+      val (sharded, _) = BlockStore.ensureShardedSnapshots(spark, sf)
+      val ex3 = intercept[IllegalArgumentException] {
+        BlockStore.replaceBlocks("rlo-shard##cow", sharded, Seq.empty,
+          Array.empty, BlockStore.stableLayoutGeneration(sharded))
+      }
+      assert(ex3.getMessage.contains("SPJ-sharded"))
     } finally BlockStore.dropStore(store)
   }
 }
