@@ -181,6 +181,32 @@ class RowLevelOpsSpec extends SparkSpec {
     }
   }
 
+  test("appends between rewrite plan and commit survive it (snapshot " +
+    "semantics: appends don't bump the generation, rewrites validate it)") {
+    val store = "rlo-snap"
+    landBlocks(store, Seq((0L, 10L), (10L, 20L)))
+    try {
+      val victims = Array(BlockStore.blocks(store).head) // "plan": block 0
+      val gen = BlockStore.stableLayoutGeneration(store)
+      // a concurrent APPEND lands between plan and commit — appends keep
+      // positional stream offsets sound, so they must NOT bump the
+      // generation, and the rewrite must neither refuse nor eat them
+      BlockStore.stage(s"$store##late", 0,
+        BlockStore.Block(100L, 100L, Array((100L, "late", "en", "spec", 1L))))
+      BlockStore.promoteInto(s"$store##late", store, Seq(0), truncate = false)
+      assert(BlockStore.stableLayoutGeneration(store) == gen,
+        "appends must not bump the layout generation")
+      BlockStore.stage(s"$store##cow-z", 0, BlockStore.Block(0L, 4L,
+        (0L until 5L).map(id =>
+          (id, s"r-$id", "en", "spec", 0L): BlockStore.DocRow).toArray))
+      BlockStore.replaceBlocks(s"$store##cow-z", store, Seq(0), victims, gen)
+      val ids = connector(store).select(col("doc_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == ((0L until 5L) ++ (10L until 20L) :+ 100L).sorted,
+        "the concurrent append must survive the commit; victims replaced")
+    } finally BlockStore.dropStore(store)
+  }
+
   test("a stale planned generation refuses the rewrite commit (optimistic " +
     "validate-and-swap); sharded stores refuse rewrites outright") {
     val store = "rlo-stale"

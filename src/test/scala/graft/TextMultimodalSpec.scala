@@ -360,6 +360,38 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("t19 replace-encoding equals canonical greedy on seeded random words, " +
+    "including multi-char second-round merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // drives the EXACT Spark codepath (StringReplace eval = UTF8String
+    // .replace) against the canonical greedy reference; a 3-letter
+    // alphabet maximizes repeat runs and overlap traps
+    def sparkMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val enc = "  " + syms.mkString("  ") + "  "
+      UTF8String.fromString(enc)
+        .replace(UTF8String.fromString(s" $a  $b "),
+          UTF8String.fromString(s" $a$b "))
+        .toString.trim.split("  ").toVector
+    }
+    val rnd = new scala.util.Random(0x5eed17)
+    val alphabet = "abc"
+    (1 to 2000).foreach { _ =>
+      val syms0 = Vector.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length)).toString)
+      val (a, b) = (alphabet(rnd.nextInt(3)).toString,
+        alphabet(rnd.nextInt(3)).toString)
+      val want1 = refMerge(syms0, a, b)
+      assert(sparkMerge(syms0, a, b) == want1,
+        s"round 1 diverged: syms=$syms0 merge=($a,$b)")
+      // round 2 merges the NEW multi-char symbol with a random neighbor —
+      // the post-first-round regime every later training round runs in
+      val c = alphabet(rnd.nextInt(3)).toString
+      val want2 = refMerge(want1, a + b, c)
+      assert(sparkMerge(want1, a + b, c) == want2,
+        s"round 2 diverged: syms=$want1 merge=(${a + b},$c)")
+    }
+  }
+
   test("t20 fertility of the trained tokenizer matches a driver-side recompute") {
     val got = TextAnalysis.bpeFertility(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
