@@ -32,10 +32,12 @@ def _cell(v):
     if isinstance(v, float) and v != v:
         # NaN in an object/array cell gets its OWN sentinel, distinct from
         # NULL's '\N' (r17 advice): conflating them would let a Spark-NULL
-        # vs DuckDB-NaN divergence pass the gate. No registry query emits
+        # vs DuckDB-NaN divergence pass the gate. The backslash keeps it
+        # collision-free against a literal string cell "nan" (r17 review —
+        # same reason NULL is '\N', not 'None'). No registry query emits
         # NaN by design (doubles round-trip through DECIMAL — Sql.scala),
-        # so a 'nan' appearing in a diff is itself a finding.
-        return "nan"
+        # so this sentinel appearing in a diff is itself a finding.
+        return "\\NaN"
     if isinstance(v, (bytes, bytearray)):
         return "hex:" + bytes(v).hex()
     if hasattr(v, "tolist") and not isinstance(v, str):  # np.ndarray/scalar

@@ -298,7 +298,7 @@ object Scale {
     * shuffle/spill disk traffic, where identical code measured a 3.3×
     * wall-clock band across sweeps (dd6 ×64: 26.9-87.7 s) and a raw-seconds
     * budget prices host disk state, not the plan (r17 verdict ask 1). */
-  private case class Op(name: String,
+  private[graft] case class Op(name: String,
       query: (SparkSession, String) => DataFrame,
       candidates: (SparkSession, String) => Long,
       model: String, maxFactor: Int = Int.MaxValue,
@@ -309,7 +309,7 @@ object Scale {
       extraTrack: (Int, Map[String, Long], Map[String, Long]) => Boolean =
         (_, _, _) => true)
 
-  private def ops: Seq[Op] = Seq(
+  private[graft] def ops: Seq[Op] = Seq(
     Op("dd3_minhash", operators.Dedup.minhashNearDup,
       (s, d) => operators.Dedup.minhashPieces(s, d)._2.count(), "linear"),
     Op("dd6_ngram", operators.Dedup.ngramJaccard,
@@ -562,8 +562,14 @@ object Scale {
         "batches" -> streaming.StreamingOps.lastNumBatches),
       extraTrack = (n, base, e) =>
         // one state entry per distinct fingerprint: linear in the corpus
-        // with a re-roll band (digest collisions, per-copy % 5 re-roll)
-        e("state_rows") >= base("state_rows") * n * 7 / 10 &&
+        // with a re-roll band (digest collisions, per-copy % 5 re-roll).
+        // The -1 "no state operators in the final progress" sentinel must
+        // FAIL the bound, not satisfy it vacuously (r17 review: -1 on both
+        // sides passed the linear band and committed extra_within_bound
+        // true with no measurement run) — state_rows is the contract
+        // column, so a sentinel there means the claim was NOT verified.
+        base("state_rows") > 0 && e("state_rows") > 0 &&
+          e("state_rows") >= base("state_rows") * n * 7 / 10 &&
           e("state_rows") <= base("state_rows") * n * 13 / 10 + 50))
 
   /** Fixed-size pure-shuffle I/O CONTROL (r17 verdict ask 1): ~1.1 GB of
@@ -935,11 +941,13 @@ object Scale {
     * so "flagged: []" can never silently mean "nothing audited" (the r15
     * review's ask); the committed sweep writes both to plan_audit.json —
     * flagged expected empty. */
-  /** The six construction-runs-corpus-jobs queries, each with the largest
+  /** The construction-runs-corpus-jobs queries (spec-pinned 1:1 with
+    * [[SparkEntry.constructionRunsCorpusJobs]]), each with the largest
     * factor its construction survives (r17 verdict ask 2 — they used to be
     * skipped outright, leaving their plans-at-scale unaudited). dd8/dd17/
     * dd18 run dd6's verified-pairs pipeline + CC at the audit dir; p1/p11
-    * rank and land the blown corpus; all five are minutes-bounded at ×32.
+    * rank and land the blown corpus; t20 runs the BPE train loop (vocab-
+    * sized rounds over one corpus scan); all six are minutes-bounded at ×32.
     * x44's construction ingests the full blown lineitem into the in-memory
     * block store — at ×64 that OOM'd the audit JVM and killed four later
     * constructions (r16), so it audits at ×16 (~10M rows, comfortably
@@ -954,7 +962,8 @@ object Scale {
     "t20_bpe_fertility" -> 32)
 
   /** Full audit: (flagged, skipped) at `dir` plus the construction-query
-    * audit at the per-query factors of [[ConstructionAuditFactors]] whose
+    * audit (one entry per [[SparkEntry.constructionRunsCorpusJobs]] member,
+    * spec-pinned 1:1) at the per-query factors of [[ConstructionAuditFactors]] whose
     * dirs are present in `factorDirs` — returned as
     * (query, factor, flags-at-that-factor). */
   private[graft] def auditCorpusBroadcasts(spark: SparkSession, dir: String,

@@ -88,6 +88,22 @@ class ScaleSpec extends SparkSpec {
         s"construction-audit factor $f is not in the committed recipe"))
   }
 
+  test("s20's state-rows bound fails on the -1 no-telemetry sentinel " +
+    "instead of passing vacuously") {
+    val s20 = Scale.ops.find(_.name == "s20_stream_dedup").get
+    // a healthy linear measurement passes
+    assert(s20.extraTrack(8, Map("state_rows" -> 1000L),
+      Map("state_rows" -> 8000L)))
+    // the -1 "no state operators in the final progress" sentinel on
+    // either side must FAIL the bound (r17 review: -1 on both sides
+    // satisfied the linear band and committed extra_within_bound true
+    // with no measurement run)
+    assert(!s20.extraTrack(8, Map("state_rows" -> -1L),
+      Map("state_rows" -> -1L)))
+    assert(!s20.extraTrack(8, Map("state_rows" -> 1000L),
+      Map("state_rows" -> -1L)))
+  }
+
   test("copy bijections are pairwise DISTANT through ×65") {
     // distinctness is not enough: two maps agreeing on most of the
     // alphabet make their copies byte-level near-duplicates (r14 found
