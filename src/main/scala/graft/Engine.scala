@@ -45,6 +45,10 @@ object Engine {
     * their own master/parallelism from the driver environment). */
   def configure(b: SparkSession.Builder, appName: String): SparkSession.Builder = b
     .appName(appName)
+    // the eager-audit capture hook (graft.plans.PlanCapture): a volatile
+    // read + identity unless Scale's eager audit arms the sink
+    .withExtensions(ext =>
+      ext.injectQueryStagePrepRule(_ => graft.plans.PlanCapture))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // AQE: runtime re-planning from exact per-stage MapStatus sizes — the

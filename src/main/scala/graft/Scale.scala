@@ -961,14 +961,40 @@ object Scale {
     "p11_landed_shards" -> 32, "x44_columnar_scan" -> 16,
     "t20_bpe_fertility" -> 32)
 
+  /** EAGER queries audited by CAPTURE (r17, closing the audit's last
+    * uninspected class): an eager query's returned frame is a
+    * LocalRelation, but its construction EXECUTES corpus-scale plans —
+    * [[graft.plans.PlanCapture]] records every AQE-planned execution's
+    * initial physical plan while the construction runs at the listed
+    * factor's dir, and the same flag rules walk each captured plan.
+    * Factor choices: ×32 for compute-bounded constructions; ×16 for the
+    * ones that land a corpus-size in-memory store (x36/x39/x41/x46/p10 —
+    * the x44 memory lesson) or rewrite the corpus as text (x30). */
+  private[graft] val EagerAuditFactors: Map[String, Int] = Map(
+    "dd11_decontaminate" -> 32, "dd13_decontaminate_bloom" -> 32,
+    "p5_token_shards" -> 32, "p7_incremental_shards" -> 32,
+    "p8_curriculum_shards" -> 32, "p9_epoch_shuffle" -> 32,
+    "p10_corpus_build" -> 16,
+    "sim8_kmeans_iterate" -> 32, "sim9_recall_at_k" -> 32,
+    "sim11_ivf_multiprobe" -> 32, "sim13_ivf_pq" -> 32,
+    "sim14_recall_bar" -> 32, "sim23_mmr_topk" -> 32,
+    "t9_quality_deciles" -> 32, "t13_bpe_pairs" -> 32,
+    "t14_heavy_hitters" -> 32, "t19_bpe_train" -> 32,
+    "x30_corrupt_ingest" -> 16, "x36_blockstore_sql" -> 16,
+    "x38_observed_metrics" -> 32, "x39_blockstore_delete" -> 16,
+    "x41_time_travel" -> 16, "x46_merge_upsert" -> 16)
+
   /** Full audit: (flagged, skipped) at `dir` plus the construction-query
     * audit (one entry per [[SparkEntry.constructionRunsCorpusJobs]] member,
-    * spec-pinned 1:1) at the per-query factors of [[ConstructionAuditFactors]] whose
-    * dirs are present in `factorDirs` — returned as
+    * spec-pinned 1:1) at the per-query factors of [[ConstructionAuditFactors]]
+    * whose dirs are present in `factorDirs`, plus the eager-query CAPTURE
+    * audit (one entry per [[SparkEntry.eagerQueries]] member, spec-pinned
+    * 1:1, at [[EagerAuditFactors]]) — each returned as
     * (query, factor, flags-at-that-factor). */
   private[graft] def auditCorpusBroadcasts(spark: SparkSession, dir: String,
       factorDirs: Map[Int, String]): ((Seq[(String, String)],
-        Seq[(String, String)]), Seq[(String, Int, Seq[String])]) = {
+        Seq[(String, String)]), Seq[(String, Int, Seq[String])],
+        Seq[(String, Int, Seq[String])]) = {
     // deliberate corpus-DERIVED broadcasts, each with its rationale —
     // the analogue of PlanAuditSpec.allowCross for this audit
     val allowed = Set(
@@ -982,10 +1008,36 @@ object Scale {
     val flagged = Seq.newBuilder[(String, String)]
     val skipped = Seq.newBuilder[(String, String)]
     val construction = Seq.newBuilder[(String, Int, Seq[String])]
+    val eager = Seq.newBuilder[(String, Int, Seq[String])]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (streaming.matches(name)) skipped += name -> "streaming harness"
-      else if (SparkEntry.eagerQueries(name))
-        skipped += name -> "eager (executes at construction)"
+      else if (SparkEntry.eagerQueries(name)) {
+        // audit by CAPTURE: run the construction at the listed factor's
+        // dir with the stage-prep hook armed, then flag-walk every plan
+        // its actions executed (r17 — previously skipped outright)
+        val at = EagerAuditFactors.get(name).flatMap(f =>
+          factorDirs.get(f).map(f -> _))
+        at match {
+          case Some((f, fdir)) =>
+            val q = new java.util.concurrent.ConcurrentLinkedQueue[
+              org.apache.spark.sql.execution.SparkPlan]()
+            graft.plans.PlanCapture.sink = Some(q)
+            try {
+              fn(spark, fdir): Unit
+              import scala.jdk.CollectionConverters._
+              eager += ((name, f,
+                q.asScala.toSeq.flatMap(corpusBroadcastFlags).distinct))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                skipped += name -> (s"eager construction failed at x$f: " +
+                  String.valueOf(e.getMessage).linesIterator.nextOption
+                    .getOrElse("").take(120))
+            } finally graft.plans.PlanCapture.sink = None
+          case None =>
+            skipped += name ->
+              "eager (audit factor's dir not in this run)"
+        }
+      }
       else if (SparkEntry.constructionRunsCorpusJobs(name)) {
         // audit at the largest factor the construction survives instead
         // of skipping outright (r17) — these queries' plans at scale are
@@ -1031,7 +1083,8 @@ object Scale {
         }
       }
     }
-    ((flagged.result(), skipped.result()), construction.result())
+    ((flagged.result(), skipped.result()), construction.result(),
+      eager.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -1188,23 +1241,25 @@ object Scale {
     // small-input broadcasts are the CORRECT planner choice and would
     // spuriously overwrite the committed flagged:[] (review finding).
     val biggest = dirs(factors.max)
-    val ((flagged, skipped), construction) =
+    val ((flagged, skipped), construction, eagerAudited) =
       auditCorpusBroadcasts(spark, biggest, dirs)
     def arr(xs: Seq[(String, String)], k: String) = xs.map { case (q, d) =>
       s"""{"query":"$q","$k":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     }.mkString("[", ",", "]")
-    // main-factor count excludes the construction queries (they audit at
-    // their own factors, reported separately below)
-    val nAudited =
-      SparkEntry.queries.size - skipped.size - construction.size
-    val constructionJson = construction.map { case (q, f, fs) =>
-      s"""{"query":"$q","factor":$f,"flags":[${fs.map(d =>
-        "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString(",")}]}"""
-    }.mkString("[", ",", "]")
+    // main-factor count excludes the construction and eager queries (each
+    // audits at its own factor, reported separately below)
+    val nAudited = SparkEntry.queries.size - skipped.size -
+      construction.size - eagerAudited.size
+    def atFactorArr(xs: Seq[(String, Int, Seq[String])]) =
+      xs.map { case (q, f, fs) =>
+        s"""{"query":"$q","factor":$f,"flags":[${fs.map(d =>
+          "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .mkString(",")}]}"""
+      }.mkString("[", ",", "]")
     val auditJson = "{\"dir\":\"" + biggest + "\"," +
       s""""audited":$nAudited,"flagged":${arr(flagged, "detail")},""" +
-      s""""construction_audited":$constructionJson,""" +
+      s""""construction_audited":${atFactorArr(construction)},""" +
+      s""""eager_audited":${atFactorArr(eagerAudited)},""" +
       s""""skipped":${arr(skipped, "reason")}}"""
     // ≥ the committed recipe's top factor (r17 advice — was ≥32, which
     // let a ×32 run silently replace the committed ×64 audit) AND every
@@ -1213,7 +1268,8 @@ object Scale {
     // construction_audited:[] — the same clobber class again). The
     // audit-only refresh recipe is therefore "1,16,32,64 none".
     val constructionCovered =
-      ConstructionAuditFactors.values.forall(f => dirs.contains(f))
+      (ConstructionAuditFactors.values ++ EagerAuditFactors.values)
+        .forall(f => dirs.contains(f))
     if (factors.max >= CommittedSweepFactors.max && constructionCovered) {
       val auditOut = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", ".") + "/plan_audit.json").toAbsolutePath
@@ -1222,12 +1278,19 @@ object Scale {
       System.err.println(s"[scale] corpus-broadcast audit: $nAudited audited, " +
         s"${flagged.size} flagged, ${construction.size} construction-audited " +
         s"(${construction.map(_._3.size).sum} flags), " +
+        s"${eagerAudited.size} eager-audited " +
+        s"(${eagerAudited.map(_._3.size).sum} flags), " +
         s"${skipped.size} skipped → $auditOut")
     } else System.err.println("[scale] corpus-broadcast audit (artifact " +
       s"NOT written — needs factor ${CommittedSweepFactors.max} plus the " +
-      s"construction-audit dirs ${ConstructionAuditFactors.values.toSeq
+      s"construction/eager-audit dirs ${(ConstructionAuditFactors.values ++
+        EagerAuditFactors.values).toSeq
         .distinct.sorted.mkString("x", "/x", "")}): " +
       s"${flagged.size} flagged of $nAudited")
+    eagerAudited.filter(_._3.nonEmpty).foreach { case (q, f, fs) =>
+      fs.foreach(d => System.err.println(s"[scale]   (eager x$f) $q: $d")) }
+    construction.filter(_._3.nonEmpty).foreach { case (q, f, fs) =>
+      fs.foreach(d => System.err.println(s"[scale]   (constr x$f) $q: $d")) }
     flagged.foreach { case (q, d) => System.err.println(s"[scale]   $q: $d") }
     spark.stop()
   }

@@ -936,14 +936,22 @@ object Extended {
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
     withBlockTable(spark, dir, "graft_merge_table", s"merge:$dir",
       "x46_docs") {
+      // the update source is corpus-PROPORTIONAL by this query's contract
+      // (a fixed fraction of the corpus), so it must never broadcast-pin
+      // by stats into the rewrite's joins — the r17 eager audit caught the
+      // MERGE planning a doc_id-keyed broadcast of it at ×16. The
+      // SHUFFLE_HASH hint rides the view subtree into both the merge join
+      // and the runtime group-filter's matching-rows join.
       spark.sql(
         """CREATE OR REPLACE TEMP VIEW x46_updates AS
-          |SELECT doc_id, text, 'xx' AS lang, source, n_chars + 7 AS n_chars
-          |FROM x46_docs WHERE doc_id % 10 = 3
-          |UNION ALL
-          |SELECT doc_id + 100000000 AS doc_id, text, 'new' AS lang, source,
-          |       n_chars
-          |FROM x46_docs WHERE doc_id % 10 = 7""".stripMargin)
+          |SELECT /*+ SHUFFLE_HASH */ * FROM (
+          |  SELECT doc_id, text, 'xx' AS lang, source,
+          |         n_chars + 7 AS n_chars
+          |  FROM x46_docs WHERE doc_id % 10 = 3
+          |  UNION ALL
+          |  SELECT doc_id + 100000000 AS doc_id, text, 'new' AS lang,
+          |         source, n_chars
+          |  FROM x46_docs WHERE doc_id % 10 = 7)""".stripMargin)
       try {
         spark.sql(
           """MERGE INTO graft_merge_table t USING x46_updates s

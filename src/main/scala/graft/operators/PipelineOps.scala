@@ -482,10 +482,18 @@ object PipelineOps {
         col("n_tokens").cast(LongType).as("n_tok"))
     val docs = Catalog.tableSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text"), (splitHash("split") < 800).as("is_train"))
-    val gated = q.join(docs, Seq("doc_id"))
+    // BOTH attaches are corpus-proportional on each side — the quality
+    // frame is per-doc and the contamination set grows with the corpus
+    // (matches ∝ corpus, however small at test SFs) — so neither side may
+    // broadcast-pin by stats: the r17 eager audit caught the quality
+    // attach planning as a doc_id-keyed broadcast at ×16 (the projected
+    // three-column build side reads small from file stats). Shuffle-hash
+    // pins, the dd18/t20 adjudication class.
+    val gated = q.hint("shuffle_hash").join(docs, Seq("doc_id"))
       .filter(col("is_train") && col("quality") >= BuildQualityFloor)
     val contaminated = Dedup.decontaminate(spark, dir).select(col("doc_id"))
-    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = gated.join(contaminated.hint("shuffle_hash"),
+      Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), col("quality"), col("n_tok"))
     // dd1's keep-min-per-digest rule as a digest-PARTITIONED window (groups
     // are tiny — copies of one text), NOT a groupBy + self-semi-join: the

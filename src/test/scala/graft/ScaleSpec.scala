@@ -88,6 +88,32 @@ class ScaleSpec extends SparkSpec {
         s"construction-audit factor $f is not in the committed recipe"))
   }
 
+  test("every eager query has an eager-audit factor; the capture hook is " +
+    "live on Engine sessions") {
+    // r17's eager-audit drift guard (the construction-set rule, applied to
+    // the eager class): a query added to eagerQueries without a factor
+    // here would silently fall back to skip-outright
+    assert(Scale.EagerAuditFactors.keySet == SparkEntry.eagerQueries,
+      s"EagerAuditFactors drifted from eagerQueries: " +
+        s"missing=${SparkEntry.eagerQueries --
+          Scale.EagerAuditFactors.keySet} " +
+        s"extra=${Scale.EagerAuditFactors.keySet -- SparkEntry.eagerQueries}")
+    Scale.EagerAuditFactors.values.foreach(f =>
+      assert(Scale.CommittedSweepFactors.contains(f),
+        s"eager-audit factor $f is not in the committed recipe"))
+    // the capture hook must actually observe plans on an Engine-built
+    // session — an extensions-wiring regression would make every
+    // eager_audited row an empty-flags vacuity
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    graft.plans.PlanCapture.sink = Some(q)
+    try spark.range(100).groupBy((col("id") % 3).as("k")).count().collect()
+    finally graft.plans.PlanCapture.sink = None
+    assert(!q.isEmpty,
+      "PlanCapture saw no plan from an executed aggregate — the " +
+        "query-stage-prep injection is not wired into Engine sessions")
+  }
+
   test("s20's state-rows bound fails on the -1 no-telemetry sentinel " +
     "instead of passing vacuously") {
     val s20 = Scale.ops.find(_.name == "s20_stream_dedup").get
