@@ -1009,56 +1009,61 @@ object Scale {
     val skipped = Seq.newBuilder[(String, String)]
     val construction = Seq.newBuilder[(String, Int, Seq[String])]
     val eager = Seq.newBuilder[(String, Int, Seq[String])]
+    // One scaffold for both at-factor audit classes (r17 review: the two
+    // branches had drifted into near-identical 20-line copies). Each
+    // entry starts from COLD caches: earlier audit entries' materialized
+    // persists would make InMemoryRelation stats ACCURATE and mask the
+    // lying-pre-materialization-stats defect class this audit exists to
+    // catch (dd18's catch happened on cold caches exactly), and 30
+    // executing audits otherwise accumulate persisted frames across the
+    // walk (block-store payloads are bounded separately by the memory
+    // envelope's disk demotion).
+    def auditAtFactor(name: String, factors: Map[String, Int], kind: String)
+        (body: String => Seq[String]): Option[(String, Int, Seq[String])] =
+      factors.get(name).flatMap(f => factorDirs.get(f).map(f -> _)) match {
+        case Some((f, fdir)) =>
+          spark.catalog.clearCache()
+          try Some((name, f, body(fdir)))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              skipped += name -> (s"$kind failed at x$f: " +
+                String.valueOf(e.getMessage).linesIterator.nextOption
+                  .getOrElse("").take(120))
+              None
+          }
+        case None =>
+          skipped += name -> s"$kind (audit factor's dir not in this run)"
+          None
+      }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (streaming.matches(name)) skipped += name -> "streaming harness"
-      else if (SparkEntry.eagerQueries(name)) {
+      else if (allowed(name))
+        skipped += name -> "allow-listed deliberate broadcast (see audit source)"
+      else if (SparkEntry.eagerQueries(name))
         // audit by CAPTURE: run the construction at the listed factor's
         // dir with the stage-prep hook armed, then flag-walk every plan
-        // its actions executed (r17 — previously skipped outright)
-        val at = EagerAuditFactors.get(name).flatMap(f =>
-          factorDirs.get(f).map(f -> _))
-        at match {
-          case Some((f, fdir)) =>
-            val q = new java.util.concurrent.ConcurrentLinkedQueue[
-              org.apache.spark.sql.execution.SparkPlan]()
-            graft.plans.PlanCapture.sink = Some(q)
-            try {
-              fn(spark, fdir): Unit
-              import scala.jdk.CollectionConverters._
-              eager += ((name, f,
-                q.asScala.toSeq.flatMap(corpusBroadcastFlags).distinct))
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                skipped += name -> (s"eager construction failed at x$f: " +
-                  String.valueOf(e.getMessage).linesIterator.nextOption
-                    .getOrElse("").take(120))
-            } finally graft.plans.PlanCapture.sink = None
-          case None =>
-            skipped += name ->
-              "eager (audit factor's dir not in this run)"
+        // its actions executed (r17 — previously skipped outright). The
+        // allow-list check above applies to eager names too, so a future
+        // x35-class deliberate broadcast inside an eager construction has
+        // an exemption path instead of forcing a detector change.
+        eager ++= auditAtFactor(name, EagerAuditFactors,
+          "eager construction") { fdir =>
+          val q = new java.util.concurrent.ConcurrentLinkedQueue[
+            org.apache.spark.sql.execution.SparkPlan]()
+          graft.plans.PlanCapture.sink = Some(q)
+          try {
+            fn(spark, fdir): Unit
+            import scala.jdk.CollectionConverters._
+            q.asScala.toSeq.flatMap(corpusBroadcastFlags).distinct
+          } finally graft.plans.PlanCapture.sink = None
         }
-      }
-      else if (SparkEntry.constructionRunsCorpusJobs(name)) {
+      else if (SparkEntry.constructionRunsCorpusJobs(name))
         // audit at the largest factor the construction survives instead
         // of skipping outright (r17) — these queries' plans at scale are
         // exactly the audit's target class
-        val at = ConstructionAuditFactors.get(name).flatMap(f =>
-          factorDirs.get(f).map(f -> _))
-        at match {
-          case Some((f, fdir)) =>
-            try construction += ((name, f, corpusBroadcastFlags(
-              fn(spark, fdir).queryExecution.sparkPlan)))
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                skipped += name -> (s"construction failed at x$f: " +
-                  String.valueOf(e.getMessage).linesIterator.nextOption
-                    .getOrElse("").take(120))
-            }
-          case None =>
-            skipped += name -> ("construction runs corpus-scale jobs " +
-              "(audit factor's dir not in this run)")
-        }
-      }
+        construction ++= auditAtFactor(name, ConstructionAuditFactors,
+          "construction")(fdir =>
+          corpusBroadcastFlags(fn(spark, fdir).queryExecution.sparkPlan))
       // NOTE: serve/store-family queries whose construction LANDS an
       // index or store (sim15-22, mm7, x27/x31/x33) are audited on
       // purpose despite that build cost at ×64 — sim18's tombstone
@@ -1069,8 +1074,6 @@ object Scale {
       // constructionRunsCorpusJobs and audits at ×16 via
       // [[ConstructionAuditFactors]] (its ×64 ingest OOM'd the r16
       // audit JVM).
-      else if (allowed(name))
-        skipped += name -> "allow-listed deliberate broadcast (see audit source)"
       else {
         try {
           flagged ++= corpusBroadcastFlags(

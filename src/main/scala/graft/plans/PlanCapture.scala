@@ -15,12 +15,17 @@ import org.apache.spark.sql.execution.SparkPlan
   *
   * Why query-stage-prep: it runs SYNCHRONOUSLY inside the executing
   * action (AdaptiveSparkPlanExec applies preparations before breaking the
-  * plan into stages), so the audit needs no listener-bus draining and the
-  * captured tree is the same initial physical plan the lazy audit reads
-  * off `queryExecution.sparkPlan`. Coverage = AQE-planned batch actions;
-  * V1 file-write commands and stateful streaming micro-batches don't pass
-  * through it — the former are fixture lands, the latter are the audit's
-  * separately-skipped streaming class. */
+  * plan into stages), so the audit needs no listener-bus draining. The
+  * FIRST capture per action is the full initial physical plan — the same
+  * tree the lazy audit reads off `queryExecution.sparkPlan`; AQE
+  * RE-OPTIMIZATIONS fire the rule again with re-planned trees whose
+  * materialized stages appear as opaque QueryStageExec leaves (invisible
+  * to the flag walk — conservative: the initial capture already carried
+  * the full tree, and a consumer must NOT assume one capture per action
+  * or leaf visibility in later captures). Coverage = AQE-planned batch
+  * actions; V1 file-write commands and stateful streaming micro-batches
+  * don't pass through it — the former are fixture lands, the latter are
+  * the audit's separately-skipped streaming class. */
 object PlanCapture extends Rule[SparkPlan] {
 
   @volatile private[graft] var sink: Option[java.util.Queue[SparkPlan]] = None

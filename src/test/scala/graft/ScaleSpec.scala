@@ -114,6 +114,29 @@ class ScaleSpec extends SparkSpec {
         "query-stage-prep injection is not wired into Engine sessions")
   }
 
+  test("eager-audit adjudications hold under capture: p10's corpus attaches " +
+    "and x46's merge source stay shuffled-hash") {
+    import scala.jdk.CollectionConverters._
+    // the r17 eager audit caught both planning doc_id-keyed BROADCASTS of
+    // corpus-proportional build sides; the fixes are hints, which force
+    // SHJ at ANY stats — so at this spec's tiny SF (where unhinted plans
+    // would broadcast) a lost hint makes the SHJ below disappear
+    def capturedPlans(name: String): Seq[String] = {
+      val q = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.SparkPlan]()
+      graft.plans.PlanCapture.sink = Some(q)
+      try SparkEntry.queries(name)(spark, sf): Unit
+      finally graft.plans.PlanCapture.sink = None
+      q.asScala.toSeq.map(_.toString)
+    }
+    def maxShj(plans: Seq[String]): Int =
+      (0 +: plans.map(_.linesIterator.count(_.contains("ShuffledHashJoin")))).max
+    assert(maxShj(capturedPlans("p10_corpus_build")) >= 2,
+      "p10's quality-attach + contamination anti-join SHJ pins regressed")
+    assert(maxShj(capturedPlans("x46_merge_upsert")) >= 1,
+      "x46's merge-source SHUFFLE_HASH view hint regressed")
+  }
+
   test("s20's state-rows bound fails on the -1 no-telemetry sentinel " +
     "instead of passing vacuously") {
     val s20 = Scale.ops.find(_.name == "s20_stream_dedup").get
