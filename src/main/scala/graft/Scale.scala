@@ -984,17 +984,30 @@ object Scale {
     "x38_observed_metrics" -> 32, "x39_blockstore_delete" -> 16,
     "x41_time_travel" -> 16, "x46_merge_upsert" -> 16)
 
+  /** Pseudo-factor for the STREAMING capture audit: the streaming
+    * harnesses read the BASE testdata's single-file layout (the s20
+    * lesson: blowup dirs land parquet DIRECTORIES the file-name globs
+    * exclude — a stream over them silently reads zero rows), so they
+    * audit at the base dir, recorded as factor 0. Honest coverage note:
+    * the strict flag rules (corpus-leaf broadcast reach, hint pins) are
+    * size-INDEPENDENT, so base-dir stats lose nothing for them; only the
+    * stats-adaptive relational class is size-sensitive, and no streaming
+    * query joins the relational dims. */
+  private[graft] val StreamingAuditFactor = 0
+
   /** Full audit: (flagged, skipped) at `dir` plus the construction-query
     * audit (one entry per [[SparkEntry.constructionRunsCorpusJobs]] member,
     * spec-pinned 1:1) at the per-query factors of [[ConstructionAuditFactors]]
     * whose dirs are present in `factorDirs`, plus the eager-query CAPTURE
     * audit (one entry per [[SparkEntry.eagerQueries]] member, spec-pinned
-    * 1:1, at [[EagerAuditFactors]]) — each returned as
-    * (query, factor, flags-at-that-factor). */
+    * 1:1, at [[EagerAuditFactors]]), plus the STREAMING capture audit
+    * (every s-query, at `factorDirs(0)` = the base dir; a run that
+    * captures no micro-batch plan is a LOUD skip, never a green-empty
+    * row) — each returned as (query, factor, flags-at-that-factor). */
   private[graft] def auditCorpusBroadcasts(spark: SparkSession, dir: String,
       factorDirs: Map[Int, String]): ((Seq[(String, String)],
         Seq[(String, String)]), Seq[(String, Int, Seq[String])],
-        Seq[(String, Int, Seq[String])]) = {
+        Seq[(String, Int, Seq[String])], Seq[(String, Int, Seq[String])]) = {
     // deliberate corpus-DERIVED broadcasts, each with its rationale —
     // the analogue of PlanAuditSpec.allowCross for this audit
     val allowed = Set(
@@ -1009,6 +1022,22 @@ object Scale {
     val skipped = Seq.newBuilder[(String, String)]
     val construction = Seq.newBuilder[(String, Int, Seq[String])]
     val eager = Seq.newBuilder[(String, Int, Seq[String])]
+    val streamingAudited = Seq.newBuilder[(String, Int, Seq[String])]
+    def captureRun(fn: (SparkSession, String) => DataFrame)(fdir: String)
+        : Seq[String] = {
+      val q = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.SparkPlan]()
+      graft.plans.PlanCapture.sink = Some(q)
+      try {
+        fn(spark, fdir): Unit
+        import scala.jdk.CollectionConverters._
+        (q.asScala.toSeq, q.isEmpty) match {
+          case (plans, false) => plans.flatMap(corpusBroadcastFlags).distinct
+          case (_, true) => throw new IllegalStateException(
+            "no plan captured — the run never executed an auditable plan")
+        }
+      } finally graft.plans.PlanCapture.sink = None
+    }
     // One scaffold for both at-factor audit classes (r17 review: the two
     // branches had drifted into near-identical 20-line copies). Each
     // entry starts from COLD caches: earlier audit entries' materialized
@@ -1036,7 +1065,28 @@ object Scale {
           None
       }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (streaming.matches(name)) skipped += name -> "streaming harness"
+      if (name == "s3_session_windows") {
+        // s-NAMED but a lazy BATCH query (session_window over the batch
+        // events read — the streaming session windows live in s8/s16):
+        // route it to the ordinary lazy audit at the main factor instead
+        // of the streaming capture, whose zero-capture rule would skip it
+        try flagged ++= corpusBroadcastFlags(
+          fn(spark, dir).queryExecution.sparkPlan).map(name -> _)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            skipped += name -> s"unplannable at $dir: ${String.valueOf(
+              e.getMessage).linesIterator.nextOption.getOrElse("").take(120)}"
+        }
+      }
+      else if (streaming.matches(name))
+        // audit by CAPTURE at the base dir (factor 0, see
+        // [[StreamingAuditFactor]]): micro-batch executions bypass query-
+        // stage prep, so StreamingOps.drain offers each run's LAST
+        // micro-batch executed plan to the armed sink; a run that captures
+        // nothing is recorded as a failed skip by captureRun's throw
+        streamingAudited ++= auditAtFactor(name,
+          Map(name -> StreamingAuditFactor), "streaming harness")(
+          captureRun(fn))
       else if (allowed(name))
         skipped += name -> "allow-listed deliberate broadcast (see audit source)"
       else if (SparkEntry.eagerQueries(name))
@@ -1047,16 +1097,7 @@ object Scale {
         // x35-class deliberate broadcast inside an eager construction has
         // an exemption path instead of forcing a detector change.
         eager ++= auditAtFactor(name, EagerAuditFactors,
-          "eager construction") { fdir =>
-          val q = new java.util.concurrent.ConcurrentLinkedQueue[
-            org.apache.spark.sql.execution.SparkPlan]()
-          graft.plans.PlanCapture.sink = Some(q)
-          try {
-            fn(spark, fdir): Unit
-            import scala.jdk.CollectionConverters._
-            q.asScala.toSeq.flatMap(corpusBroadcastFlags).distinct
-          } finally graft.plans.PlanCapture.sink = None
-        }
+          "eager construction")(captureRun(fn))
       else if (SparkEntry.constructionRunsCorpusJobs(name))
         // audit at the largest factor the construction survives instead
         // of skipping outright (r17) — these queries' plans at scale are
@@ -1087,7 +1128,7 @@ object Scale {
       }
     }
     ((flagged.result(), skipped.result()), construction.result(),
-      eager.result())
+      eager.result(), streamingAudited.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -1244,15 +1285,18 @@ object Scale {
     // small-input broadcasts are the CORRECT planner choice and would
     // spuriously overwrite the committed flagged:[] (review finding).
     val biggest = dirs(factors.max)
-    val ((flagged, skipped), construction, eagerAudited) =
-      auditCorpusBroadcasts(spark, biggest, dirs)
+    // factor 0 = the BASE testdata dir, for the streaming capture audit
+    // (blowup dirs land directory layouts the file-stream globs exclude)
+    val ((flagged, skipped), construction, eagerAudited, streamAudited) =
+      auditCorpusBroadcasts(spark, biggest,
+        dirs + (StreamingAuditFactor -> baseDir))
     def arr(xs: Seq[(String, String)], k: String) = xs.map { case (q, d) =>
       s"""{"query":"$q","$k":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     }.mkString("[", ",", "]")
-    // main-factor count excludes the construction and eager queries (each
-    // audits at its own factor, reported separately below)
+    // main-factor count excludes the construction, eager and streaming
+    // queries (each audits at its own factor, reported separately below)
     val nAudited = SparkEntry.queries.size - skipped.size -
-      construction.size - eagerAudited.size
+      construction.size - eagerAudited.size - streamAudited.size
     def atFactorArr(xs: Seq[(String, Int, Seq[String])]) =
       xs.map { case (q, f, fs) =>
         s"""{"query":"$q","factor":$f,"flags":[${fs.map(d =>
@@ -1263,6 +1307,7 @@ object Scale {
       s""""audited":$nAudited,"flagged":${arr(flagged, "detail")},""" +
       s""""construction_audited":${atFactorArr(construction)},""" +
       s""""eager_audited":${atFactorArr(eagerAudited)},""" +
+      s""""streaming_audited":${atFactorArr(streamAudited)},""" +
       s""""skipped":${arr(skipped, "reason")}}"""
     // ≥ the committed recipe's top factor (r17 advice — was ≥32, which
     // let a ×32 run silently replace the committed ×64 audit) AND every
@@ -1283,6 +1328,8 @@ object Scale {
         s"(${construction.map(_._3.size).sum} flags), " +
         s"${eagerAudited.size} eager-audited " +
         s"(${eagerAudited.map(_._3.size).sum} flags), " +
+        s"${streamAudited.size} streaming-audited " +
+        s"(${streamAudited.map(_._3.size).sum} flags), " +
         s"${skipped.size} skipped → $auditOut")
     } else System.err.println("[scale] corpus-broadcast audit (artifact " +
       s"NOT written — needs factor ${CommittedSweepFactors.max} plus the " +
@@ -1294,6 +1341,8 @@ object Scale {
       fs.foreach(d => System.err.println(s"[scale]   (eager x$f) $q: $d")) }
     construction.filter(_._3.nonEmpty).foreach { case (q, f, fs) =>
       fs.foreach(d => System.err.println(s"[scale]   (constr x$f) $q: $d")) }
+    streamAudited.filter(_._3.nonEmpty).foreach { case (q, f, fs) =>
+      fs.foreach(d => System.err.println(s"[scale]   (stream base) $q: $d")) }
     flagged.foreach { case (q, d) => System.err.println(s"[scale]   $q: $d") }
     spark.stop()
   }

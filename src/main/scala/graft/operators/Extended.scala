@@ -1018,6 +1018,13 @@ object Extended {
       .observe(obsKept, count(lit(1)).as("rows_kept"),
         sum(dec(col("l_extendedprice"))).as("kept_revenue"))
     staged.write.format("noop").mode("overwrite").save()
+    // the observe/CollectMetrics pipeline bypasses query-stage prep, so
+    // the eager audit's capture hook sees nothing from the noop action:
+    // offer the pipeline's (initial) physical plan directly when a sink
+    // is armed — the StreamingOps.drain pattern for non-stage-prep
+    // executions; a no-op outside audit runs
+    graft.plans.PlanCapture.sink
+      .foreach(_.add(staged.queryExecution.executedPlan))
     val in = obsIn.get
     val kept = obsKept.get
     val rowsIn = in("rows_in").asInstanceOf[Long]

@@ -413,7 +413,13 @@ object Multimodal {
       col("q0"), col("q1"), col("q2"), col("q3"))).as(Seq("band", "bsig")))
     val ib = idxSigs.select(col("match_id"), posexplode(array(
       col("i0"), col("i1"), col("i2"), col("i3"))).as(Seq("band", "bsig")))
-    val cand = pb.join(ib, Seq("band", "bsig"))
+    // the band-collision join was the ONE unhinted edge of this pipeline:
+    // ib is 4×corpus (posexploded index signatures) and at small stats it
+    // BROADCASTS — invisible to the ×64 lazy audit (big stats already
+    // choose SHJ there) and caught by the r17 base-dir streaming audit
+    // through s26's micro-batch serve. Build side = pb (the batch; bounded
+    // by the serve contract where ib scales with the corpus).
+    val cand = pb.hint("shuffle_hash").join(ib, Seq("band", "bsig"))
       .select(col("query_id"), col("match_id")).distinct()
     // shuffle-hash, not broadcast: s26's real micro-batches are small,
     // but mm7's registered fixture batch is a CORPUS FRACTION (the

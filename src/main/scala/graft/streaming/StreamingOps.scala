@@ -68,6 +68,33 @@ object StreamingOps {
   @volatile private[graft] var lastStateBytes: Long = -1L
   @volatile private[graft] var lastNumBatches: Long = -1L
 
+  /** Await the drained AvailableNow query AND, when the corpus-broadcast
+    * audit's capture sink is armed ([[graft.plans.PlanCapture]]), offer the
+    * LAST micro-batch's executed plan to it — micro-batch executions
+    * bypass query-stage prep (AQE is disabled in streaming), so the
+    * streaming plan audit captures here instead. One audited copy for all
+    * seven launch sites. `lastExecution` is reached reflectively through
+    * the session-facing wrapper (`StreamingQueryWrapper.streamingQuery` →
+    * `StreamExecution.lastExecution`, both private[sql] surface — the
+    * reflection only runs when a sink is armed, i.e. inside an audit). */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    if (graft.plans.PlanCapture.sink.isDefined) {
+      try {
+        val se = q.getClass.getMethod("streamingQuery").invoke(q)
+        val le = se.getClass.getMethod("lastExecution").invoke(se)
+        if (le != null) {
+          val plan = le.asInstanceOf[
+            org.apache.spark.sql.execution.QueryExecution].executedPlan
+          graft.plans.PlanCapture.sink.foreach(_.add(plan))
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        // leave the sink un-fed: the audit treats a zero-capture streaming
+        // run as a LOUD skip, never a green-empty row
+      }
+    }
+  }
+
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = nextName()
     val q = startClamped(spark) {
@@ -81,7 +108,7 @@ object StreamingOps {
     // drop sits in a finally so a failed query cannot leak its sink view
     // (and the rows it pins) for the session lifetime.
     try {
-      q.awaitTermination()
+      drain(q)
       // stash state telemetry before the query object goes out of scope:
       // the LAST progress with state operators carries the final state
       // size (AvailableNow drains to completion, so this is the run's
@@ -269,7 +296,12 @@ object StreamingOps {
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = eventsStream(spark, dir)
       .withColumn("c_custkey", col("user_id") + 1) // synthetic FK: users 0..N-1 ↔ custkeys 1..N
-      .join(broadcast(cust), Seq("c_custkey"))
+      // customer is a SCALING dim — the r16 adjudication that removed the
+      // q3/q5/q17/q29/q30/q31 hints missed this streaming pin until the
+      // r17 base-dir streaming audit flagged it: stats decide (still a
+      // broadcast at test SFs; flips past the threshold at 100 TB, which
+      // a stream-static join supports either way)
+      .join(cust, Seq("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     runToTable(spark, enriched, OutputMode.Complete())
@@ -663,7 +695,7 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow()).start()
     }
-    q.awaitTermination()
+    drain(q)
     val rows = acc.synchronized { acc.toIndexedSeq }
     // no-probe drains get the statically-declared empty frame — the old
     // fallback ran the whole serve pipeline (probe collect + meta-store
@@ -752,7 +784,7 @@ object StreamingOps {
       .option("checkpointLocation", s"$base/chk")
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    drain(q)
     spark.read.format("graft.sources.BlockStoreSource")
       .option("store", dst).load()
       .groupBy(col("source"), col("lang"))
@@ -807,7 +839,7 @@ object StreamingOps {
             .streamIngestAppend(spark, dir, idx, meta, ids)
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    drain(q)
     graft.operators.Similarity.streamIngestServe(spark, dir, idx, meta)
   }
 
@@ -847,7 +879,7 @@ object StreamingOps {
         }
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    drain(q)
     // EMPTY-DRAIN guard (the s10/s23 discipline): if no batch contained a
     // qualifying doc, nothing ever wrote the data dir and a bare
     // spark.read.parquet would throw path-not-found instead of returning
@@ -911,7 +943,7 @@ object StreamingOps {
             .option("path", outDir).option("checkpointLocation", s"$base/chk")
             .trigger(Trigger.AvailableNow()).start()
         }
-        q.awaitTermination()
+        drain(q)
         outDir
       })
     }
@@ -1057,7 +1089,7 @@ object StreamingOps {
             }
             .trigger(Trigger.AvailableNow()).start()
         }
-        q.awaitTermination()
+        drain(q)
         data
       })
     }

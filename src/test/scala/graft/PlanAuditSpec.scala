@@ -170,7 +170,8 @@ class PlanAuditSpec extends SparkSpec {
       // (r15: the 3x-fanout side went slim — its text attaches
       // post-prefilter; the unexploded b-side keeps its text)
       "mm6_perceptual_neardup" -> 2, // signature attaches
-      "mm7_phash_serve" -> 2, // probe-batch + corpus index-sig attaches
+      // r17 streaming-audit catch: the band-collision join joined the pins
+      "mm7_phash_serve" -> 3, // band join + probe-batch + index-sig attaches
       "dd16_semantic_dedup" -> 2, // dd5-style embedding attaches
       // r17 construction-audit catch: keep rides the cached labels memo
       // (pre-materialization stats lie) and keep/toks are ∝ corpus

@@ -137,6 +137,28 @@ class ScaleSpec extends SparkSpec {
       "x46's merge-source SHUFFLE_HASH view hint regressed")
   }
 
+  test("the streaming drain offers the last micro-batch plan to an armed " +
+    "capture sink (the streaming audit's capture surface)") {
+    import scala.jdk.CollectionConverters._
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    graft.plans.PlanCapture.sink = Some(q)
+    try SparkEntry.queries("s1_tumbling_window")(spark, sf): Unit
+    finally graft.plans.PlanCapture.sink = None
+    // micro-batch executions bypass query-stage prep, so a captured plan
+    // here can only come from StreamingOps.drain's reflective stash — a
+    // Spark-internal rename of streamingQuery/lastExecution would land as
+    // zero captures, which the audit records as a loud skip and THIS pin
+    // turns into a test failure
+    assert(!q.isEmpty, "drain captured no micro-batch plan — the " +
+      "reflective lastExecution stash is broken (streaming audit would " +
+      "skip every s-query loudly)")
+    // the captured tree must be a REAL micro-batch plan, not a stub: s1's
+    // windowed agg runs stateful, so its plan carries state-store nodes
+    assert(q.asScala.exists(_.toString.contains("StateStore")),
+      "captured plan carries no StateStore node — wrong plan captured")
+  }
+
   test("s20's state-rows bound fails on the -1 no-telemetry sentinel " +
     "instead of passing vacuously") {
     val s20 = Scale.ops.find(_.name == "s20_stream_dedup").get
