@@ -47,15 +47,24 @@ print(f"\n{n_ok}/{len(rows)} rows with all flags true.")
 # committed counts can never drift from plan_audit.json (r15 ADVICE)
 try:
     audit = json.load(open("plan_audit.json"))
-    cons = audit.get("construction_audited", [])
-    cons_s = ""
-    if cons:
-        nflags = sum(len(c["flags"]) for c in cons)
-        ats = ", ".join(f"{c['query']}@x{c['factor']}" for c in cons)
-        cons_s = (f", {len(cons)} construction-audited"
-                  f" ({nflags} flags: {ats})")
+
+    def at_factor(key, label, list_queries=False):
+        # construction/eager/streaming arrays share one shape (r17):
+        # [{query, factor, flags:[...]}, ...]
+        rows = audit.get(key, [])
+        if not rows:
+            return ""
+        nflags = sum(len(c["flags"]) for c in rows)
+        detail = (": " + ", ".join(
+            f"{c['query']}@x{c['factor']}" for c in rows)
+            if list_queries else "")
+        return f", {len(rows)} {label} ({nflags} flags{detail})"
+
     print(f"audit: {audit['audited']} audited, "
-          f"{len(audit['flagged'])} flagged{cons_s}, "
+          f"{len(audit['flagged'])} flagged"
+          f"{at_factor('construction_audited', 'construction-audited', True)}"
+          f"{at_factor('eager_audited', 'eager-audited')}"
+          f"{at_factor('streaming_audited', 'streaming-audited')}, "
           f"{len(audit['skipped'])} skipped (at {audit['dir']})")
 except (FileNotFoundError, KeyError, ValueError) as e:
     # a pre-r16 or truncated artifact must not kill the table render

@@ -30,6 +30,15 @@ object PlanCapture extends Rule[SparkPlan] {
 
   @volatile private[graft] var sink: Option[java.util.Queue[SparkPlan]] = None
 
+  /** Count of MICRO-BATCH plans offered by StreamingOps.drain since the
+    * audit last reset it — kept separate from the queue because a
+    * streaming harness's batch sub-jobs (fixture lands, foreachBatch
+    * bodies, read-backs) also feed the queue via the stage-prep hook: a
+    * broken drain reflection would otherwise hide behind a non-empty
+    * queue and silently cost the audit exactly the micro-batch coverage
+    * it exists for (r17 review). */
+  private[graft] val streamingOffers = new java.util.concurrent.atomic.AtomicInteger(0)
+
   override def apply(plan: SparkPlan): SparkPlan = {
     sink.foreach(_.add(plan))
     plan

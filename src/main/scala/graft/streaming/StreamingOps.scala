@@ -87,6 +87,7 @@ object StreamingOps {
           val plan = le.asInstanceOf[
             org.apache.spark.sql.execution.QueryExecution].executedPlan
           graft.plans.PlanCapture.sink.foreach(_.add(plan))
+          graft.plans.PlanCapture.streamingOffers.incrementAndGet(): Unit
         }
       } catch { case scala.util.control.NonFatal(_) =>
         // leave the sink un-fed: the audit treats a zero-capture streaming
