@@ -94,6 +94,7 @@ object Bench {
     // dd19's jittered-copy fixture (r17): a landed artifact like the rest —
     // the registered query times the banded dedup, not the one-time land
     land("dd19 fixture")(operators.Dedup.dd19FixtureDir(spark, sfDir): Unit)
+    land("dd20 fixture")(operators.Dedup.dd20FixtureDir(spark, sfDir): Unit)
     land("phash index")(operators.Multimodal.ensurePhashIndex(spark, sfDir): Unit)
     land("columnar store")(operators.Extended.ensureColumnarStore(spark, sfDir): Unit)
     // optional comma-separated name filter for isolating one query's

@@ -682,6 +682,17 @@ object Dedup {
     }.mkString(",\n        ")
   }
 
+  /** SQL twin of [[prodPlaneFrame]] — the 45 × 16-bit production family as
+    * a 720-row VALUES literal (dd20's oracle recomputes the banded side
+    * for real; lazy per the init-order trap rule). */
+  private lazy val ProdPlanesSqlValues: String = {
+    val bb = graft.expr.RandomHyperplanes.ProdBandBits
+    graft.expr.RandomHyperplanes.ProdPlanes.zipWithIndex.map { case (p, j) =>
+      s"(${j / bb}, ${1L << (j % bb)}, " +
+        s"[${p.map(v => s"${v.toLong}.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+  }
+
   /** dd16's candidate stage: within-(label, band, sig) pairs through the
     * 48-band dedup sign-LSH family
     * ([[graft.expr.RandomHyperplanes.DedupPlanes]] — same deterministic
@@ -857,6 +868,13 @@ object Dedup {
     semanticDedupProdOver(spark, Similarity.emb(spark, dir))
 
   private def semanticDedupProdOver(spark: SparkSession,
+      v: DataFrame): DataFrame =
+    semanticDedupProdPairsOver(spark, v).orderBy("vec_a", "vec_b")
+
+  /** The UNORDERED production-threshold pair frame (dd19's pipeline minus
+    * the presentation sort) — dd20 joins this mid-plan, where a sort
+    * would be a wasted exchange. */
+  private def semanticDedupProdPairsOver(spark: SparkSession,
       v: DataFrame): DataFrame = {
     semanticDedupProdCandidatesOver(prodSignaturesOver(spark, v))
       .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"),
@@ -867,7 +885,6 @@ object Dedup {
         call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= ProdCosThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy("vec_a", "vec_b")
   }
 
   /** The LOSING shape at the production threshold (kept for the measured
@@ -961,6 +978,105 @@ object Dedup {
         sqrt(call_function("vec_dot", col("e"), col("e"))))
       .filter(col("nrm") > 0)
     semanticDedupProdOver(spark, fx)
+  }
+
+  // ---- dd20: measured recall AT the decision boundary -------------------
+
+  /** Copy ids in the dd20 fixture sit this far above every base vec_id. */
+  private[graft] val Dd20CopyIdOffset = 20000000L
+
+  private val dd20FixturePaths =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Lands the dd20 BOUNDARY fixture once per dir: base embeddings plus one
+    * deterministic jittered copy of every `vec_id % 5 == 1` vector, copy id
+    * = base id + [[Dd20CopyIdOffset]], same label. Where dd19's ±25%
+    * three-class jitter parks every (base, copy) pair at cos ∈ [0.97, 1.0]
+    * — the regime where the 45-band miss probability is deterministic-zero
+    * — dd20's jitter is a TWO-class multiplicative split tuned to the
+    * DECISION BOUNDARY: element d scales by `0.5625 + 0.875·((vec_id+d)%2)`
+    * (factors 9/16 and 23/16, both exactly representable, so DuckDB
+    * recomputes the landed values bit-identically). With vector mass split
+    * roughly evenly between the two parity classes the pair cosine is
+    * (f₀+f₁)/(√2·√(f₀²+f₁²)) ≈ 0.916, and per-vector mass imbalance
+    * spreads the pairs across cos ∈ [0.899, 0.957] — centered exactly
+    * where a cos ≥ 0.9 production threshold cuts, with per-pair 45-band
+    * miss probability (1−(1−acos(c)/π)¹⁶)⁴⁵ between 2.0% (cos 0.90) and
+    * 0.01% (cos 0.95): NONZERO, unlike dd19's fixture. The planes and
+    * jitter are fixed, so which pairs miss is deterministic — measured
+    * recall is a reproducible number the hash oracle covers, not a
+    * probabilistic outcome (at sf0.01 two bucket-91 pairs miss: recall
+    * 0.9794 overall; at sf0.1 two of 394: 0.9949; sf0.001 is lossless). */
+  private[graft] def dd20FixtureDir(spark: SparkSession,
+      dir: String): String = synchronized {
+    dd20FixturePaths.getOrElseUpdate(dir, {
+      val out = Catalog.tempDirWithCleanup("graft-dd20fx").toString + "/emb"
+      val base = Similarity.emb(spark, dir)
+      val copies = base.filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + lit(Dd20CopyIdOffset)).as("vec_id"),
+          col("label"),
+          // vec_id inside the lambda resolves against the INPUT row (the
+          // base id) — the same id the oracle's SQL twin uses
+          expr("transform(e, (x, i) -> " +
+            "x * (0.5625D + 0.875D * CAST((vec_id + i) % 2 AS DOUBLE)))")
+            .as("e"))
+      base.select(col("vec_id"), col("label"), col("e"))
+        .unionByName(copies)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
+  /** dd20: RECALL OF THE PRODUCTION BANDED PIPELINE measured AT the
+    * decision boundary (r17 verdict ask 1 — dd19's fixture verifies
+    * recall = 1 only where misses are impossible; this one measures recall
+    * where they are not). Output: one row per exact-cosine centibucket
+    * (`floor(cos·100)`, 90…95) with the exact cos ≥ 0.9 pair count, the
+    * count the 45×16-bit banded pipeline found, and their ratio — the
+    * measured S-curve a production dedup owner reads before trusting a
+    * banding config at a threshold. The DuckDB oracle recomputes BOTH
+    * sides from the embeddings parquet: the exact side brute-force, the
+    * banded side through the same 720-plane signature pipeline as a
+    * VALUES literal (the dd16-oracle discipline), restricted to exact-pair
+    * members so the oracle's plane work stays |pair members| × 720. The
+    * recall floor is contracted against the scaladoc'd per-band S-curve in
+    * DedupSpec (per-bucket ≥ 1 − 5·missProb(edge) − 1/n; overall ≥ 0.97).
+    *
+    * SCALE SHAPE: the banded side is dd19's production pipeline verbatim
+    * (slim collision join → distinct pairs → SHJ array attach). The exact
+    * side is quadratic-by-spec — it IS the recall baseline, same class as
+    * dd5 (at 100 TB one measures recall on a bounded label slice, never
+    * the full corpus; the pipeline being measured stays linear). Every
+    * join is SHJ-pinned: the fixture is corpus-sized, so nothing here may
+    * broadcast by small-SF stats (the r15 plan-instability class). */
+  def bandedBoundaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.VectorExpressions.register(spark)
+    val fx = spark.read.parquet(dd20FixtureDir(spark, dir))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nrm",
+        sqrt(call_function("vec_dot", col("e"), col("e"))))
+      .filter(col("nrm") > 0)
+    val a = fx.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = fx.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val exact = a.join(b.hint("shuffle_hash"), Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= ProdCosThreshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 100).as("bucket"))
+    val banded = semanticDedupProdPairsOver(spark, fx)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+    exact.join(banded.hint("shuffle_hash"), Seq("vec_a", "vec_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(asLong(count(lit(1))).as("n_exact"),
+        asLong(sum(coalesce(col("hit"), lit(0L)))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .orderBy("bucket")
   }
 
   /** Canonicalizing exact dedup: text is NORMALIZED before digesting —
@@ -1539,6 +1655,7 @@ object Dedup {
     "dd17_canonical_keep" -> canonicalKeep,
     "dd18_dedup_savings" -> dedupSavings,
     "dd19_banded_prod" -> bandedProdNearDup,
+    "dd20_boundary_recall" -> bandedBoundaryRecall,
     "dd6_ngram_jaccard" -> ngramJaccard)
 
   // ---- DuckDB oracles: the same pipeline, generated with the same loops --
@@ -1692,6 +1809,56 @@ object Dedup {
          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(c, 6) AS cos_sim FROM p
          |WHERE c >= ${ProdCosThreshold} ORDER BY vec_a, vec_b""".stripMargin,
+    // dd20: BOTH sides recomputed for real — the exact side brute-force
+    // (the dd19-oracle fixture CTE with the boundary jitter), the banded
+    // side through the literal 720-plane production family (the dd16-
+    // oracle discipline), restricted to exact-pair members so the plane
+    // work stays |members| × 720. Exact pairs are same-label by
+    // construction, so a band collision alone decides membership — the
+    // Spark pipeline's (label, band, sig) key degenerates to (band, sig)
+    // on this set. recall is the IEEE division of two BIGINTs (the t16
+    // ttr rule); floor(c·100) buckets an identically-computed double, so
+    // the centibucket edges agree bit-for-bit.
+    "dd20_boundary_recall" ->
+      s"""WITH v0 AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae FROM embeddings),
+         |fx AS (
+         |  SELECT vec_id, label, ae FROM v0
+         |  UNION ALL
+         |  SELECT vec_id + ${Dd20CopyIdOffset}, label,
+         |    list_transform(generate_series(1, len(ae)),
+         |      i -> ae[i] * (0.5625 + 0.875 * CAST((vec_id + i - 1) % 2 AS DOUBLE))) AS ae
+         |  FROM v0 WHERE vec_id % 5 = 1),
+         |n0 AS (SELECT vec_id, label, ae,
+         |    sqrt(list_sum(list_transform(generate_series(1, len(ae)), i -> ae[i] * ae[i]))) AS nrm
+         |  FROM fx),
+         |n AS (SELECT * FROM n0 WHERE nrm > 0),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_sum(list_transform(generate_series(1, len(a.ae)), i -> a.ae[i] * b.ae[i]))
+         |      / (a.nrm * b.nrm) AS c
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |ex AS (SELECT vec_a, vec_b, CAST(floor(c * 100) AS BIGINT) AS bucket
+         |  FROM p WHERE c >= ${ProdCosThreshold}),
+         |mem AS (SELECT DISTINCT vec_id FROM
+         |  (SELECT vec_a AS vec_id FROM ex UNION ALL SELECT vec_b FROM ex)),
+         |planes AS (SELECT * FROM (VALUES
+         |        $ProdPlanesSqlValues) pl(band, w, r)),
+         |sigs AS (SELECT n.vec_id, pl.band,
+         |          CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(n.ae)),
+         |                                      i -> n.ae[i] * pl.r[i])) >= 0
+         |                   THEN pl.w ELSE 0 END) AS BIGINT) AS sig
+         |        FROM n JOIN mem USING (vec_id) CROSS JOIN planes pl
+         |        GROUP BY n.vec_id, pl.band),
+         |fnd AS (SELECT DISTINCT e.vec_a, e.vec_b FROM ex e
+         |        JOIN sigs sa ON sa.vec_id = e.vec_a
+         |        JOIN sigs sb ON sb.vec_id = e.vec_b
+         |         AND sa.band = sb.band AND sa.sig = sb.sig)
+         |SELECT ex.bucket, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(f.vec_a) AS BIGINT) AS n_found,
+         |  CAST(count(f.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN fnd f
+         |  ON ex.vec_a = f.vec_a AND ex.vec_b = f.vec_b
+         |GROUP BY ex.bucket ORDER BY ex.bucket""".stripMargin,
     "dd1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

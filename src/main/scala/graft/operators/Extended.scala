@@ -942,6 +942,14 @@ object Extended {
       // MERGE planning a doc_id-keyed broadcast of it at ×16. The
       // SHUFFLE_HASH hint rides the view subtree into both the merge join
       // and the runtime group-filter's matching-rows join.
+      // the insert keys shift by a fixed 1e8 offset the oracle mirrors
+      // literally — assert the precondition so a future dir whose ids
+      // reach the offset fails with a named invariant instead of a
+      // silent match-instead-of-insert hash mismatch (r17 ADVICE)
+      val maxId = spark.table("x46_docs")
+        .agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < 100000000L,
+        s"x46 insert-key offset assumes max(doc_id) < 1e8; dir $dir has $maxId")
       spark.sql(
         """CREATE OR REPLACE TEMP VIEW x46_updates AS
           |SELECT /*+ SHUFFLE_HASH */ * FROM (
@@ -1020,11 +1028,15 @@ object Extended {
     staged.write.format("noop").mode("overwrite").save()
     // the observe/CollectMetrics pipeline bypasses query-stage prep, so
     // the eager audit's capture hook sees nothing from the noop action:
-    // offer the pipeline's (initial) physical plan directly when a sink
-    // is armed — the StreamingOps.drain pattern for non-stage-prep
-    // executions; a no-op outside audit runs
+    // offer the pipeline's physical plan directly when a sink is armed —
+    // the StreamingOps.drain pattern for non-stage-prep executions; a
+    // no-op outside audit runs. sparkPlan, NOT executedPlan: if this
+    // pipeline ever gains an exchange, executedPlan becomes an
+    // AdaptiveSparkPlanExec wrapper the flag walker cannot descend into
+    // (silently vacuous audit row); sparkPlan is the same pre-AQE tree
+    // the lazy audit walks (r17 ADVICE)
     graft.plans.PlanCapture.sink
-      .foreach(_.add(staged.queryExecution.executedPlan))
+      .foreach(_.add(staged.queryExecution.sparkPlan))
     val in = obsIn.get
     val kept = obsKept.get
     val rowsIn = in("rows_in").asInstanceOf[Long]

@@ -568,8 +568,16 @@ object TextAnalysis {
     * session-lifetime frame cache would leak across the harness's 190+
     * queries; the memoized RESULT is driver-side only. */
   private def trainedMerges(spark: SparkSession, dir: String)
-      : Seq[(Long, String, String, String, Long)] =
-    mergeMemo.computeIfAbsent(dir, _ => {
+      : Seq[(Long, String, String, String, Long)] = {
+    // get/putIfAbsent, NOT computeIfAbsent: the training loop runs
+    // multi-minute Spark jobs, and computeIfAbsent would hold the map's
+    // bin lock for the duration — a concurrent train on a same-bin dir
+    // stalls, and a reentrant same-dir call (a sim9-style concurrent-arms
+    // pattern) deadlocks per the map's recursive-update contract. A rare
+    // duplicate training run is the cheaper failure (r17 ADVICE).
+    val cached = mergeMemo.get(dir)
+    if (cached != null) return cached
+    val computed = {
       val base = encodedVocab(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -600,7 +608,10 @@ object TextAnalysis {
         }
       } finally base.unpersist(blocking = false)
       merges.result()
-    })
+    }
+    val prev = mergeMemo.putIfAbsent(dir, computed)
+    if (prev != null) prev else computed
+  }
 
   /** t20: FERTILITY of the trained tokenizer — evaluate t19's merge list on
     * the corpus it was trained on, per source: words, characters, post-merge

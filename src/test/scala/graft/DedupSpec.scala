@@ -406,4 +406,44 @@ class DedupSpec extends SparkSpec {
       s"slim-candidate regime violated: 2x$cand pairs vs " +
         s"${vecs}x${graft.expr.RandomHyperplanes.ProdBands} ride-in rows")
   }
+
+  test("dd20 boundary fixture sits ON the decision boundary and measured " +
+    "recall clears the S-curve floor per centibucket") {
+    import org.apache.spark.sql.functions.col
+    // dd19's fixture verifies recall = 1 where the 45-band miss
+    // probability is deterministic-zero (cos >= 0.97); dd20's fixture is
+    // tuned to cos ~ [0.90, 0.96), where it is NOT — this contract is the
+    // S-curve floor the scaladoc model derives: per-band keep
+    // p(c) = (1 - acos(c)/pi)^16, per-pair miss m(c) = (1 - p(c))^45,
+    // per-bucket floor = 1 - 5*m(edge) - 1/n (5x model slack plus one
+    // pair of granularity), overall >= 0.97. The outcome is
+    // DETERMINISTIC (fixed planes, fixed jitter) — the floor guards the
+    // fixture/model agreement, the DuckDB oracle row pins the exact
+    // per-bucket counts at all three SFs.
+    val rows = operators.Dedup
+      .bandedBoundaryRecall(spark, "/root/testdata/sf0.01")
+      .select(col("bucket"), col("n_exact"), col("n_found"), col("recall"))
+      .collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.contains(90L) && buckets.contains(91L),
+      s"fixture drifted off the decision boundary: buckets=${buckets.toSeq}")
+    val nTotal = rows.map(_.getLong(1)).sum
+    val fTotal = rows.map(_.getLong(2)).sum
+    assert(nTotal >= 80,
+      s"boundary pair mass too thin to measure recall ($nTotal pairs)")
+    def missProb(c: Double): Double =
+      math.pow(1.0 - math.pow(1.0 - math.acos(c) / math.Pi,
+        graft.expr.RandomHyperplanes.ProdBandBits),
+        graft.expr.RandomHyperplanes.ProdBands)
+    rows.foreach { r =>
+      val (bucket, n, found, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val floor = 1.0 - 5.0 * missProb(bucket / 100.0) - 1.0 / n
+      info(f"bucket $bucket n=$n found=$found recall=$recall%.4f floor=$floor%.4f")
+      assert(recall >= floor,
+        s"bucket $bucket recall $recall below the S-curve floor $floor")
+    }
+    assert(fTotal.toDouble / nTotal >= 0.97,
+      s"overall boundary recall ${fTotal.toDouble / nTotal} below 0.97")
+  }
 }

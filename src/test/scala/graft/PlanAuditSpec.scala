@@ -35,11 +35,13 @@ class PlanAuditSpec extends SparkSpec {
   // signature build — bounded constant side, the t11 shape)
   // dd19: the same signature-build shape over the 720-row production
   // plane literal (fixture ∪ copies × broadcast planes)
+  // dd20: dd19's signature build (720-row plane literal) — the recall
+  // harness runs the production pipeline verbatim on the boundary fixture
   private val allowCross = Set("sim1_cosine_topk", "sim5_int8_topk",
     "sim20_random_projection",
     "sim6_kmeans_assign", "sim7_kmeans_update",
     "sim10_pq_topk", "x11_nested_loop_join", "t11_tfidf_keywords",
-    "dd16_semantic_dedup", "dd19_banded_prod")
+    "dd16_semantic_dedup", "dd19_banded_prod", "dd20_boundary_recall")
 
   private def streaming(n: String): Boolean = n.matches("s\\d+_.*")
 
