@@ -980,6 +980,7 @@ object Scale {
     "sim14_recall_bar" -> 32, "sim23_mmr_topk" -> 32,
     "t9_quality_deciles" -> 32, "t13_bpe_pairs" -> 32,
     "t14_heavy_hitters" -> 32, "t19_bpe_train" -> 32,
+    "t21_bpe_batch_train" -> 32,
     "x30_corrupt_ingest" -> 16, "x36_blockstore_sql" -> 16,
     "x38_observed_metrics" -> 32, "x39_blockstore_delete" -> 16,
     "x41_time_travel" -> 16, "x46_merge_upsert" -> 16)

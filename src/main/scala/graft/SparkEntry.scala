@@ -31,7 +31,7 @@ object SparkEntry {
     "sim8_kmeans_iterate", "sim9_recall_at_k", "sim11_ivf_multiprobe",
     "sim13_ivf_pq", "sim14_recall_bar", "sim23_mmr_topk",
     "t9_quality_deciles", "t13_bpe_pairs", "t14_heavy_hitters",
-    "t19_bpe_train",
+    "t19_bpe_train", "t21_bpe_batch_train",
     "x30_corrupt_ingest", "x36_blockstore_sql", "x38_observed_metrics",
     "x39_blockstore_delete", "x41_time_travel", "x46_merge_upsert")
 

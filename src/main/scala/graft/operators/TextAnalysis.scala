@@ -613,6 +613,94 @@ object TextAnalysis {
     if (prev != null) prev else computed
   }
 
+  // ---- t21: BATCHED BPE training ----------------------------------------
+
+  /** Registered batched schedule: [[BpeBatchRounds]] distributed rounds ×
+    * [[BpeBatchSize]] merges per round = 64 merges in 8 corpus-free jobs
+    * (r17 verdict ask 2 — t19 demonstrates the round; this demonstrates
+    * the amortization that makes ~30k production merges feasible). */
+  private[graft] val BpeBatchRounds = 8
+  private[graft] val BpeBatchSize = 8
+
+  private val batchMergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Long, String, String, String, Long)]]()
+
+  /** The batched train loop at an arbitrary (rounds, batch) schedule —
+    * exposed un-memoized for the spec's schedule-parameterized pins
+    * (B = 1 must reproduce t19's sequential trainer exactly).
+    *
+    * BATCH SEMANTICS (the production trade, stated honestly): each round
+    * counts pairs ONCE over the current vocab, takes the top B by
+    * (count DESC, pair) — one vocab-sized shuffle + one TakeOrdered
+    * collect of B rows — and applies all B merges map-side IN RANK ORDER.
+    * Merges 2..B of a batch are therefore chosen under the PRE-round
+    * counts: where sequential BPE would recount after each merge (and
+    * might promote a pair created by merge 1), the batch spends one
+    * distributed job per B merges. That ordering deviation is the whole
+    * price of the B× job amortization; the application itself stays exact
+    * (each replace is the canonical greedy rule, and a batch member whose
+    * occurrences an earlier batch member consumed simply no-ops). At
+    * 100 TB: ~30k merges = ~470 vocab-sized jobs at B = 64 instead of
+    * 30k, with the corpus still scanned exactly once (t19's contract). */
+  private[graft] def trainedBatchedMergesFor(spark: SparkSession,
+      dir: String, rounds: Int, batch: Int)
+      : Seq[(Long, Long, String, String, String, Long)] = {
+    val base = encodedVocab(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var vocab: DataFrame = base
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = vocab
+          .select(col("tf"), split(trim(col("s")), "  ").as("y"))
+          .filter(size(col("y")) >= 2) // sequence(1, n<1) would count DOWN
+          .select(col("tf"), explode(transform(
+            sequence(lit(1), size(col("y")) - 1),
+            i => concat(element_at(col("y"), i), lit(" "),
+              element_at(col("y"), i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(asLong(sum(col("tf"))).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("pair"))
+          .limit(batch).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          top.zipWithIndex.foreach { case (row, k) =>
+            val pair = row.getString(0)
+            val Array(a, b) = pair.split(" ", 2)
+            merges += ((((r - 1).toLong * batch) + k + 1, r.toLong,
+              a, b, a + b, row.getLong(1)))
+            // batch member k+1 layers its map-side replace over member k's
+            vocab = vocab.withColumn("s", applyMerge(col("s"), a, b))
+          }
+          r += 1
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Memoized registered-schedule run (the t19 memo discipline — a
+    * driver-side Seq, get/putIfAbsent outside the bin lock). */
+  private def trainedBatchedMerges(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, String, String, String, Long)] = {
+    val cached = batchMergeMemo.get(dir)
+    if (cached != null) return cached
+    val computed =
+      trainedBatchedMergesFor(spark, dir, BpeBatchRounds, BpeBatchSize)
+    val prev = batchMergeMemo.putIfAbsent(dir, computed)
+    if (prev != null) prev else computed
+  }
+
+  /** t21: the batched trainer's merge list — rank (global merge index),
+    * round (which distributed job chose it), the pair, and the PRE-round
+    * count it was selected under. */
+  def bpeTrainBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedBatchedMerges(spark, dir)
+      .toDF("rank", "round", "lhs", "rhs", "merged", "n_pairs")
+  }
+
   /** t20: FERTILITY of the trained tokenizer — evaluate t19's merge list on
     * the corpus it was trained on, per source: words, characters, post-merge
     * symbols, fertility (symbols per word — the number a tokenizer team
@@ -870,6 +958,7 @@ object TextAnalysis {
     "t13_bpe_pairs" -> bpePairs,
     "t19_bpe_train" -> bpeTrain,
     "t20_bpe_fertility" -> bpeFertility,
+    "t21_bpe_batch_train" -> bpeTrainBatched,
     "t14_heavy_hitters" -> heavyHitters,
     "t15_lang_confusion" -> langConfusion,
     "t10_bigram_support" -> bigramSupport,
@@ -946,6 +1035,64 @@ object TextAnalysis {
       s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, merged, n_pairs FROM m$r")
       .mkString("\nUNION ALL ")
     s"""WITH $T19Stages
+       |$union
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** t21's oracle: the batched loop unrolled — per round, the pair count
+    * CTE is t19's, the argmax LIMIT 1 becomes a row_number'd LIMIT B with
+    * the identical (n_pairs DESC, pair) order, the B winners pivot into
+    * one row (max-CASE — an aggregate over the ≤ B-row batch), and the
+    * application is B NESTED replaces in rank order (innermost = rank 1,
+    * exactly the Spark side's withColumn layering). A short batch pivots
+    * NULL columns; their patterns coalesce to chr(1) — a control byte the
+    * double-space encoding can never contain — so the replace no-ops
+    * instead of nulling the vocab. */
+  private lazy val T21Stages: String = {
+    val b = BpeBatchSize
+    val stages = (1 to BpeBatchRounds).map { r =>
+      val pivots = (1 to b).map(k =>
+        s"max(CASE WHEN bseq = $k THEN lhs END) AS l$k,\n" +
+          s"               max(CASE WHEN bseq = $k THEN rhs END) AS r$k,\n" +
+          s"               max(CASE WHEN bseq = $k THEN merged END) AS g$k")
+        .mkString(",\n               ")
+      val applied = (1 to b).foldLeft("v.s") { (acc, k) =>
+        s"replace($acc,\n                 " +
+          s"coalesce(' ' || m.l$k || '  ' || m.r$k || ' ', chr(1)),\n                 " +
+          s"coalesce(' ' || m.g$k || ' ', chr(1)))"
+      }
+      s"""by$r AS (SELECT str_split(trim(s), '  ') AS y, tf FROM bv${r - 1}),
+         |bp$r AS (SELECT unnest(list_transform(generate_series(1, len(y) - 1),
+         |          i -> y[i] || ' ' || y[i + 1])) AS pair, tf
+         |        FROM by$r WHERE len(y) >= 2),
+         |bc$r AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n_pairs
+         |        FROM bp$r GROUP BY pair),
+         |bm$r AS (SELECT split_part(pair, ' ', 1) AS lhs,
+         |               split_part(pair, ' ', 2) AS rhs,
+         |               replace(pair, ' ', '') AS merged, n_pairs,
+         |               row_number() OVER (ORDER BY n_pairs DESC, pair) AS bseq
+         |        FROM bc$r ORDER BY n_pairs DESC, pair LIMIT $b),
+         |bw$r AS (SELECT $pivots
+         |        FROM bm$r),
+         |bv$r AS (SELECT v.tok,
+         |               $applied AS s, v.tf
+         |        FROM bv${r - 1} v, bw$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""be AS (SELECT unnest($Toks) AS tok FROM documents),
+       |btf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM be
+       |       WHERE length(tok) >= 2 GROUP BY tok),
+       |bv0 AS (SELECT tok, '  ' || array_to_string(list_transform(
+       |         generate_series(1, length(tok)), i -> substr(tok, i, 1)),
+       |         '  ') || '  ' AS s, tf FROM btf),
+       |$stages""".stripMargin
+  }
+
+  private lazy val T21Oracle: String = {
+    val union = (1 to BpeBatchRounds).map(r =>
+      s"SELECT CAST(${(r - 1) * BpeBatchSize} AS BIGINT) + bseq AS rank, " +
+        s"CAST($r AS BIGINT) AS round, lhs, rhs, merged, n_pairs FROM bm$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $T21Stages
        |$union
        |ORDER BY rank""".stripMargin
   }
@@ -1040,6 +1187,7 @@ object TextAnalysis {
          |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
     "t19_bpe_train" -> T19Oracle,
     "t20_bpe_fertility" -> T20Oracle,
+    "t21_bpe_batch_train" -> T21Oracle,
     "t10_bigram_support" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
          |b0 AS (SELECT doc_id,

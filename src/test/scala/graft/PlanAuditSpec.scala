@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "t19_bpe_train" ->
       ("one merge row per train round",
         operators.TextAnalysis.BpeTrainMerges.toLong),
+    "t21_bpe_batch_train" ->
+      ("B merge rows per batched round",
+        operators.TextAnalysis.BpeBatchRounds.toLong *
+          operators.TextAnalysis.BpeBatchSize),
     "t14_heavy_hitters" ->
       ("≤ MgCounters survivors", operators.TextAnalysis.MgCounters.toLong),
     // x36 returns the per-(source, lang) aggregate eagerly (the catalog

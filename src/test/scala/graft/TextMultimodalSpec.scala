@@ -338,6 +338,68 @@ class TextMultimodalSpec extends SparkSpec {
     got.foreach { case (_, a, b, m, _) => assert(m == a + b) }
   }
 
+  /** Driver reference of t21's BATCHED schedule: per round, count pairs
+    * once, take the top B by (count DESC, pair), apply them sequentially
+    * in rank order via the canonical greedy rule. The distributed trainer
+    * must match this EXACTLY — the batch semantics (members 2..B chosen
+    * under pre-round counts) are the spec, not an approximation of it. */
+  private def refBpeTrainBatched(tf: Map[String, Long], rounds: Int, b: Int)
+      : Seq[(Long, Long, String, String, String, Long)] = {
+    var vocab = tf.toSeq.filter(_._1.length >= 2)
+      .map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val batch = counts.toSeq
+          .sortBy { case ((a, bb), n) => (-n, a + " " + bb) }.take(b)
+        batch.zipWithIndex.foreach { case (((a, bb), n), k) =>
+          out += (((r - 1).toLong * b + k + 1, r.toLong, a, bb, a + bb, n))
+          vocab = vocab.map { case (syms, m) => (refMerge(syms, a, bb), m) }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("t21 batched BPE train matches the driver reference at the " +
+    "batched schedule, and B=1 degenerates to the sequential trainer") {
+    val got = TextAnalysis.bpeTrainBatched(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    val toks = graft.functions.Text
+      .withTokens(Catalog.table(spark, sf, "documents"))
+      .select(explode(col("_toks")).as("t")).collect().map(_.getString(0))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = refBpeTrainBatched(tf,
+      TextAnalysis.BpeBatchRounds, TextAnalysis.BpeBatchSize)
+    assert(got == want,
+      "distributed batched BPE merge list diverges from driver truth")
+    // the verdict contract: >= 64 merges in <= 8 distributed rounds
+    assert(got.size == TextAnalysis.BpeBatchRounds * TextAnalysis.BpeBatchSize)
+    assert(got.map(_._2).distinct.size <= TextAnalysis.BpeBatchRounds)
+    got.foreach { case (_, _, a, b, m, _) => assert(m == a + b) }
+    // B = 1 IS sequential BPE: the batched loop with singleton batches
+    // must reproduce t19's trainer rank-for-rank — distributed AND
+    // reference (links the batch spec back to canonical greedy BPE)
+    val seq6 = refBpeTrain(tf, 6).map { case (r, a, b, m, n) =>
+      (r, r, a, b, m, n) }
+    assert(refBpeTrainBatched(tf, 6, 1) == seq6,
+      "reference batched B=1 diverges from sequential reference")
+    val distB1 = TextAnalysis.trainedBatchedMergesFor(spark, sf, 6, 1)
+    assert(distB1 == seq6,
+      "distributed batched B=1 diverges from the sequential trainer")
+  }
+
   test("t19 replace-encoding merge equals canonical greedy on repeat words") {
     // overlapping runs, disjoint adjacencies, and partial-overlap traps:
     // the double-space encoding with one-flanking-space patterns must
