@@ -983,7 +983,8 @@ object Scale {
     "t21_bpe_batch_train" -> 32,
     "x30_corrupt_ingest" -> 16, "x36_blockstore_sql" -> 16,
     "x38_observed_metrics" -> 32, "x39_blockstore_delete" -> 16,
-    "x41_time_travel" -> 16, "x46_merge_upsert" -> 16)
+    "x41_time_travel" -> 16, "x46_merge_upsert" -> 16,
+    "x47_merge_sync" -> 16)
 
   /** Pseudo-factor for the STREAMING capture audit: the streaming
     * harnesses read the BASE testdata's single-file layout (the s20

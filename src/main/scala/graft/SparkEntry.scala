@@ -33,7 +33,8 @@ object SparkEntry {
     "t9_quality_deciles", "t13_bpe_pairs", "t14_heavy_hitters",
     "t19_bpe_train", "t21_bpe_batch_train",
     "x30_corrupt_ingest", "x36_blockstore_sql", "x38_observed_metrics",
-    "x39_blockstore_delete", "x41_time_travel", "x46_merge_upsert")
+    "x39_blockstore_delete", "x41_time_travel", "x46_merge_upsert",
+    "x47_merge_sync")
 
   /** Queries whose returned frame is LAZY but whose CONSTRUCTION runs
     * corpus-scale jobs (dd8's iterative CC loop; p1 consumes it; p11

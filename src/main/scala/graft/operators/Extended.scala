@@ -980,6 +980,68 @@ object Extended {
       }
     }
 
+  /** x47: the COMPLETE three-clause MERGE — the lakehouse "sync a table to
+    * a source" statement (Delta/Iceberg's full surface, which x46's
+    * two-clause upsert lacked): matched rows update, unmatched source rows
+    * insert, and target rows with NO source match conditionally DELETE
+    * (`WHEN NOT MATCHED BY SOURCE`). Same DSv2 group-based copy-on-write
+    * machinery as x46 ([[graft.sources.GraftRowLevelOperation]]); the
+    * load-bearing difference is the group filter: a NOT-MATCHED-BY-SOURCE
+    * clause makes every target row a participant, so runtime group
+    * filtering cannot exonerate ANY block and the rewrite scans and
+    * replaces the whole store (spec-asserted by reference in
+    * RowLevelOpsSpec, alongside the SQL cardinality guard — duplicate
+    * source matches per target row fail the statement and the abort
+    * leaves layout/version/rows untouched).
+    *
+    * 100 TB note: full-store rewrite is the honest cost of the third
+    * clause on ANY copy-on-write table format — production bounds it by
+    * partition-scoping the merge condition; the registered shape is the
+    * unbounded statement, and the per-lang inventory it returns is the
+    * |langs|+2-row sync report. */
+  def mergeSyncFull(spark: SparkSession, dir: String): DataFrame =
+    withBlockTable(spark, dir, "graft_merge_sync_table", s"mergesync:$dir",
+      "x47_docs") {
+      val maxId = spark.table("x47_docs")
+        .agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < 100000000L,
+        s"x47 insert-key offset assumes max(doc_id) < 1e8; dir $dir has $maxId")
+      // corpus-proportional source (a fixed fraction of the corpus): the
+      // SHUFFLE_HASH hint rides the view subtree into the merge join and
+      // the group-filter join (the x46 eager-audit lesson — MERGE INTO
+      // itself takes no hints)
+      spark.sql(
+        """CREATE OR REPLACE TEMP VIEW x47_source AS
+          |SELECT /*+ SHUFFLE_HASH */ * FROM (
+          |  SELECT doc_id, text, 'sy' AS lang, source,
+          |         n_chars + 11 AS n_chars
+          |  FROM x47_docs WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000000 AS doc_id, text, 'ins' AS lang,
+          |         source, n_chars
+          |  FROM x47_docs WHERE doc_id % 10 = 4)""".stripMargin)
+      try {
+        spark.sql(
+          """MERGE INTO graft_merge_sync_table t USING x47_source s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET
+            |  lang = s.lang, n_chars = s.n_chars
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.n_chars % 5 = 1 THEN DELETE
+            |""".stripMargin)
+        eager(spark, spark.sql(
+          """SELECT lang,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            |FROM graft_merge_sync_table
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+      } finally {
+        try spark.catalog.dropTempView("x47_source")
+        catch { case _: Exception => }
+      }
+    }
+
   /** x44: an aggregate whose scan PLANS COLUMNAR — the connector hands
     * Spark ColumnarBatches (one per block) and the plan runs the
     * vectorized ColumnarToRow transition, the execution shape parquet
@@ -1071,6 +1133,7 @@ object Extended {
     "x44_columnar_scan" -> columnarStoreAgg,
     "x45_store_optimize" -> blockStoreOptimize,
     "x46_merge_upsert" -> mergeUpsert,
+    "x47_merge_sync" -> mergeSyncFull,
     "x38_observed_metrics" -> observedMetrics,
     "x26_bloom_prune_join" -> bloomPruneJoin,
     "x13_range_frame" -> rangeFrame,
@@ -1129,6 +1192,23 @@ object Extended {
         |             coalesce(u.n_chars, d.n_chars) AS n_chars
         |      FROM documents d LEFT JOIN up u ON d.doc_id = u.doc_id
         |      UNION ALL SELECT doc_id, lang, n_chars FROM ins)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // the three-clause sync, declaratively: updates override matched rows,
+    // inserts append, and unmatched target rows drop when the delete
+    // condition holds — the exact state MERGE's third clause must leave
+    "x47_merge_sync" ->
+      """WITH up AS (SELECT doc_id, 'sy' AS lang, n_chars + 11 AS n_chars
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |ins AS (SELECT doc_id + 100000000 AS doc_id, 'ins' AS lang, n_chars
+        |        FROM documents WHERE doc_id % 10 = 4),
+        |kept AS (SELECT doc_id, lang, n_chars FROM documents
+        |         WHERE doc_id % 3 <> 0 AND n_chars % 5 <> 1),
+        |m AS (SELECT doc_id, lang, n_chars FROM up
+        |      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+        |      UNION ALL SELECT doc_id, lang, n_chars FROM kept)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSpec {
     "x41_time_travel" -> ("2 snapshots × |langs|", 2 * nLangs),
     // x46 collects the post-merge per-lang inventory before DROP TABLE
     // (x36 lifecycle); the merge adds the 'xx' and 'new' classes
-    "x46_merge_upsert" -> ("|langs| + 2 merged classes", nLangs + 2))
+    "x46_merge_upsert" -> ("|langs| + 2 merged classes", nLangs + 2),
+    // x47 collects the post-sync per-lang inventory (x36 lifecycle); the
+    // three-clause merge adds the 'sy' and 'ins' classes
+    "x47_merge_sync" -> ("|langs| + 2 sync classes", nLangs + 2))
 
   test("lazy plans: no undeclared cartesian/nested-loop join; " +
     "eager collects: declared row bound met") {

@@ -241,4 +241,84 @@ class RowLevelOpsSpec extends SparkSpec {
       assert(ex3.getMessage.contains("SPJ-sharded"))
     } finally BlockStore.dropStore(store)
   }
+
+  test("MERGE with WHEN NOT MATCHED BY SOURCE deletes unmatched target " +
+    "rows — and the rewrite must scan (and replace) EVERY block") {
+    val store = "rlo-nmbs"
+    landBlocks(store, Seq((0L, 100L), (100L, 200L), (200L, 300L)))
+    withTable("spec_cow_nmbs", store) {
+      val before = BlockStore.blocks(store).toArray
+      assert(before.length == 3)
+      // source touches only block 1's range plus one new id — but the
+      // NOT MATCHED BY SOURCE clause makes every target row a participant
+      // (any block may hold rows with no source match), so runtime group
+      // filtering cannot exonerate anything: the price of the third
+      // clause is a full-store rewrite, asserted below by reference.
+      spark.createDataFrame(Seq(
+        (150L, "u-150", "xx", "spec", 1000L),
+        (9000L, "new-9000", "new", "spec", 7L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("cow_nmbs")
+      try {
+        spark.sql(
+          """MERGE INTO spec_cow_nmbs t USING cow_nmbs s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, lang = s.lang
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 3 THEN DELETE
+            |""".stripMargin)
+      } finally spark.catalog.dropTempView("cow_nmbs")
+      val after = BlockStore.blocks(store).toArray
+      before.zipWithIndex.foreach { case (b, i) =>
+        assert(!after.exists(_ eq b),
+          s"block $i survived a NOT-MATCHED-BY-SOURCE merge by reference — " +
+            "the clause requires scanning every block")
+      }
+      // declarative post-state: 30 deletions (doc_id % 10 == 3 in [0,300)),
+      // one update, one insert
+      assert(connector(store).count() == 300 - 30 + 1)
+      assert(connector(store).filter(col("doc_id") % 10 === 3).count() == 0)
+      val got = connector(store).filter(col("doc_id").isin(150L, 9000L))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("lang"), r.getAs[Long]("n_chars")))).toMap
+      assert(got(150L) == (("xx", 1000L)) && got(9000L) == (("new", 7L)))
+    }
+  }
+
+  test("duplicate source matches per target row fail the MERGE " +
+    "cardinality guard and leave the store untouched") {
+    val store = "rlo-card"
+    landBlocks(store, Seq((0L, 50L)))
+    withTable("spec_cow_card", store) {
+      val genBefore = BlockStore.stableLayoutGeneration(store)
+      val verBefore = BlockStore.currentVersion(store)
+      // two source rows match target doc_id 42: SQL MERGE requires this
+      // to FAIL (a target row may be updated by at most one source row)
+      spark.createDataFrame(Seq(
+        (42L, "a", "xx", "spec", 1L), (42L, "b", "yy", "spec", 2L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("cow_card")
+      try {
+        val ex = intercept[Exception] {
+          spark.sql(
+            """MERGE INTO spec_cow_card t USING cow_card s
+              |ON t.doc_id = s.doc_id
+              |WHEN MATCHED THEN UPDATE SET lang = s.lang
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        }
+        def chain(e: Throwable): Seq[Throwable] =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+        assert(chain(ex).exists(c =>
+          String.valueOf(c.getMessage).contains("MERGE_CARDINALITY_VIOLATION")),
+          s"expected the SQL cardinality violation, got: $ex")
+      } finally spark.catalog.dropTempView("cow_card")
+      // the failed rewrite must abort cleanly: no layout change, no new
+      // version, no row changed, no leaked staging
+      assert(BlockStore.stableLayoutGeneration(store) == genBefore)
+      assert(BlockStore.currentVersion(store) == verBefore)
+      assert(connector(store).count() == 50)
+      assert(connector(store).filter(col("doc_id") === 42L)
+        .head().getAs[String]("lang") == "en")
+    }
+  }
 }
