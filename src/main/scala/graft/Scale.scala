@@ -171,6 +171,65 @@ object Scale {
     dir
   }
 
+  /** Lands (once) the factor-n TIME-EXTENDED events feed under
+    * `outRoot/x$n/events_feed`: n single-FILE copies of the base events
+    * table, copy k shifted k eras along the TIME axis (era = base span +
+    * 2 h — beyond the 1 h watermark delay + 30 min join window, so eras
+    * can never join) with disjoint user/event ids. File names and mtimes
+    * ascend with k so the file-stream source replays eras IN ORDER under
+    * `maxFilesPerTrigger=1` — the property the s9_join_state row's
+    * watermark-eviction contract rides on (a same-mtime tie would let the
+    * source pick an arbitrary order and break the era sequence). Unlike
+    * the document bijections (which multiply data at one instant), this
+    * is the OTHER blow-up axis: a stream running N× LONGER — exactly the
+    * axis against which join state must stay bounded. */
+  private[graft] def ensureEventsFeed(spark: SparkSession, baseDir: String,
+      outRoot: String, n: Int): String = {
+    val dir = s"$outRoot/x$n/events_feed"
+    val done = java.nio.file.Paths.get(s"$outRoot/x$n/_READY_EVFEED_v1")
+    if (!java.nio.file.Files.exists(done)) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = Catalog.table(spark, baseDir, "events")
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        max(col("user_id")), max(col("event_id"))).head
+      val eraUs = b.getLong(1) - b.getLong(0) + 2L * 3600 * 1000000L
+      val uStride = b.getLong(2) + 1L
+      val eStride = b.getLong(3) + 1L
+      val dirP = Paths.get(dir)
+      // a killed land leaves a partial layout with NO marker: clear it so
+      // the re-land starts clean (loud rebuild, never a stale-green feed)
+      if (Files.exists(dirP)) {
+        Files.walk(dirP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(dirP): Unit
+      val tmp = s"$outRoot/x$n/_evfeed_tmp"
+      (0 until n).foreach { k =>
+        ev.select(
+          (col("event_id") + lit(k * eStride)).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + lit(k * eraUs)).as("ts"),
+          (col("user_id") + lit(k * uStride)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val dst = dirP.resolve(f"ev-$k%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING): Unit
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + k * 60000L)): Unit
+      }
+      val tmpP = Paths.get(tmp)
+      if (Files.exists(tmpP)) {
+        Files.walk(tmpP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createFile(done): Unit
+    }
+    dir
+  }
+
   /** Tables whose size scales WITH the corpus — a broadcast whose build
     * subtree reaches one of these unbounded is the audit's defect class.
     * nation/region are deliberately absent: 25/5 rows by schema at every
@@ -570,7 +629,31 @@ object Scale {
         // column, so a sentinel there means the claim was NOT verified.
         base("state_rows") > 0 && e("state_rows") > 0 &&
           e("state_rows") >= base("state_rows") * n * 7 / 10 &&
-          e("state_rows") <= base("state_rows") * n * 13 / 10 + 50))
+          e("state_rows") <= base("state_rows") * n * 13 / 10 + 50),
+    // s9_join_state: the stream-stream JOIN state row (r17 verdict ask 4 —
+    // the class whose state explodes when a watermark is mis-set). The
+    // feed extends the TIME axis (factor N = N eras replayed as N
+    // in-order micro-batches, ensureEventsFeed), so input rows and batch
+    // count grow N× while the watermark evicts each era as the next
+    // streams: the CONTRACT is state_rows_peak ~FLAT in N (the symmetric
+    // hash join holds the watermark window's rows — one era plus the
+    // previous era's un-evicted tail — never the stream). A mis-set
+    // watermark or a single-batch replay would peak at the full stream
+    // and fail the flat bound; the -1 sentinel guards keep an unmeasured
+    // run from passing vacuously (the s20 lesson). Final state_rows and
+    // state_bytes ride as telemetry; runtime tracks the feed (linear).
+    Op("s9_join_state", streaming.StreamingOps.streamOuterJoinFeed,
+      (s, d) => s.read.parquet(s"$d/events_feed").count(),
+      "linear", maxFactor = 32,
+      extra = (_, _) => Map(
+        "state_rows_peak" -> streaming.StreamingOps.lastStateRowsPeak,
+        "state_rows" -> streaming.StreamingOps.lastStateRows,
+        "state_bytes" -> streaming.StreamingOps.lastStateBytes,
+        "batches" -> streaming.StreamingOps.lastNumBatches),
+      extraTrack = (n, base, e) =>
+        base("state_rows_peak") > 0 && e("state_rows_peak") > 0 &&
+          e("state_rows_peak") <= base("state_rows_peak") * 13 / 10 + 1000 &&
+          e("batches") >= n))
 
   /** Fixed-size pure-shuffle I/O CONTROL (r17 verdict ask 1): ~1.1 GB of
     * incompressible-ish rows (md5 hex ×4) through one full exchange plus a
@@ -1180,6 +1263,10 @@ object Scale {
     // relational tables at EVERY factor (r16): q29's sweep row reads them,
     // and the broadcast audit plans the q/x family at the largest one
     factors.foreach(n => ensureRelationalBlowup(spark, baseDir, outRoot, n))
+    // the time-extended events feed for the s9_join_state row (capped at
+    // the op's maxFactor — a ×64 feed would land unused)
+    factors.filter(_ <= 32).foreach(n =>
+      ensureEventsFeed(spark, baseDir, outRoot, n))
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       functions.Text.withTokens(

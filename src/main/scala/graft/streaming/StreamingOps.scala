@@ -68,6 +68,16 @@ object StreamingOps {
   @volatile private[graft] var lastStateBytes: Long = -1L
   @volatile private[graft] var lastNumBatches: Long = -1L
 
+  /** PEAK state rows across the run's progresses (r18: the stream-stream
+    * join sweep row's contract column — for a watermark-bounded join the
+    * FINAL state is just the un-evictable tail, but the peak is what the
+    * state store must actually hold mid-stream: the watermark window's
+    * rows, never the stream's). -1 = stateless/no run. Capped-buffer
+    * caveat: recentProgress keeps the last ~100 progresses, so a
+    * many-hundreds-of-batches run would peak over a suffix — the sweep's
+    * feeds stay ≤ 33 batches. */
+  @volatile private[graft] var lastStateRowsPeak: Long = -1L
+
   /** Await the drained AvailableNow query AND, when the corpus-broadcast
     * audit's capture sink is armed ([[graft.plans.PlanCapture]]), offer the
     * LAST micro-batch's executed plan to it — micro-batch executions
@@ -124,6 +134,9 @@ object StreamingOps {
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       lastStateBytes = withState
         .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+      val peaks = progs.iterator.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      lastStateRowsPeak = if (peaks.isEmpty) -1L else peaks.max
       val sink = spark.table(name)
       spark.createDataFrame(
         java.util.Arrays.asList(sink.collect(): _*), sink.schema)
@@ -228,13 +241,19 @@ object StreamingOps {
     * drifted a column list apart; Catalyst prunes unused purchase columns
     * per consumer, so the widest select serves all four). */
   private def clickPurchaseStreams(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Column) =
+    clickPurchaseStreamsOver(eventsStream(spark, dir))
+
+  /** The same pair over ANY events source — the scale sweep's feed reads a
+    * multi-file time-extended directory instead of the single-file table. */
+  private def clickPurchaseStreamsOver(ev: DataFrame)
       : (DataFrame, DataFrame, Column) = {
-    val clicks = eventsStream(spark, dir)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
@@ -270,6 +289,36 @@ object StreamingOps {
       .select(col("click_id"), col("purchase_id"),
         col("c_user").as("user_id"), col("value"))
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
+  /** s9's join on the scale harness's TIME-EXTENDED feed (the sweep's
+    * stream-stream-join state row — r17 verdict ask 4: the class whose
+    * state EXPLODES when a watermark is mis-set had no measured ×N story).
+    * The feed ([[graft.Scale.ensureEventsFeed]]) lands factor-N as N
+    * single-file copies shifted along the TIME axis (copy k's era starts
+    * after copy k−1's ends, users/ids disjoint), `maxFilesPerTrigger=1`
+    * replays them as N in-order micro-batches, and the watermark advances
+    * between batches — so the symmetric-hash-join state EVICTS each era
+    * as the next one streams. The contract (pinned by the sweep's
+    * extraTrack): `state_rows_peak` stays ~FLAT in N — the state store
+    * holds the watermark WINDOW's rows (one era + the previous era's
+    * un-evicted tail), never the stream's — while input rows and batch
+    * count grow N× and runtime tracks the feed. A mis-set watermark (or a
+    * single-batch replay, r17's s20 layout lesson) would instead peak at
+    * the full stream and fail the flat bound. Same join, same watermark,
+    * same projection as the registered s9. */
+  def streamOuterJoinFeed(spark: SparkSession, dir: String): DataFrame = {
+    val feed = s"$dir/events_feed"
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(feed)),
+      s"events feed missing at $feed — Scale.ensureEventsFeed lands it")
+    val src = Catalog.normalizeEvents(
+      spark.readStream.schema(Catalog.events)
+        .option("maxFilesPerTrigger", "1").parquet(feed))
+    val (clicks, purchases, cond) = clickPurchaseStreamsOver(src)
+    val joined = clicks.join(purchases, cond, "left_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"), col("value"))
   }
 
   /** Streaming deduplication: watermarked dropDuplicates on
