@@ -398,6 +398,24 @@ object Scale {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
         .count(),
       "linear"),
+    // q5/q18 (r17 verdict ask 5): the join families behind the
+    // reference's headline TPC-DS claim, MEASURED ×1–×64 now that the
+    // scaling-dim hints are gone — the runtime/shuffle complement to
+    // ScaleSpec's plan-level dim-flip proof. q5 is the 6-table star
+    // (fact⋈fact plus two scaling dims whose broadcast/SHJ choice flips
+    // with stats, nation/region pinned broadcast); q18 is the fact⋈fact
+    // RANGE join (equi key + date-range residual — the no-cartesian
+    // contract priced at blown stats). Both outputs are dim-group spaces
+    // (per-nation / per-priority), so rows == base at every factor;
+    // candidates = the filtered fact side (exactly N× by construction).
+    Op("q5_star_join", operators.Relational.q5LocalSupplier,
+      (s, d) => Catalog.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")).count(),
+      "linear"),
+    Op("q18_range", operators.Relational.q18RangeJoin,
+      (s, d) => Catalog.table(s, d, "lineitem").count(),
+      "linear"),
     // dd5: the ONE op whose growth is QUADRATIC BY SPEC — within-cell
     // all-pairs at fixed cell count (Σ C(c·N, 2) candidates), and the
     // fixture's embedding copies are ±2.4%-perturbed SEMANTIC near-dups
@@ -744,7 +762,7 @@ object Scale {
     // factor-independent outputs: |probes|×k serves (sim11/sim15/s25)
     // and q29's rollup group space (copies repeat the same dims)
     if (Set("sim11_ivf", "sim15_serve", "s25_ingest",
-        "q29_wide_star")(name)) rows == base
+        "q29_wide_star", "q5_star_join", "q18_range")(name)) rows == base
     // dd6's prefix generator has EXACT recall (hash-free semantics: the
     // feature-block + 0.6 verify replicates per copy verbatim), so found
     // rows — unlike the hash-banded ops — must track N× exactly
