@@ -27,6 +27,13 @@ for d in rows:
         extras.append(f"docs_in={d['docs_in']:,}")
     if "corpus_x_bands" in d:
         extras.append(f"corpus×bands={d['corpus_x_bands']:,}")
+    if "state_rows_peak" in d:
+        extras.append(f"state peak={d['state_rows_peak']:,}"
+                      f" final={d.get('state_rows', -1):,}"
+                      f" batches={d.get('batches', -1)}")
+    elif "state_rows" in d:
+        extras.append(f"state={d['state_rows']:,} rows,"
+                      f" {d.get('batches', -1)} batches")
     model = d["model"] + (f" ({', '.join(extras)})" if extras else "")
     bad = [f for f in FLAGS if not d.get(f, True)]
     if bad:
