@@ -156,13 +156,30 @@ object TextAnalysis {
     // cross join anyway — ConstantFolding erases foldable keys): the
     // BroadcastNestedLoopJoin this plans has a ONE-ROW build side, i.e. a
     // map-side constant attach, and is whitelisted by name in the fleet
-    // NLJ audit with this rationale
+    // NLJ audit with this rationale.
+    // N = docs with ≥1 token, computed WITHOUT the tokenizer (r18): a doc
+    // has a token iff its text has any char outside the pinned 5-char
+    // whitespace class, so `rlike [^ws]` on the raw scan is EXACTLY
+    // `size(tokens(text)) > 0` (split drops only empty strings; NULL text
+    // fails both predicates) at the cost of a regex scan instead of a
+    // third explode→aggregate corpus pass — before this, the N branch was
+    // tf's whole lineage re-run with the count pruned away, which defeats
+    // AQE stage reuse above the shared tokenize Exchange (guide §2.4).
     val nf = broadcast(
-      tf.groupBy(col("doc_id")).agg(Map.empty[String, String])
+      Catalog.table(spark, dir, "documents")
+        .filter(col("text").rlike(s"[^${Text.WsChars}]"))
         .groupBy().agg(count(lit(1)).as("n_docs_total")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(df, Seq("tok"))
+    // SHUFFLE_HASH pin on the df side (r18, the t20/dd18 adjudication
+    // class): df is VOCABULARY-sized — Heaps-sublinear but ~1e8 rows at
+    // 100 TB, never broadcastable — while post-agg file stats read both
+    // sides small, so unpinned AQE at sf0.1 planned BroadcastHashJoin
+    // BuildLeft over tf, a CORPUS-proportional broadcast (the r15
+    // small-stats instability class). SHJ builds the vocab side per
+    // partition: |vocab|/partitions entries per task, bounded when
+    // partitions scale with data.
+    tf.join(df.hint("shuffle_hash"), Seq("tok"))
       .crossJoin(nf)
       .withColumn("score",
         (col("tf") * col("n_docs_total")).cast(DoubleType) / col("df").cast(DoubleType))

@@ -187,7 +187,11 @@ class PlanAuditSpec extends SparkSpec {
       "dd18_dedup_savings" -> 2, // keep + quality-token attaches
       // r17 construction-audit catch #2: the trained-vocab attach is
       // VOCABULARY-sized (grows with corpus) yet file stats broadcast it
-      "t20_bpe_fertility" -> 1) // trained-vocab symbol-count attach
+      "t20_bpe_fertility" -> 1, // trained-vocab symbol-count attach
+      // r18: the df (document-frequency) attach is the same class — tok-
+      // keyed, vocabulary-sized, never broadcastable at 100 TB, yet
+      // post-agg stats read it small enough to broadcast at toy scale
+      "t11_tfidf_keywords" -> 1) // df vocab attach
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
