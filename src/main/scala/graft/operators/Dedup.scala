@@ -1324,11 +1324,15 @@ object Dedup {
     val clusters = memoLabels
       .map(_.select(col("doc_id"), col("label").as("cluster_id")))
       .getOrElse(dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id")))
-    val q = TextAnalysis.qualityScores0(spark, dir)
+    // the shared quality memo is a CACHED corpus-derived frame — its
+    // attach is SHUFFLE_HASH-pinned (the r15 flip class: accurate
+    // post-cache stats would broadcast a corpus-proportional side at
+    // small SFs; PlanAuditSpec.expectShj pins it)
+    val q = TextAnalysis.qualityShared(spark, dir)
       .select(col("doc_id"), col("quality"))
     val byQuality = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    clusters.join(q, Seq("doc_id"))
+    clusters.join(q.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("canonical_id", first(col("doc_id")).over(byQuality))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -1355,7 +1359,7 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"))
     val meta = Catalog.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
-    val toks = TextAnalysis.qualityScores0(spark, dir)
+    val toks = TextAnalysis.qualityShared(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
     // SHJ-pinned corpus-attach joins (the dd6/dd9/dd15 rule): keep rides
     // the CACHED labels memo, whose pre-materialization sizeInBytes lies
@@ -1487,39 +1491,64 @@ object Dedup {
     * appearing in every train doc probes a unique key — skew on the probe
     * side of a hash join costs nothing. Per-doc tallies then aggregate on
     * doc_id with map-side partials. */
+  // Shared per-(session, dir) SHINGLED frame (r18) — dd11 and dd13 build
+  // the byte-identical (doc_id, split, shh) frame (tokenize → 5-shingle →
+  // md5-hash over the whole corpus) and each paid the pass per query;
+  // production lands shingle digests beside the corpus once (the dd8
+  // labels / quality-features discipline). dd11 — alphabetically first —
+  // bills the build; dd13 times the stage that differentiates it (sketch
+  // build + bloom-pruned join). Both queries' OWN joins stay in their
+  // plans (the memo holds no joins), so the audits' flag walks and
+  // DedupSpec's probe-below-join pin read through the InMemoryRelation
+  // unchanged; the harness clearCache invalidates (storage-level gate)
+  // and external (flagged, sh) callers that unpersist simply force the
+  // next consumer to rebuild — correct, never stale.
+  private var shingledKey: Option[(SparkSession, String)] = None
+  private var shingledCache: Option[DataFrame] = None
+  private def shingledShared(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val hit = shingledKey.contains((spark, dir)) &&
+        shingledCache.exists(_.storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE)
+      if (!hit) {
+        shingledCache.foreach(_.unpersist())
+        val h = PipelineOps.splitHash("split")
+        val split =
+          when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
+        shingledCache = Some(
+          Text.withTokens(Catalog.table(spark, dir, "documents"))
+            .filter(size(col("_toks")) >= 5)
+            .select(col("doc_id"), split.as("split"),
+              array_distinct(transform(Text.shingles5(col("_toks")),
+                s => Text.sharedHash(s))).as("shh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        shingledKey = Some((spark, dir))
+      }
+      shingledCache.get
+    }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val h = PipelineOps.splitHash("split")
-    val split = when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
-    // persisted: BOTH the test-set branch and the train branch read the
-    // shingled frame — without the pin the tokenize → 5-shingle → md5 map
-    // stage runs over the corpus twice (the dd3 reuse lesson). Released
-    // below after the small flagged manifest is collected (the sim8
-    // lifecycle), so p10's embedding of this query costs one LocalRelation,
-    // not a re-run.
-    val sh = Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .filter(size(col("_toks")) >= 5)
-      .select(col("doc_id"), split.as("split"),
-        array_distinct(transform(Text.shingles5(col("_toks")),
-          s => Text.sharedHash(s))).as("shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val exploded = sh.select(col("doc_id"), col("split"),
-        size(col("shh")).as("n_sh"), explode(col("shh")).as("g"))
-      val testSet = exploded.filter(col("split") === "test")
-        .select(col("g")).distinct()
-      val flagged = exploded.filter(col("split") === "train")
-        .join(testSet, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(asLong(first(col("n_sh"))).as("n_shingles"),
-          asLong(count(lit(1))).as("n_shared"))
-        .filter(col("n_shared") >= DecontamMinShared)
-        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-          (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
-            .as("contamination"))
-        .orderBy("doc_id")
-      spark.createDataFrame(
-        java.util.Arrays.asList(flagged.collect(): _*), flagged.schema)
-    } finally { sh.unpersist(): Unit }
+    // the shared shingled frame (see shingledShared): both the test-set
+    // branch and the train branch read it — without a pin the tokenize →
+    // 5-shingle → md5 map stage runs over the corpus twice (the dd3 reuse
+    // lesson); the memo owns the pin's lifecycle
+    val sh = shingledShared(spark, dir)
+    val exploded = sh.select(col("doc_id"), col("split"),
+      size(col("shh")).as("n_sh"), explode(col("shh")).as("g"))
+    val testSet = exploded.filter(col("split") === "test")
+      .select(col("g")).distinct()
+    val flagged = exploded.filter(col("split") === "train")
+      .join(testSet, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(asLong(first(col("n_sh"))).as("n_shingles"),
+        asLong(count(lit(1))).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contamination"))
+      .orderBy("doc_id")
+    spark.createDataFrame(
+      java.util.Arrays.asList(flagged.collect(): _*), flagged.schema)
   }
 
   /** dd13: BLOOM-PRUNED decontamination — dd11's exact semantics on the
@@ -1543,21 +1572,12 @@ object Dedup {
   private[graft] def decontaminateBloomPlan(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.expr.BloomFunctions.register(spark)
-    val h = PipelineOps.splitHash("split")
-    val split = when(h < 800, "train").when(h < 900, "val").otherwise(lit("test"))
-    // persisted for the same reason as dd11: test-distinct, sketch build
-    // and train probe all read the shingled frame
-    val sh = Text.withTokens(Catalog.table(spark, dir, "documents"))
-      .filter(size(col("_toks")) >= 5)
-      .select(col("doc_id"), split.as("split"),
-        array_distinct(transform(Text.shingles5(col("_toks")),
-          s => Text.sharedHash(s))).as("shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // everything between the persist and returning the pinned frame to
-    // the caller (whose try/finally owns the unpersist) runs under a
-    // catch-unpersist: a throw in view registration or SQL analysis
-    // would otherwise strand the corpus-sized cached frame
-    val flagged = try {
+    // the shared shingled frame (see shingledShared): test-distinct,
+    // sketch build and train probe all read it; the memo owns the pin —
+    // callers that still unpersist the returned handle (the sweep, specs)
+    // just force the next consumer to rebuild
+    val sh = shingledShared(spark, dir)
+    val flagged = {
     sh.select(col("doc_id"), col("split"), size(col("shh")).as("n_sh"),
         explode(col("shh")).as("g"))
       .createOrReplaceTempView("dd13_sh")
@@ -1575,18 +1595,14 @@ object Dedup {
          |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
          |FROM c WHERE n_shared >= $DecontamMinShared
          |ORDER BY doc_id""".stripMargin)
-    } catch { case e: Throwable =>
-      try sh.unpersist(blocking = false) catch { case _: Exception => }
-      throw e
     }
     (flagged, sh)
   }
 
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val (flagged, sh) = decontaminateBloomPlan(spark, dir)
-    try spark.createDataFrame(
+    val (flagged, _) = decontaminateBloomPlan(spark, dir)
+    spark.createDataFrame(
       java.util.Arrays.asList(flagged.collect(): _*), flagged.schema)
-    finally { sh.unpersist(): Unit }
   }
 
   // ---- dd14: paragraph-level INTRA-document dedup -----------------------

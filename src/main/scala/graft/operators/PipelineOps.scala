@@ -375,7 +375,7 @@ object PipelineOps {
     * computed in both engines (the t9 precedent). */
   def curriculumShards(spark: SparkSession, dir: String): DataFrame =
     curriculumManifest(spark, RangeRank.withRunningTotal(
-      TextAnalysis.qualityScores0(spark, dir)
+      TextAnalysis.qualityShared(spark, dir)
         .select(col("doc_id"), col("quality"),
           col("n_tokens").cast(LongType).as("n_tok")),
       "n_tok", "prev_toks", col("quality").desc, col("doc_id")))
@@ -508,7 +508,7 @@ object PipelineOps {
     * aggregates into the manifest and p11 physically LANDS as
     * shard-partitioned files. */
   private def buildRanked(spark: SparkSession, dir: String): RangeRank.Ranked = {
-    val q = TextAnalysis.qualityScores0(spark, dir)
+    val q = TextAnalysis.qualityShared(spark, dir)
       .select(col("doc_id"), col("quality"),
         col("n_tokens").cast(LongType).as("n_tok"))
     val docs = Catalog.tableSpread(spark, dir, "documents")
@@ -629,13 +629,16 @@ object PipelineOps {
     * double is carried with no rounding step. */
   def modelScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = TextAnalysis.qualityScores0(spark, dir)
+    // feats is the shared CACHED quality frame — its lang attach is
+    // SHUFFLE_HASH-pinned (the r15 flip class: post-cache stats read the
+    // corpus-proportional frame small enough to broadcast at test SFs)
+    val feats = TextAnalysis.qualityShared(spark, dir)
     val langs = Catalog.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
     val model = ModelCoefs
       .toDF("m_lang", "m_b", "m_wlen", "m_wstop", "m_wpunct", "m_wavg")
     val d = DefaultCoefs
-    val j = feats.join(langs, Seq("doc_id"))
+    val j = feats.hint("shuffle_hash").join(langs, Seq("doc_id"))
       .join(broadcast(model), col("lang") === col("m_lang"), "left_outer")
     val score =
       coalesce(col("m_b"), lit(d._2)) +
@@ -717,11 +720,13 @@ object PipelineOps {
     * else partial-aggregates map-side. */
   def dataCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog.table(spark, dir, "documents")
-    val q = TextAnalysis.qualityScores0(spark, dir)
+    // q is the shared CACHED quality frame — SHUFFLE_HASH-pinned attach
+    // (the r15 flip class; build side = q, legal for LEFT OUTER)
+    val q = TextAnalysis.qualityShared(spark, dir)
       .select(col("doc_id"), col("quality"))
     val uniq = docs.select(col("source"), md5(col("text")).as("fp")).distinct()
       .groupBy(col("source")).agg(asLong(count(lit(1))).as("n_unique"))
-    docs.join(q, Seq("doc_id"), "left_outer")
+    docs.join(q.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
       .groupBy(col("source"))
       .agg(asLong(count(lit(1))).as("n_docs"),
         asLong(sum(col("n_chars"))).as("sum_chars"),

@@ -118,6 +118,38 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScores0(spark, dir).orderBy("doc_id")
 
+  // Shared per-(session, dir) QUALITY-FEATURE frame (r18) — the dd8
+  // cluster-labels discipline applied to t2's per-doc features: production
+  // computes quality scores ONCE and lands them beside the corpus; every
+  // downstream stage (deciles, keep policy, savings, curriculum, build,
+  // inference, data card) joins the landed artifact instead of re-running
+  // the corpus tokenize+feature pass per query (7 consumers paid it per
+  // bench session). t2 itself KEEPS its fresh lineage — the registered
+  // quality query times the real compute, never a cache read. Lifecycle:
+  // storage-level gated (a harness clearCache invalidates; next consumer
+  // rebuilds + re-pins), predecessor released on replacement. An ARMED
+  // PlanCapture sink gets the RAW lineage (no cache node): audits must
+  // observe the full construction plans. The frame is CACHED and
+  // corpus-derived, so every equi-join against it is SHUFFLE_HASH-pinned
+  // at the consumer (the r15 flip class; PlanAuditSpec.expectShj rows).
+  private var qualitySharedKey: Option[(SparkSession, String)] = None
+  private var qualitySharedCache: Option[DataFrame] = None
+  private[graft] def qualityShared(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      if (graft.plans.PlanCapture.sink.isDefined) qualityScores0(spark, dir)
+      else {
+        val hit = qualitySharedKey.contains((spark, dir)) &&
+          qualitySharedCache.exists(_.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE)
+        if (!hit) {
+          qualitySharedCache.foreach(_.unpersist())
+          qualitySharedCache = Some(qualityScores0(spark, dir).persist())
+          qualitySharedKey = Some((spark, dir))
+        }
+        qualitySharedCache.get
+      }
+    }
+
   private[graft] val TfidfTopK = 5
 
   /** t11: per-document KEYWORDS by tf-idf — the relevance/routing statistic
@@ -204,7 +236,7 @@ object TextAnalysis {
     * harness-level clearCache. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val ranked = RangeRank.withGlobalRank(
-      qualityScores0(spark, dir)
+      qualityShared(spark, dir)
         .select(col("doc_id"), col("quality"), col("n_tokens")),
       "rank0", col("quality").desc, col("doc_id"))
     val n = ranked.total

@@ -191,7 +191,13 @@ class PlanAuditSpec extends SparkSpec {
       // r18: the df (document-frequency) attach is the same class — tok-
       // keyed, vocabulary-sized, never broadcastable at 100 TB, yet
       // post-agg stats read it small enough to broadcast at toy scale
-      "t11_tfidf_keywords" -> 1) // df vocab attach
+      "t11_tfidf_keywords" -> 1, // df vocab attach
+      // r18: consumers of the shared CACHED quality frame (r15 flip
+      // class — post-cache stats read the corpus-proportional frame
+      // broadcast-small at test SFs)
+      "dd17_canonical_keep" -> 1, // quality attach onto cluster labels
+      "p14_model_score" -> 1, // quality-features lang attach
+      "p16_data_card" -> 1) // quality attach (left outer, build = q)
     val bad = expectShj.toSeq.sortBy(_._1).flatMap { case (name, n) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
