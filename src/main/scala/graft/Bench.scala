@@ -93,8 +93,11 @@ object Bench {
     // t2's per-doc quality features: production computes them once and
     // lands them beside the corpus (the cluster-labels discipline) — the
     // seven consumer queries (t9/dd17/dd18/p8/p10/p14/p16) join the shared
-    // memo and time their own stage; t2 itself keeps a fresh lineage and
-    // times the real feature pass
+    // memo and time their own stage. THIS LAND IS THE BUILD'S BILLER
+    // (r19 correction per the r18 verdict): CacheManager substitutes the
+    // persisted frame into t2's structurally-identical lineage, so t2
+    // times a cache read + sort, and no timed query carries the feature
+    // pass — by design, like the cluster-labels/ANN-index lands above
     land("quality features")(
       operators.TextAnalysis.qualityShared(spark, sfDir).count(): Unit)
     land("ANN index")(operators.Similarity.ensureLandedIndex(spark, sfDir): Unit)
@@ -217,11 +220,18 @@ object Bench {
     // driver grades against, and a quick sf0.001/sf0.01 iteration pass has
     // twice silently replaced it inside an unrelated `git add -A` commit —
     // non-sf0.1 full runs land in bench.<sfname>.json instead.
+    // ...and for CORE COUNT (r18 verdict item 3): the driver benches at a
+    // second, lower core count to measure scaling, and its c8 run overwrote
+    // the 32-core run's bench.json in the same working tree — non-default
+    // core counts get a cpus-qualified name so both artifacts survive.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val defaultName =
       if (only.isDefined) "bench.only.json"
-      else if (sfName == "sf0.1") "bench.json"
-      else s"bench.$sfName.json"
+      else {
+        val sfPart = if (sfName == "sf0.1") "" else s".$sfName"
+        val cpuPart = if (cpus == "32") "" else s".c$cpus"
+        s"bench$sfPart$cpuPart.json"
+      }
     val benchPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         sys.props.getOrElse("user.dir", ".") + "/" + defaultName)).toAbsolutePath
@@ -232,6 +242,15 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] $benchPath write failed: $e")
     }
+    // COMPACT summary as the LAST stdout line (r18 verdict item 2): the
+    // full five-map line above is ~28 KB at 201 queries and the driver's
+    // captured stdout tail (~2 KB) truncates it mid-map — two rounds of
+    // BENCH_r*.json read `parsed: null` and the driver's per-query perf
+    // table came up empty. The tail always captures the LAST line, so a
+    // ≤200-byte summary goes out after the artifact write; per-query maps
+    // live in the artifact it names. The full line stays printed first —
+    // any consumer of complete stdout still gets the whole contract.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"provenance":"$provenance","queries_file":"$benchPath","sf":"$sfDir"}""")
     spark.stop()
     // the gate must be loud even for a caller that only checks the exit
     // code (Verify's rule, applied here too — r16 review): the JSON line

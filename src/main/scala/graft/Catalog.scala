@@ -165,7 +165,16 @@ object Catalog {
     * lands once). Callers that run once per (JVM, dir) should memoize the
     * result (the s10 discipline) — each call registers one hook. */
   def tempDirWithCleanup(prefix: String): java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+    // Optional base override (SPARK_GRAFT_TMPDIR) — the r19 streaming-floor
+    // rig points it at tmpfs to separate checkpoint-I/O cost from
+    // micro-batch machinery cost. Default stays java.io.tmpdir.
+    val d = sys.env.get("SPARK_GRAFT_TMPDIR") match {
+      case Some(base) =>
+        val b = java.nio.file.Paths.get(base)
+        java.nio.file.Files.createDirectories(b)
+        java.nio.file.Files.createTempDirectory(b, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit

@@ -507,10 +507,9 @@ object Scale {
         // re-rolls per copy around the same rate: splitHash keys on the
         // shifted doc_id); cross-copy shingle hashes are disjoint ⇒
         // ≈ linear.
-        val (flagged, sh) = operators.Dedup.decontaminateBloomPlan(s, d)
-        try Option(flagged.agg(sum(col("n_shared"))).head.get(0))
+        val flagged = operators.Dedup.decontaminateBloomPlan(s, d)
+        Option(flagged.agg(sum(col("n_shared"))).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        finally sh.unpersist(): Unit
       }, "linearRR"),
     Op("sim11_ivf", operators.Similarity.ivfMultiProbeTopK,
       (s, d) => {
@@ -571,9 +570,11 @@ object Scale {
         dd9Candidates = operators.Dedup.incrementalCandidateIds(s, d).count()
         dd9Candidates
       }, "linearRR",
-      // dd9 shares only the bigram BASE with dd6 (its probe recomputes
-      // prefix rows over it) — the base rebuild is the cross-op cost
-      stages = Seq("bigram_base_build" -> operators.Dedup.ensureNgramBase),
+      // dd9 shares the bigram BASE and (r19) the landed PREFIX-ROWS frame
+      // with dd6 — both are cross-op landed artifacts, priced separately
+      // so the row keeps measuring the probe stage itself
+      stages = Seq("bigram_base_build" -> operators.Dedup.ensureNgramBase,
+        "prefix_rows_build" -> operators.Dedup.ensurePrefixRows),
       extra = (s, d) => {
         val incoming = Catalog.table(s, d, "documents")
           .filter(col("doc_id") % 5 === 0).count()

@@ -462,5 +462,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_interleave",
       binaryBuilder("zorder_interleave", ZOrderInterleave), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rep_stats", unaryBuilder("rep_stats", RepetitionStats), "built-in")
   }
 }

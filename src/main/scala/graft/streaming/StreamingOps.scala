@@ -48,11 +48,28 @@ object StreamingOps {
     * acceptable for the sequential Verify/Bench drivers this runs under.
     * One audited copy of the clamp-around-start() dance for the four
     * launch sites. */
+  /** Streaming shuffle-partition clamp value — state-store instances (and
+    * with them per-batch store load/commit/flush work, which runs EVEN FOR
+    * NO-DATA batches) are fixed at query start to this. r19 measured the
+    * per-partition store machinery as THE micro-batch floor at local
+    * volumes (≤ 200k events/query): clamp 8 → 2 took s12 (4 join state
+    * stores × partitions) from ~7–9 s to ~2.6–3.3 s and s1/s4 down ~1.5–2×
+    * in the same-session A/B, while a tmpfs checkpoint moved nothing (the
+    * WAL/offset log is ~0.2 s/query) — so the knob, not the filesystem, is
+    * the lever. Results are partition-count-invariant by construction
+    * (batch boundaries come from the trigger caps/file splits, never from
+    * partitioning; full oracle pass re-run at both clamps). On a real
+    * cluster SPARK_GRAFT_STREAM_PARTITIONS follows executor count —
+    * per-instance state volume, not instance count, is what must stay
+    * bounded at 100 TB. */
+  private[graft] def streamPartitionClamp: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(2)
+
   private def startClamped[A](spark: SparkSession)(start: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, prev.toInt).toString)
+        math.min(streamPartitionClamp, prev.toInt).toString)
       start
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -78,6 +95,15 @@ object StreamingOps {
     * feeds stay ≤ 33 batches. */
   @volatile private[graft] var lastStateRowsPeak: Long = -1L
 
+  /** Diagnostics-only progress capture (r19 micro-batch-floor rig): when
+    * armed by [[graft.R19Probe]], [[drain]] stashes the drained query's full
+    * progress JSONs (durationMs phase breakdown per micro-batch) so the
+    * probe can attribute the per-query floor to offset-log/plan/state/sink
+    * phases from the artifact. Off (and costless beyond a volatile read)
+    * under Verify/Bench. */
+  @volatile private[graft] var captureProgress = false
+  @volatile private[graft] var lastProgressJson: Seq[String] = Nil
+
   /** Await the drained AvailableNow query AND, when the corpus-broadcast
     * audit's capture sink is armed ([[graft.plans.PlanCapture]]), offer the
     * LAST micro-batch's executed plan to it — micro-batch executions
@@ -89,6 +115,8 @@ object StreamingOps {
     * reflection only runs when a sink is armed, i.e. inside an audit). */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
+    if (captureProgress)
+      lastProgressJson = q.recentProgress.toSeq.map(_.json)
     if (graft.plans.PlanCapture.sink.isDefined) {
       try {
         val se = q.getClass.getMethod("streamingQuery").invoke(q)
@@ -108,8 +136,16 @@ object StreamingOps {
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = nextName()
+    // Explicit checkpoint dir (r19): Spark's implicit temp checkpoint
+    // always lands under java.io.tmpdir; routing through
+    // tempDirWithCleanup honors the SPARK_GRAFT_TMPDIR override so the
+    // offset/commit/state logs can sit on fast storage (cleanup via the
+    // shared shutdown hook — Spark only auto-deletes IMPLICIT temp
+    // checkpoints).
+    val chk = Catalog.tempDirWithCleanup("graft-chk").toString + "/chk"
     val q = startClamped(spark) {
       df.writeStream.outputMode(mode).format("memory")
+        .option("checkpointLocation", chk)
         .queryName(name).trigger(Trigger.AvailableNow()).start()
     }
     // Materialize eagerly into a LocalRelation and drop the sink view right

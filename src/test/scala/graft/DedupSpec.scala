@@ -98,8 +98,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dd13 bloom prune is result-transparent and probes below the join") {
-    val (flagged, sh) = Dedup.decontaminateBloomPlan(spark, sf)
-    try {
+    val flagged = Dedup.decontaminateBloomPlan(spark, sf)
+    locally {
       val optimized = flagged.queryExecution.optimizedPlan.toString
       assert(optimized.contains("bloom_filter_agg"),
         s"bloom sketch aggregate missing from the plan:\n$optimized")
@@ -117,7 +117,7 @@ class DedupSpec extends SparkSpec {
       assert(pruned == exact,
         "bloom-pruned manifest diverged from dd11's exact manifest")
       assert(pruned.nonEmpty, "fixture must actually contain contamination")
-    } finally { sh.unpersist(): Unit }
+    }
   }
 
   test("dedup(dedup(x)) == dedup(x) on generated corpora (property)") {

@@ -115,4 +115,53 @@ class ExprEquivalenceSpec extends SparkSpec {
       .head().getInt(0)
     assert(tie == 2, s"exact tie must resolve to the LOWEST index, got $tie")
   }
+
+  test("rep_stats ≡ interpreted explode/hash/agg chain (r19 t17 kernel)") {
+    graft.expr.VectorExpressions.register(spark)
+    import graft.functions.Text
+    import spark.implicits._
+    // real corpus token arrays + adversarial synthetics: all-same doc
+    // (max multiplicity = n), alternating pair (bigram max spans runs),
+    // exactly two tokens, long tail of uniques with one planted triple
+    val synthetic = Seq(
+      Seq.fill(40)("x"),
+      (0 until 40).map(i => if (i % 2 == 0) "a" else "b"),
+      Seq("p", "q"),
+      ((0 until 50).map(i => s"u$i") ++ Seq("t", "t", "t")))
+      .map(s => Tuple1(s)).toDF("_toks")
+    val corpus = Text.withTokens(
+        Catalog.table(spark, "/root/testdata/sf0.01", "documents"))
+      .select(col("_toks"))
+    val df = corpus.unionByName(synthetic)
+      .filter(size(col("_toks")) >= 2)
+    val toks = col("_toks")
+    val withId = df.withColumn("id", monotonically_increasing_id())
+      .persist()
+    try {
+      // the pre-r19 formulation, verbatim: explode → sharedHash →
+      // groupBy(id, h) → max count per id; adj via element_at equality
+      def topLegacy(occ: org.apache.spark.sql.DataFrame, out: String) =
+        occ.groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+          .groupBy(col("id")).agg(max(col("c")).as(out))
+      val tokTop = topLegacy(
+        withId.select(col("id"), explode(toks).as("tok"))
+          .select(col("id"), Text.sharedHash(col("tok")).as("h")), "lt")
+      val bgs = transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val bgTop = topLegacy(
+        withId.select(col("id"), explode(bgs).as("bg"))
+          .select(col("id"), Text.sharedHash(col("bg")).as("h")), "lb")
+      val adjLegacy = size(filter(sequence(lit(1), size(toks) - 1), i =>
+        element_at(toks, i) === element_at(toks, i + 1))).cast("long")
+      val st = call_function("rep_stats", toks)
+      val bad = withId.select(col("id"), adjLegacy.as("la"),
+          st.getField("top_tok").as("kt"), st.getField("top_bg").as("kb"),
+          st.getField("adj").as("ka"))
+        .join(tokTop, Seq("id")).join(bgTop, Seq("id"))
+        .filter(not(col("lt") <=> col("kt")) ||
+          not(col("lb") <=> col("kb")) || not(col("la") <=> col("ka")))
+        .count()
+      assert(bad == 0, s"$bad docs disagree between rep_stats and the chain")
+    } finally withId.unpersist(): Unit
+  }
 }

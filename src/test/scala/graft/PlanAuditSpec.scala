@@ -173,8 +173,11 @@ class PlanAuditSpec extends SparkSpec {
     * make the plan deterministic; this pin makes losing them loud. */
   test("corpus-attach joins stay shuffled-hash (no corpus broadcast, no sorting SMJ)") {
     val expectShj = Map(
-      "dd6_ngram_jaccard" -> 2, // bg_a / bg_b attaches
-      "dd9_incremental_dedup" -> 2, // bg_i / bg_x attaches
+      // r19: +1 each — the shared CACHED prefix-rows frame's candidate/
+      // probe join is pinned too (accurate post-cache stats would
+      // broadcast the corpus-sized prefix side at test SFs)
+      "dd6_ngram_jaccard" -> 3, // prefix join + bg_a / bg_b attaches
+      "dd9_incremental_dedup" -> 3, // prefix probe + bg_i / bg_x attaches
       "dd15_edit_distance" -> 2, // hist build + the a-side text attach
       // (r15: the 3x-fanout side went slim — its text attaches
       // post-prefilter; the unexploded b-side keeps its text)

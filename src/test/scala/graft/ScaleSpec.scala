@@ -349,10 +349,9 @@ class ScaleSpec extends SparkSpec {
     check("dd13_bloom_decontam", "linearRR",
       d => operators.Dedup.decontaminateBloom(spark, d).count(),
       d => {
-        val (flagged, sh) = operators.Dedup.decontaminateBloomPlan(spark, d)
-        try Option(flagged.agg(sum(col("n_shared"))).head.get(0))
+        val flagged = operators.Dedup.decontaminateBloomPlan(spark, d)
+        Option(flagged.agg(sum(col("n_shared"))).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        finally sh.unpersist(): Unit
       })
     check("mm6_phash", "banded16",
       d => operators.Multimodal.perceptualNearDup(spark, d).count(),
