@@ -338,21 +338,38 @@ object Coverage {
     * (locally AQE may broadcast it — either plan is right for its size). */
   def q29WideStar(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") >= ts("1996-01-01"))
-    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    // TWO-LEVEL aggregation under the rollup (r19, guide §2.3 "aggregate
+    // before you shuffle"): the joined fact stream first reduces to one
+    // row per (r_name, n_name, c_mktsegment) — ≤ |regions|×|nations|×
+    // |segments| rows, with ordinary map-side partials — and rollup's
+    // 3-set Expand (plus the collect_set ObjectHashAggregate) then runs
+    // over that bounded frame instead of ×3-ing the registry's widest
+    // joined row stream. Exactness: n_lines is a sum of disjoint counts;
+    // revenue partials stay in EXACT decimal until the single final cast
+    // to double (associative — the oracle's one-level decimal sum yields
+    // the same value bit-for-bit); n_segments = distinct segments, and
+    // the pre-agg emits each (group, segment) exactly once, so the
+    // outer collect_set sees the same set (both levels skip NULLs the
+    // way COUNT(DISTINCT) does).
+    val perSeg = li
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("pn"),
+        sum(Sql.revenue(col("l_extendedprice"), col("l_discount"))).as("prev"))
+    perSeg
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_lines"),
-        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+      .agg(sum(col("pn")).as("n_lines"),
+        sum(col("prev")).cast(org.apache.spark.sql.types.DoubleType).as("revenue"),
         // size(collect_set), NOT countDistinct: a mixed distinct+regular
         // agg plans a RewriteDistinctAggregates Expand (×2 projections)
-        // ON TOP of rollup's 3-set Expand over the registry's widest
-        // joined row stream; the segment vocabulary is 5 values, so a
-        // bounded per-group set is one normal agg pass with map-side
-        // partials (NULL handling matches COUNT(DISTINCT): both skip)
+        // ON TOP of rollup's — and the set is now built over the tiny
+        // pre-aggregated frame (NULL handling matches COUNT(DISTINCT):
+        // both skip)
         asLong(size(collect_set(col("c_mktsegment")))).as("n_segments"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
